@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parquet scan helpers over the driver testdata (TESTDATA.md).
+  *
+  * Reading through `spark.read.parquet` keeps the scan declarative so
+  * Catalyst pushes filters and prunes columns down to the parquet reader —
+  * check `PushedFilters:` / `ReadSchema:` in `.explain("formatted")`. At
+  * 100 TB this (plus partition pruning on a partitioned layout) is the
+  * difference between scanning terabytes and scanning gigabytes.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Oracle-determinism helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * same SQL. Floating-point SUMs are order-dependent, and Spark's partition
+  * order differs from DuckDB's scan order — so a raw `sum(double)` can
+  * differ in the last ulps and flip a hash. Money columns in the testdata
+  * carry exactly 2 decimals, so summing them as DECIMAL is exact integer
+  * arithmetic in both engines; casting the exact sum back to DOUBLE is then
+  * deterministic. Mirror on the DuckDB side:
+  * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+  */
+object Det {
+  /** Order-insensitive exact sum of a fixed-scale decimal-valued double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum / count, divided in double —
+    * both engines perform the identical final division. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** DuckDB-side fragment equivalent of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  def davgSql(expr: String, scale: Int = 2): String =
+    s"(${dsumSql(expr, scale)} / COUNT(*))"
+}
