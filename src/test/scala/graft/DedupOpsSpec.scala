@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("d1: exact dedup flags later copies, keeps min doc_id as canonical") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"), // dup of 1
+      (3L, "delta epsilon zeta"),
+      (4L, "alpha beta gamma")  // dup of 1
+    ).toDF("doc_id", "text")
+    val h = sha2($"text", 256)
+    val flagged = df.select($"doc_id",
+      ($"doc_id" === min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(h))).as("is_canonical"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flagged === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("shingles column: distinct word trigrams; short docs fall back to whole text") {
+    val got = Seq(("a b c d e", 1), ("x y", 2))
+      .toDF("text", "id")
+      .select(DedupOps.shingles($"text", 3).as("sh"), $"id")
+      .collect().map(r => r.getInt(1) -> r.getSeq[String](0).toSet).toMap
+    assert(got(1) === Set("a b c", "b c d", "c d e"))
+    assert(got(2) === Set("x y"))
+  }
+
+  test("jaccardExact matches a hand-computed value") {
+    val j = DedupOps.jaccardExact(Seq("a", "b", "c"), Seq("b", "c", "d"))
+    assert(j === 2.0 / 4.0)
+  }
+
+  test("MinHash: identical sets -> identical signatures; estimate tracks exact jaccard") {
+    import DedupOps.MinHash
+    val base = (0 until 60).map(i => s"sh$i")
+    val near = base.drop(6) ++ (0 until 6).map(i => s"other$i") // j = 54/66 ≈ 0.82
+    val s1 = MinHash.signature(base)
+    val s2 = MinHash.signature(base)
+    assert(s1.toSeq === s2.toSeq)
+    val s3 = MinHash.signature(near)
+    val est = s1.zip(s3).count { case (a, b) => a == b }.toDouble / s1.length
+    val exact = DedupOps.jaccardExact(base, near)
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("SimHash: near-identical sets land at small hamming, disjoint sets near 32") {
+    import DedupOps.SimHash
+    val base = (0 until 80).map(i => s"sh$i")
+    val near = base.drop(4) ++ (0 until 4).map(i => s"other$i")
+    val far = (0 until 80).map(i => s"unrelated$i")
+    val hNear = SimHash.hamming(SimHash.fingerprint(base), SimHash.fingerprint(near))
+    val hFar = SimHash.hamming(SimHash.fingerprint(base), SimHash.fingerprint(far))
+    assert(hNear < 16, s"near hamming $hNear")
+    assert(hFar > 16, s"far hamming $hFar")
+  }
+
+  test("d2/d3/d4 agree with brute-force exact jaccard on sf0.001 documents") {
+    // Brute-force ground truth computed in-test from the same shingle set.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", DedupOps.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      j = DedupOps.jaccardExact(sa, sb) if j >= 0.8
+    } yield (a, b)).toSet
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    assert(pairs(DedupOps.d2MinhashLsh(spark, sf)) === expected)
+    assert(pairs(DedupOps.d3SimhashNeardup(spark, sf)) === expected)
+    val d4 = pairs(DedupOps.d4NgramJaccard(spark, sf))
+    assert(expected.subsetOf(d4)) // d4 threshold is 0.5, a superset
+  }
+
+  test("d5: sign-LSH recalls planted near-identical embeddings") {
+    import DedupOps.SignLsh
+    val rng = new scala.util.Random(11L)
+    val v = Array.fill(64)(rng.nextGaussian().toFloat)
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    assert(SignLsh.cosine(v.toSeq, vNear.toSeq) > 0.99)
+    val shared = SignLsh.bandKeys(v.toSeq).toSet
+      .intersect(SignLsh.bandKeys(vNear.toSeq).toSet)
+    assert(shared.nonEmpty, "near-identical vectors must share at least one band")
+  }
+}
