@@ -266,15 +266,19 @@ object DedupOps {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Sign-LSH for cosine: 192 seeded random hyperplanes, banded 32×6.
-    * P(bit agrees) = 1 - θ/π; at cos ≥ 0.9 (θ ≤ 26°) a 6-bit band matches
-    * with p ≈ 0.4 and 32 bands miss with p ≈ 1e-7. Random pairs (cos≈0)
-    * still band-collide ~40% of the time — acceptable because the verify
-    * is one dot product, and on real (clustered) corpora the band count
-    * gets tuned down. */
+  /** Sign-LSH for cosine: 256 seeded random hyperplanes, banded 16×16.
+    * P(bit agrees) = 1 - θ/π. Band width is sized for SCALE first: a
+    * random pair (θ≈90°) matches a 16-bit band with p = 2^-16 ≈ 1.5e-5,
+    * so candidate volume stays ~linear in corpus size instead of
+    * quadratic — with narrow 6-bit bands ~40% of ALL pairs collide and
+    * the join degenerates to all-pairs at 100 TB. A true near-dup at
+    * cos ≥ 0.99 (θ ≤ 8.1°, p_bit ≈ 0.955) matches a band with p ≈ 0.48
+    * and misses all 16 with p ≈ 3e-5. Recall at the 0.9 boundary is
+    * partial by design (LSH trades boundary recall for linear cost);
+    * the exact-verify keeps precision at 1. */
   private[graft] object SignLsh {
-    val BandBits = 6
-    val NumBands = 32
+    val BandBits = 16
+    val NumBands = 16
     val NumBits: Int = BandBits * NumBands
     val Dim = 64
     private val rng = new scala.util.Random(70077L)

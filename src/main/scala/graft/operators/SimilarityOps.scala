@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M3 similarity-search tier over `embeddings` (driver brief: ANN over an
+  * embedding column). Two operators, one semantics:
+  *
+  *  - s1 brute-force cosine top-k — the exact baseline and the oracle
+  *    anchor. Query set is broadcast; the corpus is scanned once; ranking
+  *    is a per-query top-k window. Linear in corpus size, embarrassingly
+  *    parallel — this IS the right 100 TB plan when the query set is small
+  *    (batch re-ranking, eval harnesses).
+  *  - s2 IVF — the scale path for large query sets: a deterministic
+  *    k-means coarse quantizer (trained distributed, only k×dim centroid
+  *    doubles ever reach the driver), corpus bucketed by nearest centroid,
+  *    queries probe their `nprobe` nearest cells. Search cost drops
+  *    nprobe/k vs s1 at the price of recall on cell boundaries. Not
+  *    SQL-expressible (k-means state) → no oracle; recall is spec-tested
+  *    against s1 on clustered synthetic data in SimilarityOpsSpec.
+  *
+  * The cosine kernel is a native column expression (zip_with + aggregate),
+  * so the whole scan stays in whole-stage codegen — no UDF in the hot path.
+  */
+object SimilarityOps {
+
+  val K = 5
+  /** Fixed benchmark query set: the 20 lowest vec_ids. */
+  private val NQueries = 20
+
+  /** Native cosine similarity between two float-array columns, computed in
+    * double. Sequential fold in array order — deterministic. */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** s1: exact cosine top-k. `round(6)` before ranking so engine-side ulp
+    * noise can't flip the k-boundary vs the oracle; ties break on
+    * neighbor id. The corpus side never shuffles — the only exchange is
+    * the per-query top-k (K×partitions rows). */
+  def s1CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val sims = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      .join(broadcast(queries), $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= K)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+  }
+
+  private val s1Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |sims AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+       |  FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+       |  FROM sims)
+       |SELECT query_id, rnk, neighbor_id, cos_sim FROM ranked
+       |WHERE rnk <= $K""".stripMargin
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic distributed k-means: init = the k lowest-vec_id vectors,
+    * `iters` Lloyd steps. Assignment is a narrow map against broadcast
+    * centroids; the update is a groupBy agg — per iteration one scan + one
+    * k-row shuffle. Only the k centroids ever reach the driver. */
+  private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    var centroids: Array[Array[Double]] = emb
+      .orderBy($"vec_id").limit(k)
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val cellCol = nearestCell(col("embedding"), centroids)
+      val updated = emb
+        .select(cellCol.as("cell"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids(0).length)
+            .map(i => sum(element_at($"v", i + 1))): _*).as("sums"))
+        .select($"cell", $"sums", $"n").as[(Int, Seq[Double], Long)].collect()
+        .map { case (cell, sums, n) => cell -> sums.map(_ / n).toArray }
+        .toMap
+      // A cell can lose every member mid-iteration; keep its old centroid
+      // so indices stay stable.
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Per-cell score structs (cosine, cell-id) against broadcast centroid
+    * literals. Ranking by dot(v,c)/|c| — |v| is constant across cells, so
+    * the ordering equals cosine while the expression tree stays one
+    * aggregate per cell. (A when-fold here would double the tree per cell
+    * — 2^k nodes — and OOM the planner at k=16.) */
+  private def cellScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      val dot = aggregate(
+        zip_with(v, array(c.map(lit): _*), (p, q) => p.cast("double") * q),
+        lit(0.0), (acc, x) => acc + x)
+      struct((dot / lit(norm)).as("s"), lit(i).as("i"))
+    }
+
+  /** Index (0-based) of the nearest centroid. Ties (measure-zero on real
+    * vectors) break toward the higher cell id via struct-max ordering. */
+  private[graft] def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(cellScores(v, centroids): _*)).getField("i")
+
+  /** s2: IVF approximate top-k — same output shape as s1. Corpus is
+    * bucketed once by nearest centroid; each query probes its `nprobe`
+    * nearest cells, so the candidate join is an equi-join on `cell` (never
+    * all-pairs) touching ~nprobe/k of the corpus. At 100 TB the bucketed
+    * corpus is what you'd persist (partitioned by cell) and the probe
+    * becomes partition pruning. */
+  def s2AnnIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = kmeans(emb, k, iters = 3)
+    val cell = nearestCell($"embedding", centroids)
+
+    val corpus = emb.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("c_emb"), cell.as("cell"))
+    val probes = sort_array(array(cellScores($"embedding", centroids): _*),
+      asc = false)
+    val queries = emb.where($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(slice(probes, 1, nprobe).getField("i")).as("cell"))
+
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .where($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= K)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> s1CosineTopk _,
+    "s2_ann_ivf" -> ((s, d) => s2AnnIvf(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_cosine_topk" -> s1Sql)
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M3 sketch tier — the approximate aggregates a 100 TB pipeline uses where
+  * exact ones stop scaling. Sketch values themselves are
+  * implementation-defined (Spark's HLL++ and DuckDB's HLL disagree by
+  * construction), so each query emits the EXACT value alongside a boolean
+  * asserting the sketch landed within its documented error bound — the
+  * oracle checks the exact value exactly and the bound as a constant. A
+  * sketch drifting outside its bound flips the boolean and fails the hash
+  * compare, so the check is real.
+  */
+object SketchOps {
+
+  /** k1: distinct users per event type — `approx_count_distinct` (HLL++,
+    * default rsd 5%) vs exact. The HLL buffer is mergeable map-side state:
+    * at 100 TB the shuffle carries one ~1.5 KB sketch per (group ×
+    * partition) instead of every distinct user_id, which is the entire
+    * point vs q11's exact countDistinct expand. */
+  def k1HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id").as("hll_users"))
+      .select($"event_type", $"exact_users",
+        (abs($"hll_users" - $"exact_users") <=
+          $"exact_users" * 0.05 + lit(1)).as("hll_within_5pct"))
+  }
+
+  private val k1Sql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS hll_within_5pct
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** k2: value quantiles per event type — exact interpolated percentile
+    * (both engines implement the same continuous-quantile interpolation)
+    * plus approx_percentile asserted within 2% relative error. The exact
+    * percentile needs the group's values sorted — fine per-group here;
+    * at 100 TB you'd keep ONLY the sketch column (mergeable KLL-style
+    * buffer, no global sort anywhere). */
+  def k2QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        expr("approx_percentile(value, 0.5, 1000)").as("ap50"))
+      .select($"event_type", $"p50", $"p95",
+        (abs($"ap50" - $"p50") <= abs($"p50") * 0.02 + lit(0.001))
+          .as("sketch_within_2pct"))
+  }
+
+  private val k2Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  TRUE AS sketch_within_2pct
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_hll_distinct" -> k1HllDistinct _,
+    "k2_quantile_sketch" -> k2QuantileSketch _)
+
+  val oracleSql: Map[String, String] = Map(
+    "k1_hll_distinct" -> k1Sql,
+    "k2_quantile_sketch" -> k2Sql)
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M3 text-analysis tier over `documents` (driver brief: lang-ID, quality
+  * scoring, token counting, fingerprinting). The reference has no text
+  * operators at all (SURVEY §2.3) — its users would write them inside Perl
+  * mapper closures; here every operator is a native (codegen'd) column
+  * expression — zero UDFs — so the whole pack runs inside one
+  * WholeStageCodegen span per query and scales embarrassingly: each is a
+  * narrow per-row map with no shuffle except the final aggregate where one
+  * exists.
+  *
+  * Everything is deterministic and DuckDB-expressible, so all five queries
+  * carry exact oracles. Floats are rounded at the boundary (6 dp) to keep
+  * the hash compare representation-stable.
+  */
+object TextOps {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  // ------------------------------------------------------------ t1 stats
+
+  /** t1: per-document surface statistics — chars, words, distinct words,
+    * type/token ratio, mean word length. Narrow map, no shuffle. */
+  def t1TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      length($"text").as("chars"),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_distinct"),
+      round(size(array_distinct(w)).cast("double") / size(w), 6).as("ttr"),
+      round((length($"text") - size(w) + 1).cast("double") / size(w), 6)
+        .as("mean_word_len"))
+  }
+
+  private val t1Sql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS ttr,
+      |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS mean_word_len
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- t2 lang-ID
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+    * Real pipelines load 100s of markers per language; the mechanism —
+    * count marker hits per language in one pass, argmax — is identical. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est"))
+
+  private def markerHits(w: Column, markers: Seq[String]): Column =
+    size(filter(w, x => x.isInCollection(markers)))
+
+  /** t2: language identification by marker-word voting — per language,
+    * count marker occurrences; predict the argmax (deterministic tiebreak:
+    * higher count wins, then lexicographic language code). One narrow map;
+    * the lexicons live in the plan as literals, broadcast with the task
+    * binary — nothing is shuffled at any scale. */
+  def t2LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    val cols = Seq($"doc_id", $"lang".as("labeled_lang"), size(w).as("n_words")) ++
+      langMarkers.map { case (code, m) => markerHits(w, m).as(s"hits_$code") }
+    val scored = Tables.documents(s, dir).select(cols: _*)
+    val best = langMarkers.map { case (code, _) =>
+      struct(col(s"hits_$code").as("h"), lit(code).as("c"))
+    }.reduce((a, b) => when(b("h") > a("h"), b).otherwise(a))
+    scored.select(
+      $"doc_id", $"labeled_lang",
+      best.getField("c").as("pred_lang"),
+      round(best.getField("h").cast("double") / $"n_words", 6).as("marker_ratio"))
+  }
+
+  private val t2Sql = {
+    val hits = langMarkers.map { case (code, m) =>
+      val lst = m.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), x -> list_contains($lst, x))) AS hits_$code"
+    }.mkString(",\n  ")
+    // Fold with the SAME tiebreak as the Spark side: strictly-greater wins,
+    // so on ties the earlier language in declaration order survives.
+    val best = langMarkers.map { case (code, _) => s"{'h': hits_$code, 'c': '$code'}" }
+      .reduce((a, b) => s"(CASE WHEN ($b).h > ($a).h THEN $b ELSE $a END)")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  $hits
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang,
+       |  ($best).c AS pred_lang,
+       |  round(CAST(($best).h AS DOUBLE) / n_words, 6) AS marker_ratio
+       |FROM scored""".stripMargin
+  }
+
+  // ----------------------------------------------------- t3 quality score
+
+  /** t3: document quality scoring — the C4/Gopher-style rule battery
+    * re-expressed as one codegen'd expression: length band, stopword
+    * ratio, repetition (type/token) ratio, mean word length band. Score in
+    * [0,4]; `keep` at >= 3 is the pipeline's filter bit. At 100 TB this is
+    * the first pass over raw text, so it must stay a narrow map — it does:
+    * no shuffle, filter bit computed inline with the scan. */
+  def t3QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    val nWords = size(w)
+    val stopRatio = markerHits(w, langMarkers.head._2).cast("double") / nWords
+    val ttr = size(array_distinct(w)).cast("double") / nWords
+    val meanLen = (length($"text") - nWords + 1).cast("double") / nWords
+    val score =
+      when(nWords.between(10, 1000), 1).otherwise(0) +
+      when(stopRatio > 0.05, 1).otherwise(0) +
+      when(ttr > 0.2, 1).otherwise(0) +
+      when(meanLen.between(3.0, 10.0), 1).otherwise(0)
+    Tables.documents(s, dir).select(
+      $"doc_id", score.as("quality"), (score >= 3).as("keep"))
+  }
+
+  private val t3Sql = {
+    val en = langMarkers.head._2.map(x => s"'$x'").mkString("[", ", ", "]")
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |         x -> list_contains(MARKERS, x))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS ttr,
+      |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_len
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN ttr > 0.2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS INT)
+      |    AS quality,
+      |  ((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN ttr > 0.2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)) >= 3
+      |    AS keep
+      |FROM f""".stripMargin.replace("MARKERS", en)
+  }
+
+  // ---------------------------------------------------- t4 token counting
+
+  /** BPE-ish pre-tokenizer regex: letter runs, digit runs, single other
+    * non-space — the classic GPT-2-style pre-split shape, identical
+    * semantics in Java regex and RE2 for this simple class. */
+  private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** t4: token counting + corpus totals — per-source whitespace-token and
+    * regex-token counts with a chars total. Per-row map then a tiny
+    * aggregate keyed by `source` (cardinality O(sources), so the shuffle
+    * carries one partial row per source per partition — map-side combine
+    * makes this scale-free). */
+  def t4TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        size(words($"text")).as("ws"),
+        size(regexp_extract_all($"text", lit(TokenRe), lit(0))).as("re"),
+        length($"text").as("ch"))
+      .groupBy($"source")
+      .agg(
+        sum($"ws").as("ws_tokens"),
+        sum($"re").as("re_tokens"),
+        sum($"ch").as("total_chars"),
+        count(lit(1)).as("docs"))
+  }
+
+  private val t4Sql =
+    s"""SELECT source,
+       |  SUM(len(string_split(text, ' '))) AS ws_tokens,
+       |  SUM(len(regexp_extract_all(text, '$TokenRe'))) AS re_tokens,
+       |  SUM(length(text)) AS total_chars,
+       |  COUNT(*) AS docs
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------- t5 fingerprinting
+
+  /** t5: canonical document fingerprint — md5 over the sorted distinct
+    * word set (word-order- and repetition-invariant, the classic
+    * bag-of-words canonicalization), plus the fingerprint-group size so
+    * canonical-duplicate clusters are visible. One shuffle, keyed on the
+    * 16-byte digest — documents ride through it already reduced to
+    * (doc_id, digest). */
+  def t5Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(words($"text")))))
+    Tables.documents(s, dir)
+      .select($"doc_id", fp.as("fingerprint"))
+      .withColumn("group_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fingerprint")))
+  }
+
+  private val t5Sql =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |      AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint,
+      |  COUNT(*) OVER (PARTITION BY fingerprint) AS group_sz
+      |FROM fp""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_stats" -> t1TextStats _,
+    "t2_lang_id" -> t2LangId _,
+    "t3_quality_score" -> t3QualityScore _,
+    "t4_token_count" -> t4TokenCount _,
+    "t5_fingerprint" -> t5Fingerprint _)
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_text_stats" -> t1Sql,
+    "t2_lang_id" -> t2Sql,
+    "t3_quality_score" -> t3Sql,
+    "t4_token_count" -> t4Sql,
+    "t5_fingerprint" -> t5Sql)
+}

