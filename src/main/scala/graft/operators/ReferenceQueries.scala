@@ -196,12 +196,34 @@ object ReferenceQueries {
     merged.toSeq.toDF("word", "cnt")
   }
 
+  /** Q3 through the exact-parity path with the reference's IDENTITY reducer
+    * (Simple.pm:808-811: `sub { return $_[0]; }` — concatenate chunk
+    * outputs). This is the one documented non-associative-shape reducer:
+    * the driver must see every chunk's output, exactly like the reference
+    * client. Map outputs here are (vec_id, inv_ok) pairs — small summaries,
+    * the documented bound for this API. */
+  def mrQ3MatrixInverse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 4
+    val rows = Engine.mapReduce[(Long, Seq[Float]), Seq[(Long, Boolean)], Seq[(Long, Boolean)]](
+      Tables.embeddings(s, dir).select($"vec_id", $"embedding").as[(Long, Seq[Float])],
+      it => it.map { case (id, vec) =>
+        val a = Array.tabulate(n, n) { (i, j) =>
+          vec(i * n + j).toDouble + (if (i == j) 8.0 else 0.0) }
+        val inv = MatrixOps.gaussJordanInverse(a)
+        id -> (MatrixOps.maxAbsErrorVsIdentity(a, inv) < 1e-9)
+      }.toSeq,
+      parts => parts.flatten)
+    rows.toDF("vec_id", "inv_ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
     "mr_q1_agg" -> mrQ1Agg _,
     "q2_prime_sum" -> q2PrimeSum _,
     "mr_prime_sum" -> mrPrimeSum _,
     "q3_matrix_inverse" -> q3MatrixInverse _,
+    "mr_q3_matrix_inverse" -> mrQ3MatrixInverse _,
     "q4_wordcount" -> q4WordCount _,
     "mr_q4_wordcount" -> mrQ4WordCount _)
 
@@ -211,6 +233,7 @@ object ReferenceQueries {
     "q2_prime_sum" -> q2PrimeSumSql,
     "mr_prime_sum" -> q2PrimeSumSql,
     "q3_matrix_inverse" -> q3MatrixInverseSql,
+    "mr_q3_matrix_inverse" -> q3MatrixInverseSql,
     "q4_wordcount" -> q4WordCountSql,
     "mr_q4_wordcount" -> q4WordCountSql)
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Custom streaming state via KeyValueGroupedDataset — the
+  * `mapGroupsWithState`/`flatMapGroupsWithState` tier of SURVEY §7.2 M5.
+  *
+  * [[sessionizeStream]] is the streaming twin of
+  * [[StreamingOps.st2Sessionize]]: same >30-minute-gap semantics, expressed
+  * as per-user state (the running session) that emits a session row when a
+  * gap closes it and evicts itself via event-time timeout. State per key is
+  * O(1) — a (session_no, start, end, count) tuple — so total state is one
+  * tuple per live user regardless of stream length.
+  */
+object StatefulOps {
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessState(sessionNo: Long, start: Timestamp, end: Timestamp, n: Long)
+  case class Session(user_id: Long, session_no: Long, n_events: Long,
+      sess_start: Timestamp, sess_end: Timestamp)
+
+  val GapMs: Long = 30 * 60 * 1000
+
+  /** Streaming sessionization. Events within a group-state invocation are
+    * sorted by (ts, event_id) — Spark guarantees no cross-batch order, so
+    * the caller must use a watermark that keeps a session's events in one
+    * batch, or accept per-batch ordering (the spec feeds ordered batches).
+    * Emits CLOSED sessions; the final open session per user flushes on
+    * timeout. */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val longEnc = Encoders.scalaLong
+    // Event-time timeout needs a watermark: it is what advances the clock
+    // that fires session-closing timeouts and lets Spark drop state.
+    val in = if (events.isStreaming) {
+      implicit val evEnc = Encoders.product[Ev]
+      events.withWatermark("ts", "30 minutes").as[Ev]
+    } else events
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.sessionNo, s.n, s.start, s.end))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= GapMs =>
+                  cur = Some(s.copy(end = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.sessionNo, s.n, s.start, s.end)
+                  cur = Some(SessState(s.sessionNo + 1, e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessState(0L, e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once event time passes its gap window
+              state.setTimeoutTimestamp(s.end.getTime + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming tier (SURVEY §7.2 M5). The reference is strictly
+  * batch (HTTP request/response, SURVEY §2.3 "Streaming: none") — this tier
+  * is the extension the `events` table exists for.
+  *
+  * Design rule: every transform is written ONCE against a DataFrame and
+  * runs in BOTH modes — applied to `spark.read` it is a normal batch plan
+  * (and that is what `SparkEntry.queries` + the DuckDB oracle check);
+  * applied to `spark.readStream` it is an incremental plan with a
+  * watermark bounding state. StreamingOpsSpec proves the two modes agree
+  * on the same data through a MemoryStream.
+  *
+  * Scale: windowed aggregation state is (types × windows) rows — tiny; the
+  * watermark evicts closed windows, so state never grows with stream
+  * length. Sessionization state is one running session per live user key,
+  * evicted by timeout — the `mapGroupsWithState` path in
+  * [[StatefulOps.runningUserStats]].
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windows per event type — counts, distinct users, and
+    * order-insensitive value extrema. On a stream the 1-hour watermark
+    * bounds both late data and state. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"),
+        col("min_value"), col("max_value"))
+  }
+
+  /** st1: the streaming transform in batch mode over `events` — the oracle
+    * checks the exact same plan the stream runs incrementally.
+    * (`approx_users` is dropped from the oracle projection: HLL values are
+    * engine-defined; the exact-checkable columns stay.) */
+  def st1StreamWindow(s: SparkSession, dir: String): DataFrame =
+    hourlyTypeCounts(Tables.events(s, dir))
+
+  private val st1Sql =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** st2: sessionization — a new session starts after a >30-minute gap per
+    * user; emits one row per session. Batch formulation: lag + running sum
+    * of gap flags (two window passes over one user_id shuffle). The
+    * streaming formulation of the same semantics is
+    * [[StatefulOps.sessionizeStream]] (flatMapGroupsWithState), proven
+    * equivalent in StreamingOpsSpec. */
+  def st2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapFlag = when(
+      unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)) > 1800, 1)
+      .otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("new_sess", gapFlag)
+      .withColumn("session_no", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("sess_start"),
+        max($"ts").as("sess_end"))
+  }
+
+  private val st2Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_window" -> st1StreamWindow _,
+    "st2_sessionize" -> st2Sessionize _)
+
+  val oracleSql: Map[String, String] = Map(
+    "st1_stream_window" -> st1Sql,
+    "st2_sessionize" -> st2Sql)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.{StatefulOps, StreamingOps}
+import graft.streaming.StatefulOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("st1: streaming and batch modes of hourlyTypeCounts agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      // (ts, event_type, user_id, value, event_id)
+      (ts(5), "click", 1L, 1.5, 1L),
+      (ts(10), "click", 2L, 2.5, 2L),
+      (ts(20), "view", 1L, 0.5, 3L),
+      (ts(65), "click", 3L, 9.0, 4L),
+      (ts(70), "view", 3L, 4.0, 5L))
+    val batchDf = fixture.toDF("ts", "event_type", "user_id", "value", "event_id")
+    val want = StreamingOps.hourlyTypeCounts(batchDf)
+      .select($"hour_start", $"event_type", $"n_events", $"min_value", $"max_value")
+      .collect().map(_.toSeq).toSet
+
+    val stream = MemoryStream[(Timestamp, String, Long, Double, Long)]
+    stream.addData(fixture.map(f => (f._1, f._2, f._3, f._4, f._5)))
+    val q = StreamingOps.hourlyTypeCounts(
+        stream.toDF.toDF("ts", "event_type", "user_id", "value", "event_id"))
+      .writeStream.format("memory").queryName("st1_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st1_test")
+      .select($"hour_start", $"event_type", $"n_events", $"min_value", $"max_value")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
+  test("st2 batch sessionization splits on >30min gaps") {
+    val events = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(20), 3L), // session 0
+      (1L, ts(60), 4L), (1L, ts(70), 5L), //                  session 1 (40m gap)
+      (2L, ts(0), 6L) //                                      user 2, session 0
+    ).toDF("user_id", "ts", "event_id")
+      .withColumn("event_type", lit("x")).withColumn("value", lit(0.0))
+    // run the same plan st2 builds, against the fixture instead of the table
+    val out = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events
+        .withColumn("new_sess", when(
+          unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)) > 1800, 1)
+          .otherwise(0))
+        .withColumn("session_no", sum($"new_sess").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n"), min($"ts").as("s"), max($"ts").as("e"))
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+    }
+    assert(out === Set(
+      (1L, 0L, 3L, ts(0), ts(20)),
+      (1L, 1L, 2L, ts(60), ts(70)),
+      (2L, 0L, 1L, ts(0), ts(0))))
+  }
+
+  test("stateful streaming sessionization emits the same closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StatefulOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    // offset from epoch 0: the initial watermark is 0 and an event AT the
+    // watermark is late-dropped
+    val b = 100L
+    try {
+      stream.addData(Ev(1L, ts(b), 1L), Ev(1L, ts(b + 10), 2L), Ev(1L, ts(b + 20), 3L))
+      q.processAllAvailable()
+      // 40-minute gap closes session 0
+      stream.addData(Ev(1L, ts(b + 60), 4L), Ev(1L, ts(b + 70), 5L))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test")
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(closed === Set((1L, 0L, 3L, ts(b), ts(b + 20))))
+    } finally q.stop()
+  }
+
+  test("sys: serverSpec reports the local executor with cores > 0") {
+    val rows = ClusterInfo.serverSpec(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("total_cores") > 0))
+    assert(rows.forall(_.getAs[String]("spark_version").nonEmpty))
+  }
+}
