@@ -136,19 +136,27 @@ object DedupOps {
   }
 
   /** Generic two-phase near-dup: banded candidate join + exact-Jaccard
-    * verify. `keyed` must be (doc_id, band, key, shingles). */
+    * verify. `keyed` must be (doc_id, band, key, shingles).
+    *
+    * Shuffle discipline: the candidate self-join and the multi-band dedupe
+    * move ONLY (id, band, key) — 24 bytes a row — never the shingle
+    * arrays. Payloads are re-joined afterwards, once per surviving pair
+    * side. At 100 TB this is the difference between shuffling the corpus
+    * ~bands times and shuffling an id list. */
   private def verifiedPairs(keyed: DataFrame, threshold: Double): DataFrame = {
     val jac = udf(jaccardExact _)
-    val a = keyed.select(col("doc_id").as("doc_a"), col("band"), col("key"),
-      col("sh").as("sh_a"))
-    val b = keyed.select(col("doc_id").as("doc_b"), col("band"), col("key"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
+    val ids = keyed.select(col("doc_id"), col("band"), col("key"))
+    val pairs = ids.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(ids.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
       // A pair can collide in several bands; dedupe before the (relatively)
       // expensive exact verify.
-      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val sh = keyed.select(col("doc_id"), col("sh")).dropDuplicates("doc_id")
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -285,7 +293,10 @@ object DedupOps {
     val planes: Array[Array[Double]] =
       Array.fill(NumBits)(Array.fill(Dim)(rng.nextGaussian()))
 
-    def bandKeys(v: Seq[Float]): Array[Long] = {
+    def bandKeys(v0: Seq[Float]): Array[Long] = {
+      // Spark deserializes Seq UDF args as List — indexed access is O(i),
+      // which turns the plane loop quadratic. Copy once, index flat.
+      val v = v0.toArray
       val bits = new Array[Boolean](NumBits)
       var k = 0
       while (k < NumBits) {
@@ -307,7 +318,9 @@ object DedupOps {
       }
     }
 
-    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    def cosine(a0: Seq[Float], b0: Seq[Float]): Double = {
+      val a = a0.toArray // List-backed UDF args: index arrays, not Seqs
+      val b = b0.toArray
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       val n = math.min(a.length, b.length)
@@ -330,17 +343,16 @@ object DedupOps {
     import s.implicits._
     val bandUdf = udf((v: Seq[Float]) => SignLsh.bandKeys(v))
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => SignLsh.cosine(a, b))
-    val keyed = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding",
-        posexplode(bandUdf($"embedding")).as(Seq("band", "key")))
-    val a = keyed.select($"vec_id".as("vec_a"), $"band", $"key",
-      $"embedding".as("emb_a"))
-    val b = keyed.select($"vec_id".as("vec_b"), $"band", $"key",
-      $"embedding".as("emb_b"))
-    a.join(b, Seq("band", "key"))
+    val emb = Tables.embeddings(s, dir)
+    // id-only candidate join (same shuffle discipline as verifiedPairs)
+    val ids = emb.select($"vec_id", posexplode(bandUdf($"embedding")).as(Seq("band", "key")))
+    val pairs = ids.select($"vec_id".as("vec_a"), $"band", $"key")
+      .join(ids.select($"vec_id".as("vec_b"), $"band", $"key"), Seq("band", "key"))
       .where($"vec_a" < $"vec_b")
-      .select("vec_a", "vec_b", "emb_a", "emb_b")
-      .dropDuplicates("vec_a", "vec_b")
+      .select("vec_a", "vec_b").dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), Seq("vec_b"))
       .withColumn("cos_sim", round(cosUdf($"emb_a", $"emb_b"), 6))
       .where($"cos_sim" >= 0.9)
       .select("vec_a", "vec_b", "cos_sim")

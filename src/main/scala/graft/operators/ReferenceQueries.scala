@@ -142,7 +142,8 @@ object ReferenceQueries {
   def q3MatrixInverse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 4
-    val invert = udf { (vec: Seq[Float]) =>
+    val invert = udf { (vec0: Seq[Float]) =>
+      val vec = vec0.toArray // Seq UDF args are List-backed; index an array
       val a = Array.tabulate(n, n) { (i, j) =>
         vec(i * n + j).toDouble + (if (i == j) 8.0 else 0.0) }
       val inv = MatrixOps.gaussJordanInverse(a)
@@ -207,7 +208,8 @@ object ReferenceQueries {
     val n = 4
     val rows = Engine.mapReduce[(Long, Seq[Float]), Seq[(Long, Boolean)], Seq[(Long, Boolean)]](
       Tables.embeddings(s, dir).select($"vec_id", $"embedding").as[(Long, Seq[Float])],
-      it => it.map { case (id, vec) =>
+      it => it.map { case (id, vec0) =>
+        val vec = vec0.toArray
         val a = Array.tabulate(n, n) { (i, j) =>
           vec(i * n + j).toDouble + (if (i == j) 8.0 else 0.0) }
         val inv = MatrixOps.gaussJordanInverse(a)
