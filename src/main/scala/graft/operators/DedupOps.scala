@@ -17,7 +17,9 @@ import scala.util.hashing.MurmurHash3
   *  - d2 MinHash-LSH is banded — candidates come from an equi-join on
   *    (band, bandKey), NEVER an all-pairs comparison, and only candidate
   *    pairs are exact-verified;
-  *  - d3 SimHash uses the same band-join shape over 64-bit fingerprints;
+  *  - d3 SimHash is the high-precision tier: Hamming ≤ 3 over 60-bit
+  *    md5-derived fingerprints (native SQL end-to-end, oracle-checkable),
+  *    candidates pigeonhole-guaranteed by two-block 24-bit table keys;
   *  - d4 n-gram Jaccard is the exact kernel: an equi-join on shingles.
   *    It is also the verify step d2/d3 reuse. At 100 TB the headline
   *    operator is d2 (signatures are O(docs), the join is bucketed);
@@ -135,28 +137,54 @@ object DedupOps {
     inter.toDouble / (sa.size + sb.size - inter)
   }
 
-  /** Generic two-phase near-dup: banded candidate join + exact-Jaccard
-    * verify. `keyed` must be (doc_id, band, key, shingles).
+  /** Candidate pairs from banded keys. `keyed` must be (doc_id, band,
+    * key): each bucket is grouped ONCE (a band-key SELF-join would
+    * recompute the signature subtree once per side) and pairs are
+    * generated inside the bucket with native collection functions
+    * (codegen'd, no UDF), then deduped — a pair can collide in several
+    * bands. The only wide exchange over the corpus moves (doc_id, band,
+    * key) — 24 bytes a row, never shingle arrays. */
+  private def bucketPairs(keyed: DataFrame): DataFrame = keyed
+    .groupBy(col("band"), col("key"))
+    .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    .where(size(col("ids")) >= 2)
+    // ids ascending, so doc_a < doc_b by construction.
+    .select(explode(expr(
+      "flatten(transform(ids, (x, i) -> " +
+        "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+        "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+    .select(col("p.doc_a"), col("p.doc_b"))
+    .dropDuplicates("doc_a", "doc_b")
+
+  /** Exact-Jaccard verify of candidate pairs (doc_a, doc_b) against the
+    * j ≥ threshold contract.
     *
-    * Shuffle discipline: the candidate self-join and the multi-band dedupe
-    * move ONLY (id, band, key) — 24 bytes a row — never the shingle
-    * arrays. Payloads are re-joined afterwards, once per surviving pair
-    * side. At 100 TB this is the difference between shuffling the corpus
-    * ~bands times and shuffling an id list. */
-  private def verifiedPairs(keyed: DataFrame, threshold: Double): DataFrame = {
+    * Shuffle discipline: shingle payloads are computed only for candidate
+    * ids (small by LSH design) and joined back per pair side — at 100 TB
+    * this is the difference between shuffling the corpus ~bands times and
+    * shuffling an id list once. The persist + count() is deliberate (the
+    * same eager materialization MLlib's LSH models use): `pairs` is
+    * referenced three times (verify join ×2 + candidate-id derivation)
+    * and lambda exprIds defeat ReuseExchange, so without it the whole
+    * signature pipeline re-executes per reference; the count also gives
+    * the optimizer real statistics, so the candidate-id join broadcasts
+    * when pairs are small and gracefully shuffles when they are not.
+    * Pairs are (long, long) — linear in corpus and orders of magnitude
+    * smaller than it, safe to cache at any scale. */
+  private def verifyPairs(docs: DataFrame, pairs0: DataFrame,
+                          threshold: Double): DataFrame = {
     val jac = udf(jaccardExact _)
-    val ids = keyed.select(col("doc_id"), col("band"), col("key"))
-    val pairs = ids.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-      .join(ids.select(col("doc_id").as("doc_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      // A pair can collide in several bands; dedupe before the (relatively)
-      // expensive exact verify.
-      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-    val sh = keyed.select(col("doc_id"), col("sh")).dropDuplicates("doc_id")
+    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b")))
+      .as("doc_id")).distinct()
+    // Shingle AFTER the candidate filter — computing sh below the join
+    // would re-shingle the whole corpus once per pair side.
+    val candSh = docs.join(candIds, Seq("doc_id"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -168,11 +196,10 @@ object DedupOps {
     * exact set comparison. This is the 100 TB dedup path. */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bandUdf = udf((sh: Seq[String]) => MinHash.bandKeys(MinHash.signature(sh)))
-    val keyed = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        posexplode(bandUdf(col("sh"))).as(Seq("band", "key")))
-    verifiedPairs(keyed, 0.8)
+    val docs = Tables.documents(s, dir)
+    val keyed = docs.select(col("doc_id"),
+      posexplode(bandUdf(shingles(col("text")))).as(Seq("band", "key")))
+    verifyPairs(docs, bucketPairs(keyed), 0.8)
   }
 
   /** Shared oracle for the verified near-dup family: exact shingle-join
@@ -200,56 +227,140 @@ object DedupOps {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over the shingle set: each shingle votes ±1 on every
-    * bit of its 64-bit hash; fingerprint bit = sign of the tally. Banded
-    * 8×8 for candidates. Near-dups at j≈0.9 land at expected Hamming ≈ 6-7
-    * of 64, so an 8-bit band matches with high probability; exact-Jaccard
-    * verify then removes band-collision noise. */
+  /** SimHash design. 60-bit fingerprint over the shingle set: each shingle
+    * votes ±1 on every bit of its 60-bit base hash; fingerprint bit = sign
+    * of the tally (strict majority, so ties are deterministic zeros).
+    *
+    * The base hash is the first 15 hex chars of md5(shingle) — a NATIVE
+    * column expression in Spark (md5/conv/bit ops, whole-stage codegen, no
+    * UDF) that DuckDB reproduces bit-for-bit, which makes the entire
+    * operator oracle-checkable, fingerprints included. 60 bits keeps the
+    * value positive in a signed BIGINT in both engines.
+    *
+    * Semantics: d3 detects pairs at Hamming ≤ 3 (the classic web-dedup
+    * operating point — SimHash is the cheap high-precision tier; d2
+    * MinHash is the recall workhorse for j ≥ 0.8, where true pairs can
+    * sit at Hamming 10+ and NO banding of a single fingerprint can
+    * guarantee recall). The Hamming bound is part of the contract, not a
+    * best-effort: candidates come from C(5,2) = 10 tables keyed by every
+    * pair of 12-bit fingerprint blocks, and by pigeonhole ≤ 3 flipped
+    * bits leave ≥ 2 blocks clean, so some table key matches — recall 1
+    * by construction, with 24-bit keys that keep buckets small (the old
+    * single-block 8-bit keys had 256 buckets/band: ~N²/256 candidate
+    * pairs — quadratic at any scale). */
   private[graft] object SimHash {
-    val BandBits = 8
-    val NumBands: Int = 64 / BandBits
+    val Bits = 60
+    val BlockBits = 12
+    val NumBlocks: Int = Bits / BlockBits // 5
+    val HammingMax = 3
+    /** Every unordered pair of blocks → one banding table. */
+    val tables: Seq[(Int, Int)] =
+      for { i <- 0 until NumBlocks; j <- (i + 1) until NumBlocks } yield (i, j)
 
-    def fingerprint(shingleSet: Seq[String]): Long = {
-      val acc = new Array[Int](64)
-      val it = shingleSet.iterator
-      while (it.hasNext) {
-        val shingle = it.next()
-        val lo = MurmurHash3.stringHash(shingle, 0x9747b28c)
-        val hi = MurmurHash3.stringHash(shingle, 0x85ebca6b)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+    /** shingle → 60-bit base hash, as a native (codegen'd) column. */
+    def shingleHash(s: Column): Column =
+      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+    /** (doc_id, h) rows → (doc_id, fp): 60 per-bit majority votes. One
+      * hash-aggregate pass; 60 sum columns is wide but codegen-friendly. */
+    def fingerprintCol(hs: DataFrame): DataFrame = {
+      val sums = (0 until Bits).map(i =>
+        sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+      hs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("doc_id"),
+          (0 until Bits).map(i =>
+            when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("fp"))
+    }
+
+    /** Reference Scala implementation (tests only — the operator itself
+      * is pure native SQL). */
+    def fingerprintRef(shingleSet: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val acc = new Array[Int](Bits)
+      shingleSet.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).take(8)
+          .map(b => f"$b%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
         var bit = 0
-        while (bit < 64) {
+        while (bit < Bits) {
           if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
           bit += 1
         }
       }
-      var fp = 0L
-      var bit = 0
-      while (bit < 64) {
-        if (acc(bit) > 0) fp |= (1L << bit)
-        bit += 1
-      }
-      fp
+      (0 until Bits).map(i => if (acc(i) > 0) 1L << i else 0L).reduce(_ | _)
     }
-
-    def bandKeys(fp: Long): Array[Long] =
-      Array.tabulate(NumBands) { b =>
-        (b.toLong << 32) | ((fp >>> (b * BandBits)) & ((1L << BandBits) - 1))
-      }
 
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
   }
 
-  /** d3: SimHash near-duplicate pairs, exact-verified at j ≥ 0.8 — same
-    * two-phase shape as d2 with a 64-bit fingerprint instead of a 128-hash
-    * signature (8 bytes/doc of state; the cheapest near-dup index). */
+  /** d3: SimHash near-duplicate pairs — Hamming(fp_a, fp_b) ≤ 3 with
+    * exact-Jaccard verify at j ≥ 0.8. Fully native until the verify UDF:
+    * fingerprint, banding, bucket pair-gen and the Hamming filter are all
+    * codegen'd column expressions, and the oracle recomputes the identical
+    * fingerprints in DuckDB (brute-force all-pairs — the oracle may; the
+    * engine must not). */
   def d3SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val bandUdf = udf((sh: Seq[String]) => SimHash.bandKeys(SimHash.fingerprint(sh)))
-    val keyed = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        posexplode(bandUdf(col("sh"))).as(Seq("band", "key")))
-    verifiedPairs(keyed, 0.8)
+    import SimHash._
+    val docs = Tables.documents(s, dir)
+    val hs = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), shingleHash(col("sh")).as("h"))
+    val fp = fingerprintCol(hs)
+    val block = (0 until NumBlocks).map(b =>
+      shiftright(col("fp"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1)))
+    val keyed = fp.select(col("doc_id"), col("fp"),
+      posexplode(array(tables.map { case (i, j) =>
+        block(i) * lit(1L << BlockBits) + block(j)
+      }: _*)).as(Seq("band", "key")))
+    // Bucket pair-gen carries the fingerprint so the Hamming ≤ 3 contract
+    // is enforced natively inside the bucket, before any shuffle of pairs.
+    val pairs = keyed
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("xs"))
+      .where(size(col("xs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(xs, (x, i) -> " +
+          "filter(transform(slice(xs, i + 2, size(xs) - i - 1), " +
+          "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb)), " +
+          s"p -> bit_count(p.fa ^ p.fb) <= ${HammingMax})))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(docs, pairs, 0.8)
+  }
+
+  /** Oracle for d3: identical md5-based fingerprints in DuckDB, brute-force
+    * Hamming ≤ 3 candidate pairs, exact Jaccard ≥ threshold. */
+  private def simhashSql(threshold: Double): String = {
+    val fpExpr = (0 until SimHash.Bits).map(i =>
+      s"(CASE WHEN 2*sum((h >> $i) & 1) > count(*) THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  UNNEST(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w)-2),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       |fp AS (SELECT doc_id, $fpExpr AS fp FROM hs GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= ${SimHash.HammingMax}),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM inter i
+       |JOIN cand ON i.da = cand.da AND i.db = cand.db
+       |JOIN sz sa ON i.da = sa.doc_id
+       |JOIN sz sb ON i.db = sb.doc_id
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold""".stripMargin
   }
 
   /** d4: exact n-gram Jaccard near-dup — the non-approximate kernel, fully
@@ -344,15 +455,28 @@ object DedupOps {
     val bandUdf = udf((v: Seq[Float]) => SignLsh.bandKeys(v))
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => SignLsh.cosine(a, b))
     val emb = Tables.embeddings(s, dir)
-    // id-only candidate join (same shuffle discipline as verifiedPairs)
-    val ids = emb.select($"vec_id", posexplode(bandUdf($"embedding")).as(Seq("band", "key")))
-    val pairs = ids.select($"vec_id".as("vec_a"), $"band", $"key")
-      .join(ids.select($"vec_id".as("vec_b"), $"band", $"key"), Seq("band", "key"))
-      .where($"vec_a" < $"vec_b")
-      .select("vec_a", "vec_b").dropDuplicates("vec_a", "vec_b")
+    // single-pass bucket candidates (same shuffle discipline as
+    // verifiedPairs: one UDF pass, id-only exchange, native pair-gen)
+    val pairs = emb
+      .select($"vec_id", posexplode(bandUdf($"embedding")).as(Seq("band", "key")))
+      .groupBy($"band", $"key")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .where(size($"ids") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS vec_a, y AS vec_b))))")).as("p"))
+      .select($"p.vec_a", $"p.vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+      // see verifiedPairs: multi-referenced tiny relation, eagerly cached
+      // so the hyperplane pass runs once and the optimizer sees real stats
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val candIds = pairs.select(explode(array($"vec_a", $"vec_b")).as("vec_id")).distinct()
+    val candEmb = emb.join(candIds, Seq("vec_id"))
     pairs
-      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))
-      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), Seq("vec_b"))
+      .join(candEmb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))
+      .join(candEmb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), Seq("vec_b"))
       .withColumn("cos_sim", round(cosUdf($"emb_a", $"emb_b"), 6))
       .where($"cos_sim" >= 0.9)
       .select("vec_a", "vec_b", "cos_sim")
@@ -376,7 +500,7 @@ object DedupOps {
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
-    "d3_simhash_neardup" -> jaccardPairsSql(0.8),
+    "d3_simhash_neardup" -> simhashSql(0.8),
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
     "d5_embedding_neardup" -> d5Sql)
 }

@@ -48,18 +48,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
   }
 
-  test("SimHash: near-identical sets land at small hamming, disjoint sets near 32") {
+  test("SimHash: native fingerprint column matches the Scala reference impl") {
     import DedupOps.SimHash
-    val base = (0 until 80).map(i => s"sh$i")
-    val near = base.drop(4) ++ (0 until 4).map(i => s"other$i")
-    val far = (0 until 80).map(i => s"unrelated$i")
-    val hNear = SimHash.hamming(SimHash.fingerprint(base), SimHash.fingerprint(near))
-    val hFar = SimHash.hamming(SimHash.fingerprint(base), SimHash.fingerprint(far))
-    assert(hNear < 16, s"near hamming $hNear")
-    assert(hFar > 16, s"far hamming $hFar")
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+                 (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val hs = df.select($"doc_id", explode(DedupOps.shingles($"text")).as("sh"))
+      .select($"doc_id", SimHash.shingleHash($"sh").as("h"))
+    val got = SimHash.fingerprintCol(hs)
+      .as[(Long, Long)].collect().toMap
+    val want = df.select($"doc_id", DedupOps.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> SimHash.fingerprintRef(sh) }.toMap
+    assert(got === want)
+    assert(got.values.forall(fp => fp >= 0L && fp < (1L << 60)))
   }
 
-  test("d2/d3/d4 agree with brute-force exact jaccard on sf0.001 documents") {
+  test("SimHash: near-identical sets at small hamming, unrelated sets far apart") {
+    import DedupOps.SimHash
+    val base = (0 until 80).map(i => s"sh$i")
+    val near = base.drop(2) ++ (0 until 2).map(i => s"other$i")
+    val far = (0 until 80).map(i => s"unrelated$i")
+    val hNear = SimHash.hamming(SimHash.fingerprintRef(base), SimHash.fingerprintRef(near))
+    val hFar = SimHash.hamming(SimHash.fingerprintRef(base), SimHash.fingerprintRef(far))
+    assert(hNear < hFar, s"near=$hNear far=$hFar")
+    assert(hFar > 15, s"far hamming $hFar")
+  }
+
+  test("d2/d3/d4 agree with brute-force ground truth on sf0.001 documents") {
     // Brute-force ground truth computed in-test from the same shingle set.
     val docs = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", DedupOps.shingles($"text").as("sh"))
@@ -68,12 +83,16 @@ class DedupOpsSpec extends SparkSpec {
       (a, sa) <- docs; (b, sb) <- docs if a < b
       j = DedupOps.jaccardExact(sa, sb) if j >= 0.8
     } yield (a, b)).toSet
+    // d3's contract additionally bounds the fingerprint Hamming distance.
+    val fps = docs.map { case (id, sh) => id -> DedupOps.SimHash.fingerprintRef(sh) }.toMap
+    val expected3 = expected.filter { case (a, b) =>
+      DedupOps.SimHash.hamming(fps(a), fps(b)) <= DedupOps.SimHash.HammingMax }
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
 
     assert(pairs(DedupOps.d2MinhashLsh(spark, sf)) === expected)
-    assert(pairs(DedupOps.d3SimhashNeardup(spark, sf)) === expected)
+    assert(pairs(DedupOps.d3SimhashNeardup(spark, sf)) === expected3)
     val d4 = pairs(DedupOps.d4NgramJaccard(spark, sf))
     assert(expected.subsetOf(d4)) // d4 threshold is 0.5, a superset
   }
