@@ -363,16 +363,41 @@ object DedupOps {
        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold""".stripMargin
   }
 
+  /** Distinct 64-bit trigram hashes of `text`, never materializing shingle
+    * strings: tokens are xxhash64'd once, trigram hash = xxhash64 of three
+    * consecutive token hashes. Equivalent to hashing the distinct trigram
+    * STRINGS (modulo a ~1e-13 64-bit collision), ~5× cheaper than building
+    * ~n concatenated strings per document — and set sizes, intersections
+    * and Jaccard values over the hash sets equal those over the string
+    * sets, so results stay oracle-exact. Built with zip_with over three
+    * shifted slices — NOT element_at inside a transform lambda, which
+    * Catalyst's project-collapsing can turn into an O(tokens) re-eval of
+    * the token-hash array per trigram (quadratic per document). */
+  private def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val th = transform(split(col("text"), " "), t => xxhash64(t))
+    val m = size(th) - lit(n - 1) // trigram count
+    val tri = zip_with(
+      zip_with(slice(th, lit(1), m), slice(th, lit(2), m), (a, b) => xxhash64(a, b)),
+      slice(th, lit(3), m), (p, c) => xxhash64(p, c))
+    docs.select(col("doc_id"),
+      when(size(th) >= n, array_distinct(tri))
+        .otherwise(array(xxhash64(col("text")))).as("hs"))
+  }
+
   /** d4: exact n-gram Jaccard near-dup — the non-approximate kernel, fully
-    * native (no UDF anywhere: shingling, join, and the similarity are all
-    * codegen'd). Join on shingle, count shared, jaccard = |∩|/|∪|. */
+    * native and fully numeric (no UDF, no shingle strings: tokens and
+    * trigrams live as 64-bit hashes end-to-end). Join on trigram hash,
+    * count shared, jaccard = |∩|/|∪|. */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", explode(shingles($"text")).as("s"))
+    val sh = withShingleHashes(Tables.documents(s, dir))
+      .select($"doc_id", explode($"hs").as("h"))
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+    // SHUFFLE_HASH: equi-join on a high-cardinality hash key gains nothing
+    // from sort order, and the sort of both shuffled sides is the join's
+    // dominant cost; per-partition hash tables are small by construction.
+    val shared = sh.as("a").join(sh.as("b").hint("SHUFFLE_HASH"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
     shared

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   *    parallel — this IS the right 100 TB plan when the query set is small
   *    (batch re-ranking, eval harnesses).
   *  - s2 IVF — the scale path for large query sets: a deterministic
-  *    k-means coarse quantizer (trained distributed, only k×dim centroid
-  *    doubles ever reach the driver), corpus bucketed by nearest centroid,
-  *    queries probe their `nprobe` nearest cells. Search cost drops
+  *    k-means coarse quantizer (trained on an O(k)-bounded sample — see
+  *    [[kmeans]]), corpus bucketed by nearest centroid, queries probe
+  *    their `nprobe` nearest cells. Search cost drops
   *    nprobe/k vs s1 at the price of recall on cell boundaries. Not
   *    SQL-expressible (k-means state) → no oracle; recall is spec-tested
   *    against s1 on clustered synthetic data in SimilarityOpsSpec.
@@ -77,33 +77,54 @@ object SimilarityOps {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Deterministic distributed k-means: init = the k lowest-vec_id vectors,
-    * `iters` Lloyd steps. Assignment is a narrow map against broadcast
-    * centroids; the update is a groupBy agg — per iteration one scan + one
-    * k-row shuffle. Only the k centroids ever reach the driver. */
+  /** Deterministic k-means over a BOUNDED TRAINING SAMPLE: a deterministic
+    * `vec_id % m == 0` subsample capped at ~256·k vectors is collected once
+    * (≤ k·256·dim floats — ~1 MB at k=16/dim=64, O(k) regardless of corpus
+    * size, NOT O(corpus)), and the Lloyd iterations run driver-local on it.
+    * This is the standard IVF design (a coarse quantizer is always trained
+    * on a sample): at 100 TB the Lloyd loop must not scan the corpus — the
+    * only corpus-scale passes are the ONE distributed assignment and the
+    * probe join in [[s2AnnIvf]], both codegen'd column expressions. Init =
+    * the k lowest-vec_id sample vectors; ties and empty cells resolve
+    * deterministically. */
   private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val s = emb.sparkSession
     import s.implicits._
-    var centroids: Array[Array[Double]] = emb
-      .orderBy($"vec_id").limit(k)
-      .select($"embedding").as[Seq[Float]].collect()
-      .map(_.map(_.toDouble).toArray)
+    val n = emb.count()
+    val mod = math.max(1L, n / (256L * k))
+    val train: Array[Array[Double]] = emb
+      .where(pmod($"vec_id", lit(mod)) === 0)
+      .orderBy($"vec_id")
+      .select($"embedding").as[Seq[Float]]
+      .collect().map(_.map(_.toDouble).toArray)
+    var centroids = train.take(k)
     for (_ <- 0 until iters) {
-      val cellCol = nearestCell(col("embedding"), centroids)
-      val updated = emb
-        .select(cellCol.as("cell"),
-          transform(col("embedding"), _.cast("double")).as("v"))
-        .groupBy($"cell")
-        .agg(count(lit(1)).as("n"),
-          array((0 until centroids(0).length)
-            .map(i => sum(element_at($"v", i + 1))): _*).as("sums"))
-        .select($"cell", $"sums", $"n").as[(Int, Seq[Double], Long)].collect()
-        .map { case (cell, sums, n) => cell -> sums.map(_ / n).toArray }
-        .toMap
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      train.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var norm = 0.0
+          var i = 0
+          while (i < v.length) {
+            dot += centroids(c)(i) * v(i); norm += centroids(c)(i) * centroids(c)(i)
+            i += 1
+          }
+          val score = dot / math.sqrt(norm)
+          // >= : ties break toward the higher cell id, matching the
+          // struct-max ordering of nearestCell below.
+          if (score >= bestScore) { best = c; bestScore = score }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
       // A cell can lose every member mid-iteration; keep its old centroid
       // so indices stay stable.
-      centroids = centroids.indices
-        .map(i => updated.getOrElse(i, centroids(i))).toArray
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
     }
     centroids
   }
