@@ -231,6 +231,76 @@ object RelationalQueries {
       |  CAST(floor(value) AS BIGINT) AS floor_val
       |FROM events""".stripMargin
 
+  /** q14: AS-OF join — each click event matched to the same user's most
+    * recent purchase at-or-before its timestamp. Spark has no ASOF join
+    * operator; per the composition-first rule this is expressed with
+    * existing ops: union the two streams with a side marker, one window
+    * sorted by (ts, side, event_id) per user, and `last(_, ignoreNulls)`
+    * carries the latest purchase payload forward. ONE shuffle on user_id
+    * and a per-partition sort — exactly the distributed point-in-time
+    * join a feature store runs, and it scales wherever window functions
+    * do. Ties: purchases sort before clicks at equal ts (as-of is
+    * inclusive) and among equal-ts purchases the max event_id wins. */
+  def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where($"event_type" === "click").select(
+      $"event_id", $"user_id", $"ts", lit(1).as("is_click"),
+      lit(null).cast("bigint").as("p_event_id"),
+      lit(null).cast("double").as("p_value"))
+    val purchases = ev.where($"event_type" === "purchase").select(
+      $"event_id", $"user_id", $"ts", lit(0).as("is_click"),
+      $"event_id".as("p_event_id"), $"value".as("p_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_click", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .select($"event_id", $"user_id", $"is_click",
+        last($"p_event_id", ignoreNulls = true).over(w).as("asof_event_id"),
+        last($"p_value", ignoreNulls = true).over(w).as("asof_value"))
+      .where($"is_click" === 1)
+      .select($"event_id", $"user_id", $"asof_event_id", $"asof_value")
+  }
+
+  // LATERAL instead of DuckDB's ASOF JOIN keyword so the tie-break order
+  // (ts DESC, event_id DESC) is explicit and matches the window ordering.
+  private val q14Sql =
+    """SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
+      |FROM events l
+      |LEFT JOIN LATERAL (
+      |  SELECT e.event_id AS asof_event_id, e.value AS asof_value
+      |  FROM events e
+      |  WHERE e.event_type = 'purchase' AND e.user_id = l.user_id
+      |    AND e.ts <= l.ts
+      |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) r ON TRUE
+      |WHERE l.event_type = 'click'""".stripMargin
+
+  /** q15: range-frame lookback — for every event, how many same-user
+    * events landed in the preceding 5 minutes / 1 hour. A time-range join
+    * expressed as native RANGE window frames over epoch micros: no
+    * self-join at all, one shuffle on user_id, frames computed in a single
+    * sorted pass. (The naive formulation is an inequality self-join —
+    * O(n·m) nested loop at scale; the range frame is the plan you want.)
+    * Counts are integers — order-insensitive, hash-stable. */
+  def q15RangeLookback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def w(micros: Long) = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-micros, 0L)
+    Tables.events(s, dir).select(
+      $"event_id", $"user_id",
+      (count(lit(1)).over(w(300000000L)) - 1).as("prior_5m_cnt"),
+      (count(lit(1)).over(w(3600000000L)) - 1).as("prior_1h_cnt"))
+  }
+
+  private val q15Sql =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) - 1 AS prior_5m_cnt,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) - 1 AS prior_1h_cnt
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -240,7 +310,9 @@ object RelationalQueries {
     "q10_rollup" -> q10Rollup _,
     "q11_distinct_agg" -> q11DistinctAgg _,
     "q12_setops" -> q12SetOps _,
-    "q13_scalar_battery" -> q13ScalarBattery _)
+    "q13_scalar_battery" -> q13ScalarBattery _,
+    "q14_asof_join" -> q14AsofJoin _,
+    "q15_range_lookback" -> q15RangeLookback _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -251,5 +323,7 @@ object RelationalQueries {
     "q10_rollup" -> q10Sql,
     "q11_distinct_agg" -> q11Sql,
     "q12_setops" -> q12Sql,
-    "q13_scalar_battery" -> q13Sql)
+    "q13_scalar_battery" -> q13Sql,
+    "q14_asof_join" -> q14Sql,
+    "q15_range_lookback" -> q15Sql)
 }
