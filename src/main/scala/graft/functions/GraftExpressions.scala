@@ -1,0 +1,90 @@
+// The Expression lives under org.apache.spark.sql.* because Catalyst's
+// extension surface (AbstractDataType, ExpressionUtils.column) is
+// private[sql] — the same namespace technique Spark-native libraries
+// (Sedona, frameless, spark-nlp) use to register native expressions.
+// The public graft API is the `graft.functions` facade at the bottom.
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native cosine similarity over two float-array columns, as a custom
+  * Catalyst expression with code generation — the extension ladder's
+  * middle rung: composition > native `Expression` > UDF.
+  *
+  * Why an `Expression` and not the `zip_with`+`aggregate` composition
+  * (which is also fully native): the composition materializes an
+  * intermediate product array per row pair and walks the inputs three
+  * times (dot, |a|², |b|²); this kernel runs inside whole-stage codegen as
+  * one allocation-free loop reading both `ArrayData` buffers once. On the
+  * brute-force top-k scan (s1) — queries × corpus row pairs — the kernel
+  * IS the hot loop, so at scale this is the difference that matters.
+  *
+  * Numerics: elements are widened float→double and each accumulator is a
+  * sequential in-order fold, bit-identical to the compositional and UDF
+  * kernels it replaces (and to the DuckDB oracle's
+  * `list_cosine_similarity` after the 6-dp boundary round).
+  *
+  * Interpreted `nullSafeEval` and generated code produce identical
+  * results; CosineSimilaritySpec asserts codegen vs interpreted parity.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble
+      val q = y.getFloat(i).toDouble
+      dot += p * q; na += p * p; nb += q * q
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = (double) $x.getFloat($i);
+         |  double $q = (double) $y.getFloat($i);
+         |  $dot += $p * $q; $na += $p * $p; $nb += $q * $q;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftColumns {
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -478,7 +478,6 @@ object DedupOps {
   def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bandUdf = udf((v: Seq[Float]) => SignLsh.bandKeys(v))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => SignLsh.cosine(a, b))
     val emb = Tables.embeddings(s, dir)
     // single-pass bucket candidates (same shuffle discipline as
     // verifiedPairs: one UDF pass, id-only exchange, native pair-gen)
@@ -502,7 +501,8 @@ object DedupOps {
     pairs
       .join(candEmb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), Seq("vec_a"))
       .join(candEmb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), Seq("vec_b"))
-      .withColumn("cos_sim", round(cosUdf($"emb_a", $"emb_b"), 6))
+      .withColumn("cos_sim",
+        round(graft.functions.cosineSim($"emb_a", $"emb_b"), 6))
       .where($"cos_sim" >= 0.9)
       .select("vec_a", "vec_b", "cos_sim")
   }

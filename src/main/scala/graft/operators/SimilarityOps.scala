@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *    SQL-expressible (k-means state) → no oracle; recall is spec-tested
   *    against s1 on clustered synthetic data in SimilarityOpsSpec.
   *
-  * The cosine kernel is a native column expression (zip_with + aggregate),
-  * so the whole scan stays in whole-stage codegen — no UDF in the hot path.
+  * The cosine kernel is a custom codegen'd Catalyst expression
+  * ([[graft.functions.cosineSim]]), so the whole scan stays in
+  * whole-stage codegen — no UDF in the hot path.
   */
 object SimilarityOps {
 
@@ -31,13 +32,10 @@ object SimilarityOps {
   private val NQueries = 20
 
   /** Native cosine similarity between two float-array columns, computed in
-    * double. Sequential fold in array order — deterministic. */
-  def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * double. Sequential fold in array order — deterministic. Backed by the
+    * codegen'd Catalyst expression in graft.functions: one allocation-free
+    * loop per row pair instead of zip_with's intermediate product array. */
+  def cosineCol(a: Column, b: Column): Column = graft.functions.cosineSim(a, b)
 
   /** s1: exact cosine top-k. `round(6)` before ranking so engine-side ulp
     * noise can't flip the k-boundary vs the oracle; ties break on

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.cosineSim
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = {
+    val rng = new scala.util.Random(99L)
+    Seq.fill(50)((Array.fill(64)(rng.nextGaussian().toFloat).toSeq,
+                  Array.fill(64)(rng.nextGaussian().toFloat).toSeq))
+  }
+
+  private def reference(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cosineSim matches the reference fold bit-for-bit (codegen path)") {
+    val got = vecs.toDF("a", "b").select(cosineSim($"a", $"b")).as[Double].collect()
+    val want = vecs.map { case (a, b) => reference(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(g === w) } // exact, no tolerance
+  }
+
+  test("cosineSim codegen and interpreted evaluation agree") {
+    val df = vecs.toDF("a", "b")
+    val gen = df.select(cosineSim($"a", $"b")).as[Double].collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(cosineSim($"a", $"b")).as[Double].collect()
+      gen.zip(interp).foreach { case (g, i) => assert(g === i) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cosineSim handles orthogonal, identical, and null inputs") {
+    val df = Seq(
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(0.0f, 1.0f))),
+      (Some(Seq(2.0f, 2.0f)), Some(Seq(2.0f, 2.0f))),
+      (None, Some(Seq(1.0f, 0.0f)))
+    ).toDF("a", "b")
+    val got = df.select(cosineSim($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0) === Some(0.0))
+    assert(math.abs(got(1).get - 1.0) < 1e-15)
+    assert(got(2) === None)
+  }
+}
