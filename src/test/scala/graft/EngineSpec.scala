@@ -83,19 +83,20 @@ class EngineSpec extends SparkSpec with TableDrivenPropertyChecks {
 
   test("skipNullResults drops null map outputs like skip_undef_result") {
     val ds = Engine.chunk(spark.createDataset((1 to 100).map(_.toDouble)), 4)
-    // mapper returns null for chunks whose sum is odd-indexed; as a stand-in
-    // for the reference's undef-returning mappers (Simple.pm:328-335)
+    // Pinned fixture: exactly the one chunk containing 1.0 maps to null
+    // (stand-in for the reference's undef-returning mappers,
+    // Simple.pm:328-335) — independent of how chunking assigns the rest.
+    def mapper(it: Iterator[Double]): java.lang.Double = {
+      val xs = it.toVector
+      if (xs.contains(1.0)) null else java.lang.Double.valueOf(xs.sum)
+    }
     val got = Engine.mapReduce[Double, java.lang.Double, Int](
-      ds,
-      it => { val s = it.sum; if (s % 2 == 0) java.lang.Double.valueOf(s) else null },
-      parts => parts.length)
+      ds, mapper, parts => parts.length)
     val all = Engine.mapReduce[Double, java.lang.Double, Int](
-      ds,
-      it => { val s = it.sum; if (s % 2 == 0) java.lang.Double.valueOf(s) else null },
-      parts => parts.length,
+      ds, mapper, parts => parts.length,
       Engine.MRConfig(skipNullResults = false))
     assert(all === 4)
-    assert(got < all)
+    assert(got === 3)
   }
 
   test("non-associative reducer sees all outputs at once (parity semantics)") {
