@@ -83,8 +83,74 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash fingerprint over an array of base hashes: bit i of the result
+  * is set iff a strict majority of inputs have bit i set. `bits` ≤ 63.
+  *
+  * Exists so the fingerprint is a NARROW per-row computation: the
+  * compositional alternative (explode + groupBy with `bits` partial sums)
+  * shuffles one row per (doc, shingle) through an aggregate — a full
+  * corpus exchange for a value that never needed to leave its row. One
+  * allocation of an int[bits] tally per row, zero shuffles.
+  *
+  * Interpreted and generated paths are identical; parity is spec-tested
+  * against the independent Scala reference implementation. */
+case class SimHashFingerprint(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(bits > 0 && bits < 64)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fingerprint"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val acc = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var b = 0
+      while (b < bits) { acc(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (2 * acc(b) > n) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $x.numElements();
+         |int[] $acc = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $x.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) { $acc[$b] += (int) (($h >>> $b) & 1L); }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if (2 * $acc[$b] > $n) ${ev.value} |= 1L << $b;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFingerprint =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def simhashFingerprint(hashes: Column, bits: Int): Column =
+    ExpressionUtils.column(
+      SimHashFingerprint(ExpressionUtils.expression(hashes), bits))
 }

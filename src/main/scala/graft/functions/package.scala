@@ -9,4 +9,11 @@ package object functions {
     * [[org.apache.spark.sql.graftext.CosineSimilarity]]). */
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.graftext.GraftColumns.cosineSim(a, b)
+
+  /** SimHash fingerprint (per-bit strict-majority vote) of an
+    * `array<bigint>` of base hashes — a narrow per-row codegen'd
+    * expression (see
+    * [[org.apache.spark.sql.graftext.SimHashFingerprint]]). */
+  def simhashFingerprint(hashes: Column, bits: Int): Column =
+    org.apache.spark.sql.graftext.GraftColumns.simhashFingerprint(hashes, bits)
 }

@@ -261,18 +261,15 @@ object DedupOps {
     def shingleHash(s: Column): Column =
       conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
-    /** (doc_id, h) rows → (doc_id, fp): 60 per-bit majority votes. One
-      * hash-aggregate pass; 60 sum columns is wide but codegen-friendly. */
-    def fingerprintCol(hs: DataFrame): DataFrame = {
-      val sums = (0 until Bits).map(i =>
-        sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
-      hs.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("doc_id"),
-          (0 until Bits).map(i =>
-            when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ bitwiseOR _).as("fp"))
-    }
+    /** (doc_id, sh: array<string>) → (doc_id, fp): per-bit majority votes
+      * via the [[graft.functions.simhashFingerprint]] codegen'd expression
+      * — a NARROW per-row map. (The first formulation exploded shingles
+      * into a 60-sum groupBy: a full corpus shuffle for a value that never
+      * needed to leave its row.) */
+    def fingerprintCol(docsSh: DataFrame): DataFrame =
+      docsSh.select(col("doc_id"),
+        graft.functions.simhashFingerprint(
+          transform(col("sh"), s => shingleHash(s)), Bits).as("fp"))
 
     /** Reference Scala implementation (tests only — the operator itself
       * is pure native SQL). */
@@ -304,10 +301,8 @@ object DedupOps {
   def d3SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
     import SimHash._
     val docs = Tables.documents(s, dir)
-    val hs = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), shingleHash(col("sh")).as("h"))
-    val fp = fingerprintCol(hs)
+    val fp = fingerprintCol(
+      docs.select(col("doc_id"), shingles(col("text")).as("sh")))
     val block = (0 until NumBlocks).map(b =>
       shiftright(col("fp"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1)))
     val keyed = fp.select(col("doc_id"), col("fp"),

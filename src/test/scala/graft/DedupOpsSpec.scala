@@ -52,9 +52,8 @@ class DedupOpsSpec extends SparkSpec {
     import DedupOps.SimHash
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
                  (2L, "one two three four five six seven")).toDF("doc_id", "text")
-    val hs = df.select($"doc_id", explode(DedupOps.shingles($"text")).as("sh"))
-      .select($"doc_id", SimHash.shingleHash($"sh").as("h"))
-    val got = SimHash.fingerprintCol(hs)
+    val got = SimHash.fingerprintCol(
+        df.select($"doc_id", DedupOps.shingles($"text").as("sh")))
       .as[(Long, Long)].collect().toMap
     val want = df.select($"doc_id", DedupOps.shingles($"text").as("sh"))
       .as[(Long, Seq[String])].collect()
