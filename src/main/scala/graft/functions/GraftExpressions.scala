@@ -145,6 +145,116 @@ case class SimHashFingerprint(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** MinHash LSH band keys over an array of 64-bit element hashes.
+  *
+  * Signature: `numHashes` seeded permutations — sig(i) = min over elements
+  * of splitmix64(x ^ seed(i)) (a linear `(a·x+b) mod p` family would stay
+  * monotone over 64-bit inputs and collapse the estimator; the finalizing
+  * mixer decorrelates properly). Band key b = an iterated splitmix64 fold
+  * of that band's `rows` signature values. Output: `numHashes / rows`
+  * keys; the band index rides along as the array position (posexplode),
+  * so keys need no band tag.
+  *
+  * One codegen'd loop per row — the UDF it replaces deserialized a
+  * Seq[String] per document and murmur-hashed every shingle string per
+  * call; here elements are already hashed longs from the same native
+  * trigram-hash pass the exact kernel (d4) uses. */
+case class MinHashBandKeys(child: Expression, numHashes: Int, rows: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(numHashes % rows == 0)
+
+  private val bands = numHashes / rows
+  // Deterministic seeds — fixed across runs and sessions.
+  private lazy val seeds: Array[Long] = {
+    val rng = new scala.util.Random(420042L)
+    Array.fill(numHashes)(rng.nextLong())
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = mix64(x ^ seeds(k))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var r = 0
+      while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+      keys(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val keys = ctx.freshName("keys")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val z = ctx.freshName("z")
+      val mixer = (in: String) =>
+        s"""long $z = ($in) + 0x9e3779b97f4a7c15L;
+           |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+           |$z = $z ^ ($z >>> 31);""".stripMargin
+      s"""
+         |int $n = $x.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    ${mixer(s"$x.getLong($i) ^ $seedsRef[$k]")}
+         |    if ($z < $sig[$k]) $sig[$k] = $z;
+         |  }
+         |}
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $z = 0L;
+         |  for (int $r = 0; $r < $rows; $r++) {
+         |    long ${z}0 = ($z ^ $sig[$b * $rows + $r]) + 0x9e3779b97f4a7c15L;
+         |    ${z}0 = (${z}0 ^ (${z}0 >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |    ${z}0 = (${z}0 ^ (${z}0 >>> 27)) * 0x94d049bb133111ebL;
+         |    $z = ${z}0 ^ (${z}0 >>> 31);
+         |  }
+         |  $keys[$b] = $z;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -153,4 +263,8 @@ object GraftColumns {
   def simhashFingerprint(hashes: Column, bits: Int): Column =
     ExpressionUtils.column(
       SimHashFingerprint(ExpressionUtils.expression(hashes), bits))
+
+  def minhashBandKeys(hashes: Column, numHashes: Int, rows: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandKeys(ExpressionUtils.expression(hashes), numHashes, rows))
 }

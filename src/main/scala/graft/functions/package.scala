@@ -16,4 +16,10 @@ package object functions {
     * [[org.apache.spark.sql.graftext.SimHashFingerprint]]). */
   def simhashFingerprint(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.graftext.GraftColumns.simhashFingerprint(hashes, bits)
+
+  /** MinHash LSH band keys (`numHashes` permutations banded `rows`-deep)
+    * of an `array<bigint>` of element hashes — codegen'd (see
+    * [[org.apache.spark.sql.graftext.MinHashBandKeys]]). */
+  def minhashBandKeys(hashes: Column, numHashes: Int, rows: Int): Column =
+    org.apache.spark.sql.graftext.GraftColumns.minhashBandKeys(hashes, numHashes, rows)
 }

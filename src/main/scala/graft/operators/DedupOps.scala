@@ -64,10 +64,13 @@ object DedupOps {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** MinHash machinery. 128 two-universal hash functions over shingle base
-    * hashes, banded 32×4 for LSH. All parameters seeded/deterministic: the
-    * whole pipeline must give identical results on every run (and the
-    * driver's oracle compare depends on it).
+  /** MinHash design constants + reference Scala implementation (the
+    * operator itself runs the codegen'd [[graft.functions.minhashBandKeys]]
+    * expression; DedupOpsSpec keeps this impl honest as the estimator
+    * ground truth). 128 hash functions over shingle base hashes, banded
+    * 32×4 for LSH. All parameters seeded/deterministic: the whole pipeline
+    * must give identical results on every run (and the driver's oracle
+    * compare depends on it).
     *
     * Band math: P(candidate | jaccard j) = 1-(1-j^4)^32 — at the planted
     * near-dup level j≈0.9 the miss probability is ~1e-15, at the verify
@@ -173,19 +176,22 @@ object DedupOps {
     * smaller than it, safe to cache at any scale. */
   private def verifyPairs(docs: DataFrame, pairs0: DataFrame,
                           threshold: Double): DataFrame = {
-    val jac = udf(jaccardExact _)
     val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b")))
       .as("doc_id")).distinct()
-    // Shingle AFTER the candidate filter — computing sh below the join
-    // would re-shingle the whole corpus once per pair side.
-    val candSh = docs.join(candIds, Seq("doc_id"))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    // Shingle AFTER the candidate filter — computing the sets below the
+    // join would re-shingle the whole corpus once per pair side. The
+    // exact Jaccard is native: |∩| via array_intersect over the distinct
+    // trigram-hash sets (same value as over the string sets), long/long
+    // division in double — identical to the oracle's formula.
+    val candSh = withShingleHashes(docs.join(candIds, Seq("doc_id")))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     pairs
-      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
+      .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -193,12 +199,18 @@ object DedupOps {
   /** d2: MinHash-LSH near-duplicate pairs, exact-verified at j ≥ 0.8.
     * Signatures are one narrow pass over each document (O(n) total);
     * candidates come from the banded equi-join; only candidates pay the
-    * exact set comparison. This is the 100 TB dedup path. */
+    * exact set comparison. This is the 100 TB dedup path.
+    *
+    * UDF-free: trigram sets are the native 64-bit hash arrays of
+    * [[withShingleHashes]] (shared with d4), band keys come from the
+    * codegen'd [[graft.functions.minhashBandKeys]] expression, and the
+    * verify is a native array_intersect — the whole operator stays in
+    * whole-stage codegen. */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val bandUdf = udf((sh: Seq[String]) => MinHash.bandKeys(MinHash.signature(sh)))
     val docs = Tables.documents(s, dir)
-    val keyed = docs.select(col("doc_id"),
-      posexplode(bandUdf(shingles(col("text")))).as(Seq("band", "key")))
+    val keyed = withShingleHashes(docs).select(col("doc_id"),
+      posexplode(graft.functions.minhashBandKeys(
+        col("hs"), MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
     verifyPairs(docs, bucketPairs(keyed), 0.8)
   }
 

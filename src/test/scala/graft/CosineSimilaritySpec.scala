@@ -45,6 +45,38 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhashFingerprint and minhashBandKeys: codegen and interpreted agree") {
+    val rng = new scala.util.Random(7L)
+    val df = Seq.fill(20)(Seq.fill(40)(rng.nextLong())).toDF("hs")
+    def run(): (Array[Long], Array[Seq[Long]]) = (
+      df.select(graft.functions.simhashFingerprint($"hs", 60)).as[Long].collect(),
+      df.select(graft.functions.minhashBandKeys($"hs", 128, 4)).as[Seq[Long]].collect())
+    val (fpGen, mhGen) = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val (fpInt, mhInt) = run()
+      assert(fpGen.toSeq === fpInt.toSeq)
+      assert(mhGen.toSeq === mhInt.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    mhGen.foreach(keys => assert(keys.length === 32))
+  }
+
+  test("minhashBandKeys: identical sets share all keys; near sets share some") {
+    val base = Seq.fill(60)(scala.util.Random.nextLong())
+    val near = base.drop(3) ++ Seq(1L, 2L, 3L)
+    val far = Seq.fill(60)(scala.util.Random.nextLong())
+    val df = Seq(base, base, near, far).toDF("hs")
+    val keys = df.select(graft.functions.minhashBandKeys($"hs", 128, 4))
+      .as[Seq[Long]].collect()
+    assert(keys(0) === keys(1))
+    assert(keys(0).toSet.intersect(keys(2).toSet).nonEmpty, "near-dup must collide")
+    assert(keys(0).toSet.intersect(keys(3).toSet).isEmpty, "unrelated must not")
+  }
+
   test("cosineSim handles orthogonal, identical, and null inputs") {
     val df = Seq(
       (Some(Seq(1.0f, 0.0f)), Some(Seq(0.0f, 1.0f))),
