@@ -255,10 +255,94 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, rows: Int)
     copy(child = newChild)
 }
 
+/** Sign-LSH band keys for cosine similarity over a float vector: `bands` ×
+  * `bandBits` seeded random hyperplanes; bit = sign of ⟨v, plane⟩; each
+  * band's bits pack into one key, tagged with the band index in the high
+  * bits (the caller may group on the key alone). Planes ride into codegen
+  * as a flattened double[] reference object; one allocation-free loop per
+  * row replaces a Seq-boxing UDF. */
+case class SignLshBandKeys(child: Expression, bands: Int, bandBits: Int,
+                           dim: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(bands * bandBits <= 4096)
+
+  private val numBits = bands * bandBits
+  // Flattened [bit][dim] Gaussian hyperplanes — deterministic per seed.
+  private lazy val planes: Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numBits * dim)(rng.nextGaussian())
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_band_keys"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bandBits) {
+        val k = b * bandBits + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += planes(k * dim + i) * v.getFloat(i); i += 1 }
+        key = (key << 1) | (if (dot > 0) 1L else 0L)
+        j += 1
+      }
+      keys(b) = (b.toLong << 32) | key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key")
+      s"""
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $bandBits; $j++) {
+         |    int $k = $b * $bandBits + $j;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $planesRef[$k * $dim + $i] * (double) $x.getFloat($i);
+         |    }
+         |    $key = ($key << 1) | ($dot > 0 ? 1L : 0L);
+         |  }
+         |  $keys[$b] = ((long) $b << 32) | $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBandKeys =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def signLshBandKeys(v: Column, bands: Int, bandBits: Int, dim: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      SignLshBandKeys(ExpressionUtils.expression(v), bands, bandBits, dim, seed))
 
   def simhashFingerprint(hashes: Column, bits: Int): Column =
     ExpressionUtils.column(

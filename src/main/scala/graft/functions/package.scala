@@ -22,4 +22,10 @@ package object functions {
     * [[org.apache.spark.sql.graftext.MinHashBandKeys]]). */
   def minhashBandKeys(hashes: Column, numHashes: Int, rows: Int): Column =
     org.apache.spark.sql.graftext.GraftColumns.minhashBandKeys(hashes, numHashes, rows)
+
+  /** Sign-LSH band keys for cosine similarity of an `array<float>` vector
+    * — codegen'd seeded hyperplane signs (see
+    * [[org.apache.spark.sql.graftext.SignLshBandKeys]]). */
+  def signLshBandKeys(v: Column, bands: Int, bandBits: Int, dim: Int, seed: Long): Column =
+    org.apache.spark.sql.graftext.GraftColumns.signLshBandKeys(v, bands, bandBits, dim, seed)
 }

@@ -432,7 +432,11 @@ object DedupOps {
     val NumBands = 16
     val NumBits: Int = BandBits * NumBands
     val Dim = 64
-    private val rng = new scala.util.Random(70077L)
+    val Seed = 70077L
+    // Reference implementation for tests; the operator runs the codegen'd
+    // graft.functions.signLshBandKeys expression (identical planes: same
+    // seed, same [bit][dim] fill order).
+    private val rng = new scala.util.Random(Seed)
     val planes: Array[Array[Double]] =
       Array.fill(NumBits)(Array.fill(Dim)(rng.nextGaussian()))
 
@@ -484,12 +488,14 @@ object DedupOps {
     * DedupOpsSpec proves recall on synthetic near-identical vectors.) */
   def d5EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bandUdf = udf((v: Seq[Float]) => SignLsh.bandKeys(v))
     val emb = Tables.embeddings(s, dir)
     // single-pass bucket candidates (same shuffle discipline as
-    // verifiedPairs: one UDF pass, id-only exchange, native pair-gen)
+    // verifyPairs: one codegen'd banding pass, id-only exchange, native
+    // pair-gen)
     val pairs = emb
-      .select($"vec_id", posexplode(bandUdf($"embedding")).as(Seq("band", "key")))
+      .select($"vec_id", posexplode(graft.functions.signLshBandKeys(
+        $"embedding", SignLsh.NumBands, SignLsh.BandBits, SignLsh.Dim, SignLsh.Seed))
+        .as(Seq("band", "key")))
       .groupBy($"band", $"key")
       .agg(sort_array(collect_list($"vec_id")).as("ids"))
       .where(size($"ids") >= 2)

@@ -77,6 +77,18 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(keys(0).toSet.intersect(keys(3).toSet).isEmpty, "unrelated must not")
   }
 
+  test("signLshBandKeys matches the SignLsh reference impl exactly") {
+    import graft.operators.DedupOps.SignLsh
+    val rng = new scala.util.Random(3L)
+    val vs = Seq.fill(20)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val got = vs.toDF("v")
+      .select(graft.functions.signLshBandKeys(
+        $"v", SignLsh.NumBands, SignLsh.BandBits, SignLsh.Dim, SignLsh.Seed))
+      .as[Seq[Long]].collect()
+    val want = vs.map(v => SignLsh.bandKeys(v).toSeq)
+    assert(got.toSeq === want)
+  }
+
   test("cosineSim handles orthogonal, identical, and null inputs") {
     val df = Seq(
       (Some(Seq(1.0f, 0.0f)), Some(Seq(0.0f, 1.0f))),
