@@ -26,7 +26,11 @@ object SketchOps {
       .groupBy($"event_type")
       .agg(
         countDistinct($"user_id").as("exact_users"),
-        approx_count_distinct($"user_id").as("hll_users"))
+        // rsd 0.01: the asserted 5% bound is then ~5 standard errors out —
+        // the default rsd 0.05 is ONE standard error, which real data
+        // exceeded at sf0.1 (the bound must hold at every SF, not on
+        // average).
+        approx_count_distinct($"user_id", 0.01).as("hll_users"))
       .select($"event_type", $"exact_users",
         (abs($"hll_users" - $"exact_users") <=
           $"exact_users" * 0.05 + lit(1)).as("hll_within_5pct"))
