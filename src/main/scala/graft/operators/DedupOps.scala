@@ -393,8 +393,21 @@ object DedupOps {
 
   /** d4: exact n-gram Jaccard near-dup — the non-approximate kernel, fully
     * native and fully numeric (no UDF, no shingle strings: tokens and
-    * trigrams live as 64-bit hashes end-to-end). Join on trigram hash,
-    * count shared, jaccard = |∩|/|∪|. */
+    * trigrams live as 64-bit hashes end-to-end). Inverted-index self-join
+    * on trigram hash, count shared, jaccard = |∩|/|∪|.
+    *
+    * Scale note — the Σdf² question. This join's intermediate volume is
+    * Σ_trigram df², which a Zipfian real-world corpus can blow up on
+    * high-df "stopword" trigrams. The exact mitigation is prefix
+    * filtering (AllPairs/PPJoin: order each doc's trigrams by ascending
+    * df; j ≥ t forces a shared trigram within the first n−⌈t·n⌉+1 — join
+    * only those prefixes, then exact-verify candidates via
+    * [[verifyPairs]]). Measured here it LOSES ~2× (extra df join + per-doc
+    * rank window + verify pass ≈ 4-7s vs 2.5s at sf0.1) because this
+    * corpus's max trigram df is 25 — there is no explosion to prevent —
+    * so the simple join stays the shipped plan and the prefix variant is
+    * the documented switch once df skew is real. d2 MinHash remains the
+    * headline path at 100 TB either way. */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = withShingleHashes(Tables.documents(s, dir))
