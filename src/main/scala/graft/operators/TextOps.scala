@@ -216,17 +216,49 @@ object TextOps {
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS group_sz
       |FROM fp""".stripMargin
 
+  // ------------------------------------------------- t6 deterministic split
+
+  /** t6: deterministic train/val/test assignment — the split every training
+    * pipeline needs, keyed on a content-independent hash of doc_id so it is
+    * (a) reproducible across runs/engines/cluster sizes, (b) stable under
+    * corpus growth (adding documents never reassigns existing ones — the
+    * property a random() split lacks), (c) a narrow map: no shuffle for the
+    * assignment itself, one tiny aggregate for the audit counts. 80/10/10
+    * by hash bucket; md5-based so the oracle reproduces it bit-for-bit. */
+  def t6HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(
+      conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(s, dir)
+      .select($"source", split.as("split"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("docs"))
+  }
+
+  private val t6Sql =
+    """SELECT source,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS docs
+      |FROM (SELECT source,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
     "t4_token_count" -> t4TokenCount _,
-    "t5_fingerprint" -> t5Fingerprint _)
+    "t5_fingerprint" -> t5Fingerprint _,
+    "t6_hash_split" -> t6HashSplit _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,
     "t4_token_count" -> t4Sql,
-    "t5_fingerprint" -> t5Sql)
+    "t5_fingerprint" -> t5Sql,
+    "t6_hash_split" -> t6Sql)
 }
