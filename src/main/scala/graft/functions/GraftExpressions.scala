@@ -145,6 +145,38 @@ case class SimHashFingerprint(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Shared deterministic hash machinery — the single home of the MinHash
+  * seed family and the splitmix64 finalizer (DedupOps.MinHash's reference
+  * implementation and the codegen'd expression both read from here, so
+  * they cannot drift apart). */
+object GraftMix {
+  val MinHashSeed = 420042L
+
+  def seeds(n: Int): Array[Long] = {
+    val rng = new scala.util.Random(MinHashSeed)
+    Array.fill(n)(rng.nextLong())
+  }
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. A linear
+    * `(a·x+b) mod p` family would stay monotone over 64-bit inputs and
+    * collapse the min-hash estimator; the mixer decorrelates properly. */
+  @inline def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The same mixer as generated Java, for codegen'd callers. */
+  val splitmix64Java: String =
+    """private long graftMix64(long z) {
+      |  z = z + 0x9e3779b97f4a7c15L;
+      |  z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L;
+      |  z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL;
+      |  return z ^ (z >>> 31);
+      |}""".stripMargin
+}
+
 /** MinHash LSH band keys over an array of 64-bit element hashes.
   *
   * Signature: `numHashes` seeded permutations — sig(i) = min over elements
@@ -166,21 +198,13 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, rows: Int)
 
   private val bands = numHashes / rows
   // Deterministic seeds — fixed across runs and sessions.
-  private lazy val seeds: Array[Long] = {
-    val rng = new scala.util.Random(420042L)
-    Array.fill(numHashes)(rng.nextLong())
-  }
+  private lazy val seeds: Array[Long] = GraftMix.seeds(numHashes)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_keys"
 
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  @inline private def mix64(z: Long): Long = GraftMix.splitmix64(z)
 
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -211,6 +235,7 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, rows: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    val mixFn = ctx.addNewFunction("graftMix64", GraftMix.splitmix64Java)
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
@@ -220,18 +245,13 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, rows: Int)
       val b = ctx.freshName("b")
       val r = ctx.freshName("r")
       val z = ctx.freshName("z")
-      val mixer = (in: String) =>
-        s"""long $z = ($in) + 0x9e3779b97f4a7c15L;
-           |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
-           |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
-           |$z = $z ^ ($z >>> 31);""".stripMargin
       s"""
          |int $n = $x.numElements();
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  for (int $k = 0; $k < $numHashes; $k++) {
-         |    ${mixer(s"$x.getLong($i) ^ $seedsRef[$k]")}
+         |    long $z = $mixFn($x.getLong($i) ^ $seedsRef[$k]);
          |    if ($z < $sig[$k]) $sig[$k] = $z;
          |  }
          |}
@@ -239,10 +259,7 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, rows: Int)
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $z = 0L;
          |  for (int $r = 0; $r < $rows; $r++) {
-         |    long ${z}0 = ($z ^ $sig[$b * $rows + $r]) + 0x9e3779b97f4a7c15L;
-         |    ${z}0 = (${z}0 ^ (${z}0 >>> 30)) * 0xbf58476d1ce4e5b9L;
-         |    ${z}0 = (${z}0 ^ (${z}0 >>> 27)) * 0x94d049bb133111ebL;
-         |    $z = ${z}0 ^ (${z}0 >>> 31);
+         |    $z = $mixFn($z ^ $sig[$b * $rows + $r]);
          |  }
          |  $keys[$b] = $z;
          |}
@@ -266,6 +283,8 @@ case class SignLshBandKeys(child: Expression, bands: Int, bandBits: Int,
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
   require(bands * bandBits <= 4096)
+  // Keys pack as (band << 32) | bits — wider bands would overlap the tag.
+  require(bandBits <= 31, s"bandBits $bandBits would collide with the band tag")
 
   private val numBits = bands * bandBits
   // Flattened [bit][dim] Gaussian hyperplanes — deterministic per seed.

@@ -82,22 +82,17 @@ object DedupOps {
     val NumHashes = 128
     val Rows = 4
     val Bands: Int = NumHashes / Rows // 32
-    // One deterministic 64-bit seed per hash function. A linear
-    // `(a*x+b) mod p` family is NOT usable here: with 32-bit murmur inputs
-    // and a 61-bit prime the product almost never wraps, the map stays
-    // monotone in x, and every hash function elects the same argmin — the
-    // estimator collapses to ~1. A finalizing mixer (splitmix64) decorrelates
-    // the permutations properly.
-    private val rng = new scala.util.Random(420042L)
-    private val seeds: Array[Long] = Array.fill(NumHashes)(rng.nextLong())
+    // Seeds and mixer come from the ONE shared home
+    // (graftext.GraftMix) so this reference impl and the codegen'd
+    // expression cannot drift apart. A linear `(a*x+b) mod p` family is
+    // NOT usable here: the map stays monotone in x and every hash
+    // function elects the same argmin — the estimator collapses to ~1;
+    // the splitmix64 finalizer decorrelates the permutations properly.
+    private val seeds: Array[Long] =
+      org.apache.spark.sql.graftext.GraftMix.seeds(NumHashes)
 
-    /** splitmix64 finalizer — full-avalanche 64-bit mix. */
-    @inline private def mix64(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    @inline private def mix64(z: Long): Long =
+      org.apache.spark.sql.graftext.GraftMix.splitmix64(z)
 
     def signature(shingleSet: Seq[String]): Array[Long] = {
       val sig = Array.fill(NumHashes)(Long.MaxValue)
@@ -173,7 +168,12 @@ object DedupOps {
     * the optimizer real statistics, so the candidate-id join broadcasts
     * when pairs are small and gracefully shuffles when they are not.
     * Pairs are (long, long) — linear in corpus and orders of magnitude
-    * smaller than it, safe to cache at any scale. */
+    * smaller than it, safe to cache at any scale.
+    *
+    * Contract notes: building the DataFrame therefore RUNS the candidate
+    * stage eagerly (like fitting an MLlib model), and the cached pair
+    * relation lives until the session ends or `spark.catalog.clearCache()`
+    * — one id-pair relation per operator build, not per query execution. */
   private def verifyPairs(docs: DataFrame, pairs0: DataFrame,
                           threshold: Double): DataFrame = {
     val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

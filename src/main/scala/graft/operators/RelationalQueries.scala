@@ -254,12 +254,17 @@ object RelationalQueries {
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts", $"is_click", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE last() over a struct of both payload fields: separate last()
+    // calls would desynchronize on a purchase with a NULL value (event_id
+    // from the latest purchase, value skipping back to an earlier one).
+    val p = when($"is_click" === 0, struct($"p_event_id", $"p_value"))
     clicks.unionByName(purchases)
       .select($"event_id", $"user_id", $"is_click",
-        last($"p_event_id", ignoreNulls = true).over(w).as("asof_event_id"),
-        last($"p_value", ignoreNulls = true).over(w).as("asof_value"))
+        last(p, ignoreNulls = true).over(w).as("asof"))
       .where($"is_click" === 1)
-      .select($"event_id", $"user_id", $"asof_event_id", $"asof_value")
+      .select($"event_id", $"user_id",
+        $"asof.p_event_id".as("asof_event_id"),
+        $"asof.p_value".as("asof_value"))
   }
 
   // LATERAL instead of DuckDB's ASOF JOIN keyword so the tie-break order

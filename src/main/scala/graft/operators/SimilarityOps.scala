@@ -90,19 +90,31 @@ object SimilarityOps {
     import s.implicits._
     val n = emb.count()
     val mod = math.max(1L, n / (256L * k))
-    val train: Array[Array[Double]] = emb
-      .where(pmod($"vec_id", lit(mod)) === 0)
+    // Sample on a HASH of vec_id, not vec_id itself: `vec_id % m == 0`
+    // silently selects nothing when ids are sparse or stride-keyed.
+    val sampled: Array[Array[Double]] = emb
+      .where(pmod(xxhash64($"vec_id"), lit(mod)) === 0)
       .orderBy($"vec_id")
       .select($"embedding").as[Seq[Float]]
       .collect().map(_.map(_.toDouble).toArray)
-    var centroids = train.take(k)
+    // Pathological-distribution fallback keeps the quantizer trainable.
+    val train =
+      if (sampled.length >= k) sampled
+      else emb.orderBy($"vec_id").limit(256 * k)
+        .select($"embedding").as[Seq[Float]]
+        .collect().map(_.map(_.toDouble).toArray)
+    require(train.nonEmpty, "kmeans: embeddings table is empty")
+    // Fewer vectors than cells: train with what exists (all downstream
+    // code handles a shorter centroid array).
+    var centroids = train.take(math.min(k, train.length))
+    val kk = centroids.length
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kk)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](kk)
       train.foreach { v =>
         var best = 0; var bestScore = Double.NegativeInfinity
         var c = 0
-        while (c < k) {
+        while (c < kk) {
           var dot = 0.0; var norm = 0.0
           var i = 0
           while (i < v.length) {
@@ -121,7 +133,7 @@ object SimilarityOps {
       }
       // A cell can lose every member mid-iteration; keep its old centroid
       // so indices stay stable.
-      centroids = Array.tabulate(k)(c =>
+      centroids = Array.tabulate(kk)(c =>
         if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
     }
     centroids

@@ -66,9 +66,10 @@ class CosineSimilaritySpec extends SparkSpec {
   }
 
   test("minhashBandKeys: identical sets share all keys; near sets share some") {
-    val base = Seq.fill(60)(scala.util.Random.nextLong())
+    val rng = new scala.util.Random(42L)
+    val base = Seq.fill(60)(rng.nextLong())
     val near = base.drop(3) ++ Seq(1L, 2L, 3L)
-    val far = Seq.fill(60)(scala.util.Random.nextLong())
+    val far = Seq.fill(60)(rng.nextLong())
     val df = Seq(base, base, near, far).toDF("hs")
     val keys = df.select(graft.functions.minhashBandKeys($"hs", 128, 4))
       .as[Seq[Long]].collect()

@@ -49,7 +49,7 @@ class SourcesSinksSpec extends SparkSpec {
         .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
       val plan = joined.queryExecution.executedPlan.toString
       val exchangesBelowJoin = plan.linesIterator
-        .dropWhile(l => !l.contains("SortMergeJoin"))
+        .dropWhile(l => !l.contains("SortMergeJoin") && !l.contains("ShuffledHashJoin"))
         .count(_.contains("Exchange hashpartitioning"))
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffle-family join in:\n$plan")
