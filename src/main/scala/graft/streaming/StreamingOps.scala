@@ -94,11 +94,36 @@ object StreamingOps {
       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
       |FROM sess GROUP BY 1, 2""".stripMargin
 
+  /** Streaming deduplication — `dropDuplicates` keyed on
+    * (user_id, event_type), the canonical ingest-dedup shape. In batch
+    * mode an arbitrary member of each group survives, so the query
+    * projects ONLY the key columns: the result — the distinct key set —
+    * is deterministic, oracle-checkable, and identical between modes.
+    * On a stream the watermark bounds the key-set state: a key whose
+    * event time has passed the watermark is evicted, which is what makes
+    * streaming dedup feasible at all on an unbounded stream (state is
+    * live keys, not history). */
+  def dedupKeys(events: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    in.select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+  }
+
+  /** st3: the dedup transform in batch mode over `events`. */
+  def st3StreamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupKeys(Tables.events(s, dir))
+
+  private val st3Sql =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
-    "st2_sessionize" -> st2Sessionize _)
+    "st2_sessionize" -> st2Sessionize _,
+    "st3_stream_dedup" -> st3StreamDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
-    "st2_sessionize" -> st2Sql)
+    "st2_sessionize" -> st2Sql,
+    "st3_stream_dedup" -> st3Sql)
 }

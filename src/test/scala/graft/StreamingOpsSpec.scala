@@ -86,6 +86,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st3: streaming and batch dedup emit the same distinct key set") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (ts(5), "click", 1L, 1.0, 1L),
+      (ts(6), "click", 1L, 2.0, 2L), // dup key (1, click)
+      (ts(7), "view", 1L, 3.0, 3L),
+      (ts(8), "click", 2L, 4.0, 4L),
+      (ts(9), "click", 2L, 5.0, 5L)) // dup key (2, click)
+    val cols = Seq("ts", "event_type", "user_id", "value", "event_id")
+    val want = StreamingOps.dedupKeys(fixture.toDF(cols: _*))
+      .as[(Long, String)].collect().toSet
+    assert(want === Set((1L, "click"), (1L, "view"), (2L, "click")))
+
+    val stream = MemoryStream[(Timestamp, String, Long, Double, Long)]
+    stream.addData(fixture)
+    val q = StreamingOps.dedupKeys(stream.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("st3_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st3_test").as[(Long, String)].collect().toSet
+    assert(got === want)
+  }
+
   test("sys: serverSpec reports the local executor with cores > 0") {
     val rows = ClusterInfo.serverSpec(spark).collect()
     assert(rows.nonEmpty)
