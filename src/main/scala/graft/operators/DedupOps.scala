@@ -20,12 +20,11 @@ import scala.util.hashing.MurmurHash3
   *  - d3 SimHash is the high-precision tier: Hamming ≤ 3 over 60-bit
   *    md5-derived fingerprints (native SQL end-to-end, oracle-checkable),
   *    candidates pigeonhole-guaranteed by two-block 24-bit table keys;
-  *  - d4 n-gram Jaccard is the exact kernel: an equi-join on shingles.
-  *    It is also the verify step d2/d3 reuse. At 100 TB the headline
-  *    operator is d2 (signatures are O(docs), the join is bucketed);
-  *    d4 alone inflates on high-document-frequency shingles — mitigate
-  *    with a df-cap prune (drop shingles appearing in > K docs; they only
-  *    connect already-dissimilar docs) before the self-join;
+  *  - d4 n-gram Jaccard is the exact kernel: an inverted-index equi-join
+  *    on 64-bit trigram hashes. At 100 TB the headline operator is d2
+  *    (signatures are O(docs), the join is bucketed); d4's Σdf² join
+  *    volume inflates on Zipfian trigram skew — the prefix-filter switch
+  *    is documented at [[d4NgramJaccard]];
   *  - d5 embedding near-dup brackets candidates with sign-LSH bands and
   *    verifies exact cosine, same two-phase shape.
   */
@@ -125,7 +124,9 @@ object DedupOps {
     }
   }
 
-  /** Exact Jaccard between two shingle sets — the verify kernel. The
+  /** Exact Jaccard between two shingle sets — reference implementation of
+    * the verify kernel (the operators run the native array_intersect form
+    * in [[verifyPairs]]; specs use this to compute ground truth). The
     * division is long/long in double, bit-identical to the oracle's
     * CAST(c AS DOUBLE)/(na+nb-c). */
   private[graft] def jaccardExact(a: Seq[String], b: Seq[String]): Double = {
