@@ -65,7 +65,8 @@ object TextOps {
 
   /** t2: language identification by marker-word voting — per language,
     * count marker occurrences; predict the argmax (deterministic tiebreak:
-    * higher count wins, then lexicographic language code). One narrow map;
+    * higher count wins, ties keep the earliest DECLARED language — the
+    * fold only replaces on strictly greater). One narrow map;
     * the lexicons live in the plan as literals, broadcast with the task
     * binary — nothing is shuffled at any scale. */
   def t2LangId(s: SparkSession, dir: String): DataFrame = {

@@ -27,7 +27,12 @@ object Tables {
     * vectorized reader rejects. Read the raw INT64 nanos
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a micros
     * timestamp — the exact conversion DuckDB applies when it loads the same
-    * file into its micros TIMESTAMP, so oracle comparisons stay aligned. */
+    * file into its micros TIMESTAMP, so oracle comparisons stay aligned.
+    *
+    * The conf set here is session-global and sticky (the engine's session
+    * builders — Bench, Verify, test harness — also set it at construction
+    * so behavior never depends on which query ran first); its only effect
+    * is on TIMESTAMP(NANOS) columns, which no other table has. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

@@ -22,6 +22,15 @@ object StatefulOps {
       sess_start: Timestamp, sess_end: Timestamp)
 
   val GapMs: Long = 30 * 60 * 1000
+  /** Gap in exact microseconds — the unit both the batch twin and the
+    * DuckDB oracle compare in (whole-second truncation would disagree
+    * with them on fractional-second gaps). */
+  val GapUs: Long = GapMs * 1000
+
+  /** Microseconds since epoch, exact (Timestamp.getTime alone truncates
+    * to milliseconds). */
+  @inline private def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
   /** Streaming sessionization. Events within a group-state invocation are
     * sorted by (ts, event_id) — Spark guarantees no cross-batch order, so
@@ -48,12 +57,12 @@ object StatefulOps {
             state.remove()
             Iterator.single(Session(userId, s.sessionNo, s.n, s.start, s.end))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Vector.newBuilder[Session]
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts.getTime - s.end.getTime <= GapMs =>
+                case Some(s) if micros(e.ts) - micros(s.end) <= GapUs =>
                   cur = Some(s.copy(end = e.ts, n = s.n + 1))
                 case Some(s) =>
                   closed += Session(userId, s.sessionNo, s.n, s.start, s.end)

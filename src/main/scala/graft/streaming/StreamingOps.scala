@@ -64,8 +64,12 @@ object StreamingOps {
   def st2Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // Exact integer microseconds on BOTH engines: unix_timestamp truncates
+    // to whole seconds while DuckDB's epoch() keeps fractions — a gap of
+    // 1800.0005s would split a session in one engine and not the other.
     val gapFlag = when(
-      unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)) > 1800, 1)
+      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) >
+        StatefulOps.GapUs, 1)
       .otherwise(0)
     Tables.events(s, dir)
       .withColumn("new_sess", gapFlag)
@@ -81,7 +85,7 @@ object StreamingOps {
   private val st2Sql =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id,
-      |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

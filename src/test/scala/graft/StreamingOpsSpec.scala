@@ -51,7 +51,8 @@ class StreamingOpsSpec extends SparkSpec {
         .partitionBy($"user_id").orderBy($"ts", $"event_id")
       events
         .withColumn("new_sess", when(
-          unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)) > 1800, 1)
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
+            StatefulOps.GapUs, 1)
           .otherwise(0))
         .withColumn("session_no", sum($"new_sess").over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

@@ -6,18 +6,25 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("t1: stats agree with hand-computed values on a tiny doc") {
-    val r = Seq((1L, "aa bb aa cc", "en", "s", 11L))
+  test("t1: stats match hand-computed values on a written tiny doc") {
+    // "aa bb aa cc": chars=11, words=4, distinct=3, ttr=0.75,
+    // mean_word_len = (11-4+1)/4 = 2.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_t1").toString
+    Seq((1L, "aa bb aa cc", "en", "s", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .createOrReplaceTempView("ignored") // not used; compute inline below
-    val row = TextOps.t1TextStats(spark, sf).where($"doc_id" === 0).collect()(0)
-    // invariants rather than goldens: ttr in (0,1], mean_word_len > 0,
-    // n_distinct <= n_words, chars matches the stored n_chars column
-    val docs = graft.sources.Tables.documents(spark, sf)
-      .select($"doc_id", length($"text").as("len"), $"n_chars").collect()
-    docs.foreach(r0 => assert(r0.getInt(1).toLong === r0.getLong(2)))
-    assert(row.getAs[Double]("ttr") > 0 && row.getAs[Double]("ttr") <= 1.0)
-    assert(row.getAs[Int]("n_distinct") <= row.getAs[Int]("n_words"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextOps.t1TextStats(spark, dir).collect()(0)
+    assert(row.getAs[Int]("chars") === 11)
+    assert(row.getAs[Int]("n_words") === 4)
+    assert(row.getAs[Int]("n_distinct") === 3)
+    assert(row.getAs[Double]("ttr") === 0.75)
+    assert(row.getAs[Double]("mean_word_len") === 2.0)
+    // corpus-wide invariants on the real fixture
+    val rows = TextOps.t1TextStats(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_words"))
+    }
   }
 
   test("t2: marker voting predicts 'en' on english-marker-heavy text and ties break by declaration order") {
