@@ -72,8 +72,8 @@ object DedupOps {
     * compare depends on it).
     *
     * Band math: P(candidate | jaccard j) = 1-(1-j^4)^32 — at the planted
-    * near-dup level j≈0.9 the miss probability is ~1e-15, at the verify
-    * threshold 0.8 it is ~2e-9, while a j=0.2 pair survives banding with
+    * near-dup level j≈0.9 the miss probability is ~1.5e-15, at the verify
+    * threshold 0.8 it is ~4.7e-8, while a j=0.2 pair survives banding with
     * p≈0.05 and is then discarded by the exact verify. Candidates are
     * therefore effectively recall-1 above threshold without ever comparing
     * all pairs. */

@@ -73,8 +73,11 @@ object StatefulOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // close the open session once event time passes its gap window
-              state.setTimeoutTimestamp(s.end.getTime + GapMs)
+              // Close the open session once event time passes its gap
+              // window. +1 ms: getTime truncates sub-millisecond micros,
+              // so without the ceil the timeout could fire up to 999 µs
+              // BEFORE the exact micros boundary the gap test uses.
+              state.setTimeoutTimestamp(s.end.getTime + GapMs + 1)
             }
             closed.result().iterator
           }

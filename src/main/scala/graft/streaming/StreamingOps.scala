@@ -61,26 +61,30 @@ object StreamingOps {
     * streaming formulation of the same semantics is
     * [[StatefulOps.sessionizeStream]] (flatMapGroupsWithState), proven
     * equivalent in StreamingOpsSpec. */
-  def st2Sessionize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    // Exact integer microseconds on BOTH engines: unix_timestamp truncates
-    // to whole seconds while DuckDB's epoch() keeps fractions — a gap of
-    // 1800.0005s would split a session in one engine and not the other.
+  /** The batch sessionization transform, written once against a DataFrame
+    * (the spec tests THIS function on fixtures — no duplicated plan).
+    * Exact integer microseconds in the gap test: unix_timestamp truncates
+    * to whole seconds while DuckDB's epoch() keeps fractions — a gap of
+    * 1800.0005s would split a session in one engine and not the other. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapFlag = when(
-      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) >
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >
         StatefulOps.GapUs, 1)
       .otherwise(0)
-    Tables.events(s, dir)
+    events
       .withColumn("new_sess", gapFlag)
-      .withColumn("session_no", sum($"new_sess").over(
+      .withColumn("session_no", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy($"user_id", $"session_no")
+      .groupBy(col("user_id"), col("session_no"))
       .agg(
         count(lit(1)).as("n_events"),
-        min($"ts").as("sess_start"),
-        max($"ts").as("sess_end"))
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
   }
+
+  def st2Sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir))
 
   private val st2Sql =
     """WITH flagged AS (
@@ -103,16 +107,18 @@ object StreamingOps {
     * mode an arbitrary member of each group survives, so the query
     * projects ONLY the key columns: the result — the distinct key set —
     * is deterministic, oracle-checkable, and identical between modes.
-    * On a stream the watermark bounds the key-set state: a key whose
-    * event time has passed the watermark is evicted, which is what makes
-    * streaming dedup feasible at all on an unbounded stream (state is
-    * live keys, not history). */
-  def dedupKeys(events: DataFrame): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
-    in.select(col("user_id"), col("event_type"), col("ts"))
+    *
+    * State honesty: EXACT dedup of an unbounded stream requires one state
+    * entry per distinct key, and that is what this holds — deliberately no
+    * watermark (a watermark here would not evict key-only dedup state, and
+    * WOULD silently drop late never-seen keys, breaking batch/stream
+    * agreement). When an ingestion-time bound is acceptable, Spark's
+    * `dropDuplicatesWithinWatermark` is the bounded-state variant — at the
+    * documented price that a key returning after eviction is emitted
+    * again. */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-  }
 
   /** st3: the dedup transform in batch mode over `events`. */
   def st3StreamDedup(s: SparkSession, dir: String): DataFrame =

@@ -20,12 +20,18 @@ class CodegenSurfaceSpec extends SparkSpec {
   private val planless = (k: String) => k.startsWith("mr_") || k == "sys_server_spec"
 
   test("every non-exempt query plan is UDF-free") {
+    // Walk the actual expression trees — plan.toString truncates wide
+    // projections at maxToStringFields and could hide a UDF.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (k, _) => planless(k) || documentedUdfQueries(k) }
       .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("UDF") || plan.contains("BatchEvalPython"))
-          Some(name) else None
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val hasUdf = plan.collect { case node =>
+          node.expressions.exists(e =>
+            e.collectFirst { case u: ScalaUDF => u }.isDefined)
+        }.exists(identity)
+        if (hasUdf) Some(name) else None
       }
     assert(offenders.isEmpty, s"unexpected UDFs in: ${offenders.mkString(", ")}")
   }

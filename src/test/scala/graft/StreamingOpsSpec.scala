@@ -45,21 +45,9 @@ class StreamingOpsSpec extends SparkSpec {
       (2L, ts(0), 6L) //                                      user 2, session 0
     ).toDF("user_id", "ts", "event_id")
       .withColumn("event_type", lit("x")).withColumn("value", lit(0.0))
-    // run the same plan st2 builds, against the fixture instead of the table
-    val out = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"ts", $"event_id")
-      events
-        .withColumn("new_sess", when(
-          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >
-            StatefulOps.GapUs, 1)
-          .otherwise(0))
-        .withColumn("session_no", sum($"new_sess").over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .groupBy($"user_id", $"session_no")
-        .agg(count(lit(1)).as("n"), min($"ts").as("s"), max($"ts").as("e"))
-        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
-    }
+    // the production transform itself, against the fixture
+    val out = StreamingOps.sessionize(events)
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
     assert(out === Set(
       (1L, 0L, 3L, ts(0), ts(20)),
       (1L, 1L, 2L, ts(60), ts(70)),

@@ -25,6 +25,10 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1.0)
       assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_words"))
     }
+    // fixture consistency: the stored n_chars column matches the text
+    graft.sources.Tables.documents(spark, sf)
+      .select(length($"text").as("len"), $"n_chars").collect()
+      .foreach(r => assert(r.getInt(0).toLong === r.getLong(1)))
   }
 
   test("t2: marker voting predicts 'en' on english-marker-heavy text and ties break by declaration order") {
