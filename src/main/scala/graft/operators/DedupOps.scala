@@ -429,6 +429,41 @@ object DedupOps {
       .where($"jaccard" >= 0.5)
   }
 
+  /** The df-skew switch for [[d4NgramJaccard]]: SAME exact output
+    * (DedupOpsSpec asserts equality), different candidate plan — AllPairs/
+    * PPJoin prefix filtering. Order each document's trigrams by ascending
+    * document frequency (ties by hash — any consistent global order
+    * works); if J(a,b) ≥ t the documents MUST share a trigram within
+    * their first n−⌈t·n⌉+1, so joining only those prefixes is
+    * recall-complete, and high-df "stopword" trigrams mostly stay out of
+    * prefixes — collapsing the Σdf² explosion. Candidates then pay the
+    * same exact verify as d2/d3. Costs two extra exchanges (df join +
+    * per-doc rank window) plus a candidate dedupe, and those are NOT
+    * free: measured, the naive join wins 2× at sf0.1 (max df 25) and
+    * still 4× at a 20×-replicated corpus (max df ≈ 500, Σdf² ≈ 5×10⁸) —
+    * this variant's regime is true stopword-grade skew with df in the
+    * tens of thousands. Measure before switching; outputs are identical
+    * by construction (spec-asserted). See SCALING.md. */
+  def d4PrefixJaccard(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // Set size n rides along from the array stage — no second window.
+    val sh = withShingleHashes(docs)
+      .select($"doc_id", size($"hs").as("n"), explode($"hs").as("h"))
+    val dfRel = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val prefix = sh
+      .join(dfRel.hint("SHUFFLE_HASH"), Seq("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+      .where($"rnk" <= $"n" - ceil(lit(t) * $"n") + 1)
+      .select($"doc_id", $"h")
+    val pairs = prefix.as("a").join(prefix.as("b").hint("SHUFFLE_HASH"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(docs, pairs, t)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Sign-LSH for cosine: 256 seeded random hyperplanes, banded 16×16.

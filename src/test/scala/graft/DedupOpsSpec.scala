@@ -94,6 +94,8 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs(DedupOps.d3SimhashNeardup(spark, sf)) === expected3)
     val d4 = pairs(DedupOps.d4NgramJaccard(spark, sf))
     assert(expected.subsetOf(d4)) // d4 threshold is 0.5, a superset
+    // the prefix-filter variant is output-identical to the naive join
+    assert(pairs(DedupOps.d4PrefixJaccard(spark, sf)) === d4)
   }
 
   test("d5: sign-LSH recalls planted near-identical embeddings") {
