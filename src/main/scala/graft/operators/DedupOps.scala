@@ -207,13 +207,17 @@ object DedupOps {
     * codegen'd [[graft.functions.minhashBandKeys]] expression, and the
     * verify is a native array_intersect — the whole operator stays in
     * whole-stage codegen. */
-  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** MinHash-verified near-dup pairs over an arbitrary (doc_id, text)
+    * relation — the reusable core of d2 and the pipeline operator d6. */
+  private def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val keyed = withShingleHashes(docs).select(col("doc_id"),
       posexplode(graft.functions.minhashBandKeys(
         col("hs"), MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
-    verifyPairs(docs, bucketPairs(keyed), 0.8)
+    verifyPairs(docs, bucketPairs(keyed), threshold)
   }
+
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir), 0.8)
 
   /** Shared oracle for the verified near-dup family: exact shingle-join
     * Jaccard over all pairs (the oracle may brute-force; the engine must
@@ -577,17 +581,80 @@ object DedupOps {
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9""".stripMargin
 
+  // ------------------------------------------------- end-to-end keep bit
+
+  /** d6: the dedup pipeline's end product — one keep/drop bit per
+    * document, composed in the order SCALING.md's stress numbers mandate:
+    *
+    *  1. exact dedup first (d1): only the min-doc_id copy of each
+    *     identical text is canonical — this also keeps identical-content
+    *     groups out of the LSH stage's buckets;
+    *  2. MinHash near-dup pairs among CANONICAL docs only (d2 machinery);
+    *  3. greedy survivor rule: drop every doc that appears as the
+    *     higher-id side of a verified pair. Deterministic and
+    *     SQL-expressible (unlike transitive-closure clustering, which
+    *     needs iterative connected components); the standard keep-first
+    *     policy training pipelines use.
+    *
+    * Output: (doc_id, keep) for every document. */
+  def d6DedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canonical = docs.join(
+      d1ExactDedup(s, dir).where(col("is_canonical")).select("doc_id"),
+      Seq("doc_id"))
+    val dropB = minhashPairs(canonical, 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.select(col("doc_id"))
+      .join(canonical.select(col("doc_id"), lit(true).as("canon")), Seq("doc_id"), "left")
+      .join(dropB.withColumn("neardup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("canon"), lit(false)) &&
+          !coalesce(col("neardup"), lit(false))).as("keep"))
+  }
+
+  private val d6Sql =
+    """WITH canon AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      doc_id = min(doc_id) OVER (PARTITION BY text) AS is_c
+      |    FROM documents) WHERE is_c),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM canon),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM toks,
+      |  UNNEST(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2),
+      |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT db AS doc_id
+      |  FROM inter
+      |  JOIN sz sa ON da = sa.doc_id
+      |  JOIN sz sb ON db = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)
+      |SELECT d.doc_id,
+      |  (c.doc_id IS NOT NULL AND dr.doc_id IS NULL) AS keep
+      |FROM documents d
+      |LEFT JOIN canon c ON d.doc_id = c.doc_id
+      |LEFT JOIN drops dr ON d.doc_id = dr.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash_neardup" -> d3SimhashNeardup _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
-    "d5_embedding_neardup" -> d5EmbeddingNeardup _)
+    "d5_embedding_neardup" -> d5EmbeddingNeardup _,
+    "d6_dedup_keep" -> d6DedupKeep _)
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
     "d3_simhash_neardup" -> simhashSql(0.8),
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
-    "d5_embedding_neardup" -> d5Sql)
+    "d5_embedding_neardup" -> d5Sql,
+    "d6_dedup_keep" -> d6Sql)
 }

@@ -98,6 +98,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs(DedupOps.d4PrefixJaccard(spark, sf)) === d4)
   }
 
+  test("d6: keep bit equals brute-force canonical-then-greedy-drop") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val canonical = docs.groupBy(_._2).values
+      .map(g => g.map(_._1).min).toSet
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val canonDocs = docs.filter(d => canonical(d._1))
+    val dropped = (for {
+      (a, ta) <- canonDocs; (b, tb) <- canonDocs if a < b
+      if DedupOps.jaccardExact(sh(ta).toSeq, sh(tb).toSeq) >= 0.8
+    } yield b).toSet
+    val expected = docs.map { case (id, _) =>
+      id -> (canonical(id) && !dropped(id)) }.toMap
+    val got = DedupOps.d6DedupKeep(spark, sf)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === expected)
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   test("d5: sign-LSH recalls planted near-identical embeddings") {
     import DedupOps.SignLsh
     val rng = new scala.util.Random(11L)
