@@ -6,11 +6,13 @@ import java.nio.file.{Files, Paths}
   * emits ONE JSON line with per-query seconds.
   *
   * Methodology: a full warm-up pass first (session init, parquet footer
-  * reads, JIT + whole-stage-codegen compilation all land there), then the
-  * timed pass. Without it the first query absorbs ~4s of startup and
-  * round-over-round deltas are noise. The JSON line is printed as the last
-  * stdout line AND written to target/bench.json so the driver can parse
-  * either.
+  * reads, JIT + whole-stage-codegen compilation all land there), then TWO
+  * timed passes reporting the per-query MIN. Without the warm-up the
+  * first query absorbs ~4s of startup; without the min, transient machine
+  * load inflates totals up to ~40% run-to-run (observed) and
+  * round-over-round deltas are noise. The JSON line is printed as the
+  * last stdout line AND written to target/bench.json so the driver can
+  * parse either.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,7 +37,13 @@ object Bench {
     }
 
     SparkEntry.queries.foreach { case (n, fn) => once(n, fn) } // warm-up
-    val results = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
+    val pass1 = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
+    val pass2 = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
+    val results = pass1.map { case (n, t1) =>
+      val t2 = pass2(n)
+      // a failed run (-1) must not masquerade as the fastest
+      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
