@@ -7,35 +7,53 @@ Usage: python3 dev/selfcheck.py [sfdir] [outdir]
 1. Runs `graft.Verify sfdir outdir` via sbt (Spark results -> parquet,
    oracle SQL -> oracle_sql.json).
 2. Registers each testdata parquet as a DuckDB view named after the table.
-3. Runs every oracle SQL; compares against the Spark parquet: columns
-   sorted by name, rows sorted by all columns, exact value equality
-   (floats compared exactly — queries are designed to be deterministic).
+3. Runs every oracle SQL; compares against the Spark parquet the way the
+   DRIVER does: both sides as pandas DataFrames, columns sorted by name,
+   rows sorted with pandas sort_values over all columns (this CRASHES on
+   array-typed columns, exactly like the driver — r2's m2 lesson), then
+   pd.testing.assert_frame_equal with check_dtype=True and
+   check_exact=True. dtype drift (e.g. DuckDB HUGEINT -> float64 vs
+   Spark int64) is a FAILURE here even when values are equal — r2 shipped
+   two red rows because the old repr()-based compare was blind to it.
 """
 import json
-import math
 import subprocess
 import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return repr(v)
+def canon_df(df):
+    """Driver-style canonicalization: columns sorted by name, rows sorted
+    by all columns. Raises on unhashable (array) columns like the driver."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def compare(got, want):
+    """Returns None if equal under the driver's dtype-strict rules,
+    else a short diagnostic string."""
+    if sorted(got.columns) != sorted(want.columns):
+        return (f"SCHEMA-MISMATCH spark={sorted(got.columns)} "
+                f"oracle={sorted(want.columns)}")
+    if len(got) != len(want):
+        return f"ROWCOUNT-MISMATCH spark={len(got)} oracle={len(want)}"
+    g, w = canon_df(got), canon_df(want)
+    dt = [(c, str(g[c].dtype), str(w[c].dtype))
+          for c in g.columns if g[c].dtype != w[c].dtype]
+    if dt:
+        return f"DTYPE-MISMATCH (col, spark, oracle)={dt}"
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
+    except AssertionError as e:
+        return "VALUE-MISMATCH " + str(e).replace("\n", " ")[:300]
+    return None
 
 
 def main():
@@ -70,31 +88,31 @@ def main():
             results[name] = "MISSING-RESULT"
             continue
         try:
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            want = con.execute(sql).fetchdf()
         except Exception as e:
             results[name] = f"ORACLE-ERROR: {e}"
             continue
-        got = con.execute(f"SELECT * FROM '{pq}/*.parquet'")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
-        wc, wr = canon(want_rows, want_cols)
-        gc, gr = canon(got_rows, got_cols)
-        if wc != gc:
-            results[name] = f"SCHEMA-MISMATCH spark={gc} oracle={wc}"
-        elif len(wr) != len(gr):
-            results[name] = f"ROWCOUNT-MISMATCH spark={len(gr)} oracle={len(wr)}"
-        elif wr != gr:
-            diffs = [(a, b) for a, b in zip(gr, wr) if a != b][:3]
-            results[name] = f"VALUE-MISMATCH first_diffs(spark,oracle)={diffs}"
-        else:
-            results[name] = f"OK ({len(gr)} rows)"
+        try:
+            got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+            diag = compare(got, want)
+        except Exception as e:
+            # the driver's sorter crashes the same way on array columns
+            results[name] = f"HARNESS-ERROR: {type(e).__name__}: {e}"
+            continue
+        results[name] = diag if diag else f"OK ({len(got)} rows)"
 
-    # queries without an oracle: rows-only check
+    # queries without an oracle: rows-only check — but the driver still
+    # runs its sorter over the output, so an unhashable column must fail
+    # here too (r2's m2 crashed exactly there despite having no oracle)
     for pq in sorted(Path(outdir).iterdir()):
         if pq.is_dir() and pq.name not in oracle:
-            n = con.execute(f"SELECT count(*) FROM '{pq}/*.parquet'").fetchone()[0]
+            try:
+                df = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+                canon_df(df)
+            except Exception as e:
+                results[pq.name] = f"HARNESS-ERROR: {type(e).__name__}: {e}"
+                continue
+            n = len(df)
             results[pq.name] = f"ROWS-ONLY ({n} rows)" if n > 0 else "ROWS-ONLY-EMPTY!"
 
     ok = all(v.startswith(("OK", "ROWS-ONLY (")) for v in results.values())

@@ -31,6 +31,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // CacheManager matches canonicalized plans, so a persist() left over
+      // from an earlier pass (or an earlier query — d6 rebuilds d1/d2's
+      // relations) would silently skip the whole candidate-generation
+      // stage. Clear so every timing covers the full operator, cold-cache.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
@@ -41,8 +46,9 @@ object Bench {
     val pass2 = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
     val results = pass1.map { case (n, t1) =>
       val t2 = pass2(n)
-      // a failed run (-1) must not masquerade as the fastest
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      // either pass failing must surface as -1, not hide behind the
+      // successful pass's time
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

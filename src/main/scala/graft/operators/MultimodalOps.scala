@@ -79,10 +79,13 @@ object MultimodalOps {
     * Dataset batch path — the Scala analog of `mapInPandas`: one function
     * invocation per PARTITION (not per row), iterator-in/iterator-out, so
     * a real codec could amortize model/codec init per batch. Emits typed
-    * metadata plus a fixed-width feature vector. */
+    * metadata plus the fixed-width feature vector flattened to 16 rounded
+    * scalar columns `f0..f15` — every output column scalar/hashable (an
+    * array column crashes the driver's pandas sorter, r2 `err` row) and
+    * the whole row DuckDB-oracle-checkable. */
   def m2ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])]
+    val decoded = withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would live here (codec handles, model weights)
         it.map { case (id, bytes) =>
@@ -91,6 +94,35 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "width", "height", "channels", "features")
+    val bins = (0 until 16).map(i => round($"features".getItem(i), 6).as(s"f$i"))
+    decoded.select(Seq($"doc_id", $"width", $"height", $"channels") ++ bins: _*)
+  }
+
+  // m2's stub semantics over the ASCII payload: width/height from the first
+  // two bytes (= codepoints), and the 16-bin high-nibble byte histogram as
+  // SUM(CASE)s over the per-character unnest — same technique as m3's
+  // oracle. LEFT JOIN keeps zero-length payloads (hist would drop them).
+  private val m2Sql = {
+    val bins = (0 until 16).map(i =>
+      s"round(COALESCE(h.c$i, 0) / greatest(1, length(d.text)), 6) AS f$i")
+      .mkString(",\n  ")
+    val counts = (0 until 16).map(i =>
+      s"CAST(SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS DOUBLE) AS c$i")
+      .mkString(",\n    ")
+    s"""WITH hist AS (
+       |  SELECT doc_id,
+       |    $counts
+       |  FROM (SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin
+       |        FROM documents, UNNEST(generate_series(1, length(text))) AS t(i))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(1 + (CASE WHEN length(d.text) >= 1
+       |            THEN ascii(substr(d.text, 1, 1)) ELSE 0 END) % 64 AS INT) AS width,
+       |  CAST(1 + (CASE WHEN length(d.text) >= 2
+       |            THEN ascii(substr(d.text, 2, 1)) ELSE 0 END) % 64 AS INT) AS height,
+       |  CAST(3 AS INT) AS channels,
+       |  $bins
+       |FROM documents d LEFT JOIN hist h USING (doc_id)""".stripMargin
   }
 
   /** m3: frame sampling — every 32nd byte of the payload as a "frame",
@@ -120,5 +152,6 @@ object MultimodalOps {
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
+    "m2_image_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql)
 }

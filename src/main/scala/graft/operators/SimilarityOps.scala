@@ -189,10 +189,60 @@ object SimilarityOps {
       .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
   }
 
+  /** Recall bounds asserted by [[s2AnnIvfChecked]], sized from measured
+    * behavior on the real corpus (nprobe=4 of k=16 cells; histograms in
+    * SCALING.md): mean recall@5 over the 20 queries is 0.80 / 0.82 / 0.89
+    * at sf0.001 / 0.01 / 0.1 with a per-query minimum of 1 hit (random
+    * high-dim embeddings put some exact neighbors right on cell
+    * boundaries — per-query recall is inherently heavy-tailed, which is
+    * why the hard bound is on the MEAN). A broken quantizer/probe scores
+    * ~0.25 mean (4/16 random cells) and 0 hits on many queries — far
+    * below both bounds. */
+  val MeanRecallBound = 0.6
+  val PerQueryMinHits = 1
+
+  /** s2 as registered for the driver's correctness gate. IVF ranking
+    * itself is not SQL-expressible (k-means state), so — mirroring the
+    * sketch-boolean pattern of [[SketchOps]] — the registered output is
+    * the EXACT top-k rows (s1's plan, the oracle anchor) plus a
+    * `recall_ok` boolean asserting the IVF ranking recovered every query
+    * to >= [[PerQueryMinHits]] AND >= [[MeanRecallBound]] of the exact
+    * top-K on average. A broken quantizer/probe flips the boolean and
+    * fails the driver's hash compare, so the check is a hard signal; the
+    * raw approximate ranking stays available via [[s2AnnIvf]]. */
+  def s2AnnIvfChecked(s: SparkSession, dir: String): DataFrame =
+    recallChecked(s1CosineTopk(s, dir), s2AnnIvf(s, dir))
+
+  /** Exact top-k rows + recall booleans vs the given approx ranking.
+    * Factored out so the spec can refute it with a sabotaged approx. The
+    * global window runs on the 20-row per-query relation, not the corpus. */
+  private[graft] def recallChecked(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("mean_recall",
+        avg(col("n_hits").cast("double") / K).over(Window.partitionBy()))
+      .select(col("query_id"),
+        (col("n_hits") >= PerQueryMinHits &&
+          col("mean_recall") >= MeanRecallBound).as("recall_ok"))
+    exact.join(perQuery, Seq("query_id"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"),
+        col("recall_ok"))
+  }
+
+  private val s2Sql =
+    s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
+       |FROM ($s1Sql)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopk _,
-    "s2_ann_ivf" -> ((s, d) => s2AnnIvf(s, d)))
+    "s2_ann_ivf" -> s2AnnIvfChecked _)
 
   val oracleSql: Map[String, String] = Map(
-    "s1_cosine_topk" -> s1Sql)
+    "s1_cosine_topk" -> s1Sql,
+    "s2_ann_ivf" -> s2Sql)
 }

@@ -182,11 +182,14 @@ object TextOps {
         count(lit(1)).as("docs"))
   }
 
+  // CAST(SUM(..) AS BIGINT): DuckDB's SUM over integers returns HUGEINT
+  // (int128), which the driver materializes as float64 — dtype-mismatching
+  // Spark's bigint even when values are equal (r2 red row).
   private val t4Sql =
     s"""SELECT source,
-       |  SUM(len(string_split(text, ' '))) AS ws_tokens,
-       |  SUM(len(regexp_extract_all(text, '$TokenRe'))) AS re_tokens,
-       |  SUM(length(text)) AS total_chars,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text, '$TokenRe'))) AS BIGINT) AS re_tokens,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        |  COUNT(*) AS docs
        |FROM documents GROUP BY 1""".stripMargin
 

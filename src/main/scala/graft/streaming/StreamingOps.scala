@@ -95,8 +95,10 @@ object StreamingOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS UNBOUNDED PRECEDING) AS session_no
+      |    -- CAST: DuckDB window SUM over INT yields HUGEINT -> float64 in
+      |    -- the driver, dtype-mismatching Spark's bigint (r2 red row).
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       |  FROM flagged)
       |SELECT user_id, session_no, COUNT(*) AS n_events,
       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end

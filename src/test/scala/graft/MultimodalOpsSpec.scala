@@ -33,15 +33,20 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
-  test("m2: typed feature schema with fixed width and valid meta ranges") {
+  test("m2: scalar feature columns f0..f15, L1-normalized, valid meta ranges") {
     val df = MultimodalOps.m2ImageFeatures(spark, sf)
     assert(df.columns.toSeq ===
-      Seq("doc_id", "width", "height", "channels", "features"))
+      Seq("doc_id", "width", "height", "channels") ++ (0 until 16).map(i => s"f$i"))
+    // every column scalar — an array column crashes the driver's sorter
+    assert(df.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
     val rows = df.collect()
     assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
     rows.foreach { r =>
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 64)
-      assert(r.getAs[Seq[Double]]("features").length === 16)
+      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 64)
+      val l1 = (0 until 16).map(i => r.getAs[Double](s"f$i")).sum
+      assert(math.abs(l1 - 1.0) < 16 * 5e-7, s"L1 after rounding = $l1")
     }
   }
 

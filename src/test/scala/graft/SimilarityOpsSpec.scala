@@ -62,4 +62,25 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(res.nonEmpty)
     assert(res.forall(_ <= SimilarityOps.K))
   }
+
+  test("s2 checked: exact top-k rows, recall_ok true on the real corpus") {
+    val rows = SimilarityOps.s2AnnIvfChecked(spark, sf)
+      .select($"query_id", $"rnk", $"recall_ok")
+      .as[(Long, Int, Boolean)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach(r => assert(r.length === SimilarityOps.K))
+    assert(rows.forall(_._3), "IVF recall below bound on the real corpus")
+  }
+
+  test("s2 checked: recall_ok flips false when the approx side is broken") {
+    // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
+    // turn every recall_ok false — proves the boolean is a live signal.
+    val exact = SimilarityOps.s1CosineTopk(spark, sf)
+    val bogus = exact.withColumn("neighbor_id", -$"neighbor_id" - 1)
+    val flags = SimilarityOps.recallChecked(exact, bogus)
+      .select($"recall_ok").as[Boolean].collect()
+    assert(flags.nonEmpty)
+    assert(flags.forall(_ == false))
+  }
 }
