@@ -134,11 +134,13 @@ object ReferenceQueries {
     * in-partition Gauss-Jordan, and self-checked against M·M⁻¹ = I. Pure
     * narrow map — no shuffle, scales linearly.
     *
-    * The inverse itself is not SQL-expressible in DuckDB, so the oracle
-    * checks the verifiable projection: every vec_id present exactly once
-    * with the M·M⁻¹ ≈ I self-check true — a wrong inverse flips `inv_ok`
-    * and the hash. The full trace values are golden-tested in
-    * ReferenceQueriesSpec. */
+    * The oracle is self-contained (full-trace form): alongside the
+    * M·M⁻¹ ≈ I boolean it emits `inv_trace` = round(trace(A⁻¹), 6), which
+    * DuckDB reproduces in closed form — trace(A⁻¹) = Σᵢ Mᵢᵢ / det(A) with
+    * the principal minors and determinant expanded via generated Leibniz
+    * SQL ([[q3DetSql]]). A wrong inverse flips the boolean AND the trace
+    * values, so the hash check pins the actual numbers, not just the
+    * self-check. */
   def q3MatrixInverse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 4
@@ -147,14 +149,43 @@ object ReferenceQueries {
       val a = Array.tabulate(n, n) { (i, j) =>
         vec(i * n + j).toDouble + (if (i == j) 8.0 else 0.0) }
       val inv = MatrixOps.gaussJordanInverse(a)
-      MatrixOps.maxAbsErrorVsIdentity(a, inv) < 1e-9
+      (MatrixOps.maxAbsErrorVsIdentity(a, inv) < 1e-9, MatrixOps.trace(inv))
     }
     Tables.embeddings(s, dir)
-      .select($"vec_id", invert($"embedding").as("inv_ok"))
+      .select($"vec_id", invert($"embedding").as("r"))
+      .select($"vec_id", $"r._1".as("inv_ok"), round($"r._2", 6).as("inv_trace"))
   }
 
-  private val q3MatrixInverseSql =
-    "SELECT vec_id, true AS inv_ok FROM embeddings"
+  /** DuckDB entry expression for A(i,j) = embedding[i*4+j] + 8·[i=j]
+    * (1-indexed list extract; FLOAT→DOUBLE cast is exact, matching the
+    * Scala side's Float.toDouble). */
+  private def q3EntrySql(i: Int, j: Int): String = {
+    val e = s"CAST(embedding[${i * 4 + j + 1}] AS DOUBLE)"
+    if (i == j) s"($e + 8.0)" else e
+  }
+
+  /** Leibniz-expansion determinant SQL over the given row/col index sets
+    * (k! signed products — 24 terms for the 4×4, 6 per 3×3 minor). */
+  private def q3DetSql(rows: Seq[Int], cols: Seq[Int]): String =
+    cols.permutations.map { perm =>
+      val inversions = (for {
+        a <- perm.indices; b <- a + 1 until perm.length if perm(a) > perm(b)
+      } yield 1).sum
+      val sign = if (inversions % 2 == 0) "+" else "-"
+      val prod = rows.indices.map(r => q3EntrySql(rows(r), perm(r))).mkString(" * ")
+      s"$sign $prod"
+    }.mkString(" ")
+
+  private val q3MatrixInverseSql = {
+    val all = 0 until 4
+    val det = q3DetSql(all, all)
+    val minors = all
+      .map(i => s"(${q3DetSql(all.filterNot(_ == i), all.filterNot(_ == i))})")
+      .mkString(" + ")
+    s"""SELECT vec_id, true AS inv_ok,
+       |  round(($minors) / ($det), 6) AS inv_trace
+       |FROM embeddings""".stripMargin
+  }
 
   /** Q4: canonical word-count over documents (Simple.pm:612). explode+split
     * stays in whole-stage codegen; the groupBy shuffles only (word, partial
@@ -206,17 +237,18 @@ object ReferenceQueries {
   def mrQ3MatrixInverse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 4
-    val rows = Engine.mapReduce[(Long, Seq[Float]), Seq[(Long, Boolean)], Seq[(Long, Boolean)]](
+    val rows = Engine.mapReduce[(Long, Seq[Float]), Seq[(Long, Boolean, Double)], Seq[(Long, Boolean, Double)]](
       Tables.embeddings(s, dir).select($"vec_id", $"embedding").as[(Long, Seq[Float])],
       it => it.map { case (id, vec0) =>
         val vec = vec0.toArray
         val a = Array.tabulate(n, n) { (i, j) =>
           vec(i * n + j).toDouble + (if (i == j) 8.0 else 0.0) }
         val inv = MatrixOps.gaussJordanInverse(a)
-        id -> (MatrixOps.maxAbsErrorVsIdentity(a, inv) < 1e-9)
+        (id, MatrixOps.maxAbsErrorVsIdentity(a, inv) < 1e-9, MatrixOps.trace(inv))
       }.toSeq,
       parts => parts.flatten)
-    rows.toDF("vec_id", "inv_ok")
+    rows.toDF("vec_id", "inv_ok", "raw_trace")
+      .select($"vec_id", $"inv_ok", round($"raw_trace", 6).as("inv_trace"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,6 +300,13 @@ private[graft] object MatrixOps {
       col += 1
     }
     Array.tabulate(n, n)((i, j) => a(i)(n + j))
+  }
+
+  def trace(m: Array[Array[Double]]): Double = {
+    var t = 0.0
+    var i = 0
+    while (i < m.length) { t += m(i)(i); i += 1 }
+    t
   }
 
   def maxAbsErrorVsIdentity(
