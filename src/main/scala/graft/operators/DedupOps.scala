@@ -642,13 +642,131 @@ object DedupOps {
       |LEFT JOIN canon c ON d.doc_id = c.doc_id
       |LEFT JOIN drops dr ON d.doc_id = dr.doc_id""".stripMargin
 
+  // ------------------------------------- connected-components clustering
+
+  /** Iterative min-label propagation over an undirected edge list —
+    * GraphFrames-free connected components. Returns (node, cluster) for
+    * every node that appears in an edge; cluster = the component's min
+    * node id. Each iteration is one equi-join + min-aggregate, with the
+    * label relation persisted and the previous one unpersisted so the
+    * lineage cannot snowball; convergence is detected by counting changed
+    * labels (min-labels decrease monotonically, so termination is
+    * guaranteed in ≤ diameter iterations).
+    *
+    * Scale: per-iteration cost is one shuffle of (edge endpoints ×
+    * labels) — linear. Iteration COUNT is the graph diameter; near-dup
+    * clusters are shallow (a handful of hops), so propagation wins on
+    * constant factors. For adversarially deep graphs (million-link
+    * chains) the known fix is alternating large-star/small-star rounds
+    * (O(log n) rounds, same join primitive); this corpus never gets
+    * close, so the simple kernel is the shipped plan. */
+  private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = sym
+      .groupBy(col("src").as("node")).agg(min(col("dst")).as("nbl"))
+      .select(col("node"), least(col("node"), col("nbl")).as("lbl"))
+      .persist(lvl)
+    var changed = labels.count() // materialize; enter the loop
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = sym.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.withColumnRenamed("lbl", "old")
+        .join(nbr, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"))
+        .persist(lvl)
+      changed = next.where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter iterations " +
+        "(graph deeper than expected — switch to large-star/small-star)")
+    sym.unpersist()
+    labels
+  }
+
+  /** d7: transitive-closure dedup clustering — the case d6's greedy rule
+    * deliberately skips. Exact-dup groups collapse to their canonical,
+    * verified near-dup pairs among canonicals (d2 machinery) form the
+    * edge list, and [[connectedComponents]] labels every component with
+    * its min doc_id. Output: every document with its cluster id (via its
+    * canonical) and the transitive keep bit — keep exactly the cluster
+    * root, so A~B, B~C drops BOTH B and C even when A~C was never
+    * observed as a pair. */
+  def d7CcDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canonMap = docs.select(col("doc_id"),
+      min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256)))
+        .as("canon_id"))
+    val canonical = docs.join(
+      canonMap.where(col("doc_id") === col("canon_id")).select("doc_id"),
+      Seq("doc_id"))
+    val labels = connectedComponents(minhashPairs(canonical, 0.8))
+    canonMap
+      .join(labels.withColumnRenamed("node", "canon_id"), Seq("canon_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("canon_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Oracle: recursive-CTE transitive closure over the brute-force
+    * verified pair list (the oracle may brute-force; the engine must
+    * not). Cluster = min over the reachable set ∪ self. */
+  private val d7Sql =
+    """WITH RECURSIVE
+      |canonmap AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon_id
+      |  FROM documents),
+      |canon AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN canonmap m ON d.doc_id = m.doc_id AND m.doc_id = m.canon_id),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM canon),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM toks,
+      |  UNNEST(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2),
+      |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sz sa ON da = sa.doc_id
+      |  JOIN sz sb ON db = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+      |sym AS (SELECT da AS a, db AS b FROM edges
+      |        UNION SELECT db, da FROM edges),
+      |reach AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |  WHERE s.b <> r.a),
+      |comp AS (SELECT a AS node, least(a, min(b)) AS cluster
+      |         FROM reach GROUP BY a)
+      |SELECT m.doc_id,
+      |  COALESCE(c.cluster, m.canon_id) AS cluster_id,
+      |  m.doc_id = COALESCE(c.cluster, m.canon_id) AS keep
+      |FROM canonmap m
+      |LEFT JOIN comp c ON m.canon_id = c.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash_neardup" -> d3SimhashNeardup _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_embedding_neardup" -> d5EmbeddingNeardup _,
-    "d6_dedup_keep" -> d6DedupKeep _)
+    "d6_dedup_keep" -> d6DedupKeep _,
+    "d7_cc_dedup" -> d7CcDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -656,5 +774,6 @@ object DedupOps {
     "d3_simhash_neardup" -> simhashSql(0.8),
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
     "d5_embedding_neardup" -> d5Sql,
-    "d6_dedup_keep" -> d6Sql)
+    "d6_dedup_keep" -> d6Sql,
+    "d7_cc_dedup" -> d7Sql)
 }

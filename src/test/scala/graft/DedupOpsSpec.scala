@@ -120,6 +120,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.values.exists(identity) && got.values.exists(!_))
   }
 
+  test("connectedComponents: chain, separate components, convergence") {
+    // path 10-11-12-13-14 needs multi-hop propagation (diameter 4);
+    // {20,21} is a second component; 30-31-32 a triangle-free V shape
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (30L, 31L), (31L, 32L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("connectedComponents: empty edge list yields empty labels") {
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.connectedComponents(edges).count() === 0)
+  }
+
+  test("d7: cluster ids are component minima; keep set is within d6's") {
+    val got = DedupOps.d7CcDedup(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    // keep exactly when the doc IS its cluster root
+    got.foreach { case (id, cl, keep) =>
+      assert(cl <= id)
+      assert(keep === (id == cl))
+    }
+    // transitive closure can only drop MORE than the greedy pair rule
+    val d6Keep = DedupOps.d6DedupKeep(spark, sf)
+      .as[(Long, Boolean)].collect().filter(_._2).map(_._1).toSet
+    val d7Keep = got.filter(_._3).map(_._1).toSet
+    assert(d7Keep.subsetOf(d6Keep))
+    assert(d7Keep.nonEmpty)
+  }
+
   test("d5: sign-LSH recalls planted near-identical embeddings") {
     import DedupOps.SignLsh
     val rng = new scala.util.Random(11L)
