@@ -32,12 +32,17 @@ object StatefulOps {
   @inline private def micros(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
-  /** Streaming sessionization. Events within a group-state invocation are
-    * sorted by (ts, event_id) — Spark guarantees no cross-batch order, so
-    * the caller must use a watermark that keeps a session's events in one
-    * batch, or accept per-batch ordering (the spec feeds ordered batches).
-    * Emits CLOSED sessions; the final open session per user flushes on
-    * timeout. */
+  /** Streaming sessionization. Out-of-order tolerance, in two layers:
+    * events within a group-state invocation are sorted by (ts, event_id),
+    * and a LATE event arriving in a later batch merges into the running
+    * session with min/max endpoint widening — which is always correct,
+    * because a late event that survives the 30-minute watermark is
+    * provably within the gap of the running session (e >= watermark >=
+    * session_end − gap, and end ≥ start rules out a predating session).
+    * Events older than the watermark are dropped by Spark before the
+    * function sees them — the documented streaming/batch divergence every
+    * watermarked operator accepts. Emits CLOSED sessions; the final open
+    * session per user flushes on timeout. */
   def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessState]
@@ -63,7 +68,11 @@ object StatefulOps {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if micros(e.ts) - micros(s.end) <= GapUs =>
-                  cur = Some(s.copy(end = e.ts, n = s.n + 1))
+                  // min/max, not assignment: a late cross-batch event must
+                  // widen the session, never regress its endpoints
+                  val st = if (micros(e.ts) < micros(s.start)) e.ts else s.start
+                  val en = if (micros(e.ts) > micros(s.end)) e.ts else s.end
+                  cur = Some(s.copy(start = st, end = en, n = s.n + 1))
                 case Some(s) =>
                   closed += Session(userId, s.sessionNo, s.n, s.start, s.end)
                   cur = Some(SessState(s.sessionNo + 1, e.ts, e.ts, 1))

@@ -75,6 +75,66 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: shuffled within-batch order matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val b = 500L
+    // two sessions' worth of events, delivered in scrambled order in ONE batch
+    val evs = Seq(Ev(1L, ts(b + 70), 5L), Ev(1L, ts(b), 1L), Ev(1L, ts(b + 20), 3L),
+      Ev(1L, ts(b + 60), 4L), Ev(1L, ts(b + 10), 2L))
+    val stream = MemoryStream[Ev]
+    val q = StatefulOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_shuffled")
+      .outputMode("append").start()
+    try {
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+      val closed = spark.table("sess_shuffled")
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+      // batch twin on the same events: session 0 = {b, b+10, b+20}, closed
+      // by the 40-minute gap; session 1 stays open (not emitted)
+      val batchClosed = StreamingOps.sessionize(
+          evs.map(e => (e.user_id, e.ts, e.event_id))
+            .toDF("user_id", "ts", "event_id"))
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect()
+        .filter(_._2 == 0L).toSet
+      assert(closed === batchClosed)
+      assert(closed === Set((1L, 0L, 3L, ts(b), ts(b + 20))))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: late within-watermark events widen, never corrupt") {
+    implicit val sqlCtx = spark.sqlContext
+    val b = 1000L
+    val stream = MemoryStream[Ev]
+    val q = StatefulOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(Ev(1L, ts(b), 1L), Ev(1L, ts(b + 10), 2L))
+      q.processAllAvailable()
+      // watermark is now b+10-30 = b-20; both of these are LATE (older
+      // than max seen) but above the watermark: one inside the session
+      // span, one BEFORE the session start
+      stream.addData(Ev(1L, ts(b + 5), 3L), Ev(1L, ts(b - 15), 4L))
+      q.processAllAvailable()
+      // 50-minute gap closes the (widened) session
+      stream.addData(Ev(1L, ts(b + 60), 5L))
+      q.processAllAvailable()
+      val closed = spark.table("sess_late")
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+      // all four early events belong to ONE session spanning [b-15, b+10];
+      // the batch twin on the full event set agrees
+      val batchClosed = StreamingOps.sessionize(
+          Seq((1L, ts(b), 1L), (1L, ts(b + 10), 2L), (1L, ts(b + 5), 3L),
+            (1L, ts(b - 15), 4L), (1L, ts(b + 60), 5L))
+            .toDF("user_id", "ts", "event_id"))
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect()
+        .filter(_._2 == 0L).toSet
+      assert(closed === batchClosed)
+      assert(closed === Set((1L, 0L, 4L, ts(b - 15), ts(b + 10))))
+    } finally q.stop()
+  }
+
   test("st3: streaming and batch dedup emit the same distinct key set") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
