@@ -18,6 +18,7 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalQueries.queries ++ DedupOps.queries ++
       TextOps.queries ++ SimilarityOps.queries ++ SketchOps.queries ++
       MultimodalOps.queries ++ graft.streaming.StreamingOps.queries ++
+      graft.sources.Layouts.queries ++
       Map("sys_server_spec" -> ((s, _) => ClusterInfo.serverSpec(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++ DedupOps.oracleSql ++
       TextOps.oracleSql ++ SimilarityOps.oracleSql ++ SketchOps.oracleSql ++
-      MultimodalOps.oracleSql ++ graft.streaming.StreamingOps.oracleSql
+      MultimodalOps.oracleSql ++ graft.streaming.StreamingOps.oracleSql ++
+      graft.sources.Layouts.oracleSql
 }

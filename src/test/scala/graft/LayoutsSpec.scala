@@ -1,0 +1,41 @@
+package graft
+
+import graft.sources.{Layouts, Tables}
+import org.apache.spark.sql.functions._
+
+class LayoutsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("src1: partitioned scan prunes to exactly the two named sources") {
+    val q = Layouts.src1PartitionPrune(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected partition filters in:\n$plan")
+
+    // the layout has all 20 source directories on disk...
+    val root = new java.io.File(Layouts.documentsBySource(spark, sf))
+    val dirs = root.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source=")).toSet
+    assert(dirs.size === 20, s"layout dirs: $dirs")
+
+    // ...but execution touches files from only the two filtered ones
+    val touched = spark.read.parquet(root.toString)
+      .where($"source".isInCollection(Seq("src3", "src7")))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(touched.nonEmpty)
+    assert(touched.forall(f => f.contains("source=src3") || f.contains("source=src7")),
+      s"unpruned files read: ${touched.filterNot(f =>
+        f.contains("source=src3") || f.contains("source=src7")).toSeq}")
+
+    // pruned result equals the flat-table computation
+    val want = Tables.documents(spark, sf)
+      .where($"source".isInCollection(Seq("src3", "src7")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs"), sum(length($"text")).as("total_chars"),
+        min($"doc_id").as("min_doc_id"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val got = q.as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.size === 2)
+  }
+}
