@@ -666,11 +666,19 @@ object DedupOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
+    // Eager localCheckpoint, NOT persist: each round references the label
+    // relation twice (directly + under the neighbor join), so a cached-but-
+    // lineage-carrying plan DOUBLES per round — an exponential Catalyst
+    // tree by round ~15 (OOMs the planner; found by the random-graph
+    // property spec). Checkpointing truncates the logical plan to the
+    // materialized rows; superseded checkpoint blocks are released by the
+    // ContextCleaner once the old DataFrame is unreferenced. On a real
+    // cluster prefer `checkpoint()` to a reliable dir for fault tolerance.
     var labels = sym
       .groupBy(col("src").as("node")).agg(min(col("dst")).as("nbl"))
       .select(col("node"), least(col("node"), col("nbl")).as("lbl"))
-      .persist(lvl)
-    var changed = labels.count() // materialize; enter the loop
+      .localCheckpoint(true)
+    var changed = labels.count() // 0 on an empty graph: skip the loop
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbr = sym.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -679,9 +687,8 @@ object DedupOps {
         .join(nbr, Seq("node"), "left")
         .select(col("node"), col("old"),
           least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"))
-        .persist(lvl)
+        .localCheckpoint(true)
       changed = next.where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }

@@ -132,6 +132,34 @@ class DedupOpsSpec extends SparkSpec {
       14L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("connectedComponents matches union-find on seeded random graphs") {
+    val rng = new scala.util.Random(99L)
+    for (trial <- 0 until 6) {
+      val n = 20 + trial * 15
+      val m = n / 2 + rng.nextInt(n) // below + around the connectivity knee
+      val edges = Seq.fill(m) {
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        if (a == b) (a, (b + 1) % n) else (a, b)
+      }
+      // union-find ground truth over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = touched.map(v => v -> {
+        // component min among TOUCHED nodes (isolated ids never enter CC)
+        val root = find(v.toInt)
+        touched.filter(u => find(u.toInt) == root).min
+      }).toMap
+      val got = DedupOps.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial=$trial n=$n m=$m")
+    }
+  }
+
   test("connectedComponents: empty edge list yields empty labels") {
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupOps.connectedComponents(edges).count() === 0)
