@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Encodes the shuffle/broadcast claims the scaladocs and SCALING.md make
+  * as regression-proof assertions on the physical plans — the difference
+  * between "the plan was right when reviewed" and "the plan is still
+  * right". Counting `Exchange hashpartitioning` occurrences counts
+  * SHUFFLES; `BroadcastExchange` is the cheap kind and counted separately.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q1_agg: partial+final aggregation over exactly one shuffle") {
+    val p = plan("q1_agg")
+    assert(shuffles(p) === 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q5_join_broadcast: dims broadcast — no shuffle-family join") {
+    val p = plan("q5_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q9_topk: TakeOrderedAndProject, never a global sort") {
+    val p = plan("q9_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s1: query set broadcast; the only shuffle is the per-query top-k") {
+    val p = plan("s1_cosine_topk")
+    // the != self-pair condition makes this a BroadcastNestedLoopJoin —
+    // dense scoring of every (query, corpus) pair against the 20-row
+    // broadcast side, which IS the operator's semantics
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(shuffles(p) === 1, s"corpus side must not shuffle:\n$p")
+  }
+
+  test("narrow text/multimodal maps shuffle nothing at all") {
+    for (q <- Seq("t1_text_stats", "t3_quality_score", "m1_binary_meta")) {
+      val p = plan(q)
+      assert(shuffles(p) === 0, s"$q must be a pure narrow map:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q should not need a join:\n$p")
+    }
+  }
+
+  test("st2: both windows and the session aggregate share one user_id shuffle") {
+    val p = plan("st2_sessionize")
+    assert(shuffles(p) === 1,
+      s"windows + groupBy must reuse the user_id partitioning:\n$p")
+  }
+}
