@@ -306,6 +306,59 @@ object RelationalQueries {
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) - 1 AS prior_1h_cnt
       |FROM events""".stripMargin
 
+  /** Pivot domain passed explicitly: a dynamic pivot needs a full
+    * discovery scan before planning and produces an unstable schema — at
+    * 100 TB you always pass the (known) domain. Explicit values also pin
+    * the output columns the oracle matches by name. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q16: pivot — per user-cohort event counts, one column per event
+    * type. Plans as a single partial+final aggregate over
+    * (cohort × 5 CASE counters): one shuffle of 10 rows × 5 ints, no
+    * wide intermediate. Absent cells coalesce to 0 on both sides. */
+  def q16Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir)
+      .select(pmod($"user_id", lit(10)).as("cohort"), $"event_type")
+      .groupBy($"cohort")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(($"cohort" +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+  }
+
+  private val q16Sql = {
+    val cols = EventTypes.map(t =>
+      s"CAST(COALESCE(SUM(CASE WHEN event_type = '$t' THEN 1 END), 0) AS BIGINT) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT user_id % 10 AS cohort,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** q17: full cube over (returnflag, linestatus) with the standard
+    * `grouping_id` disambiguator (0 = detail row … 3 = grand total —
+    * same bit order as SQL-standard GROUPING). Catalyst plans cube as
+    * one Expand (4 grouping sets) + partial+final aggregate — rows
+    * shuffled = groups × sets, not input × sets. */
+  def q17Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+        $"gid", $"sum_qty", $"cnt")
+  }
+
+  private val q17Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -317,7 +370,9 @@ object RelationalQueries {
     "q12_setops" -> q12SetOps _,
     "q13_scalar_battery" -> q13ScalarBattery _,
     "q14_asof_join" -> q14AsofJoin _,
-    "q15_range_lookback" -> q15RangeLookback _)
+    "q15_range_lookback" -> q15RangeLookback _,
+    "q16_pivot" -> q16Pivot _,
+    "q17_cube" -> q17Cube _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -330,5 +385,7 @@ object RelationalQueries {
     "q12_setops" -> q12Sql,
     "q13_scalar_battery" -> q13Sql,
     "q14_asof_join" -> q14Sql,
-    "q15_range_lookback" -> q15Sql)
+    "q15_range_lookback" -> q15Sql,
+    "q16_pivot" -> q16Sql,
+    "q17_cube" -> q17Sql)
 }

@@ -26,6 +26,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q16: pivot cells sum back to the per-cohort event totals") {
+    val rows = RelationalQueries.q16Pivot(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 10)
+    val cellTotal = rows.map(r => r._2 + r._3 + r._4 + r._5 + r._6).sum
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(cellTotal === total, "pivot must partition the events exactly")
+    // spot-check one cell against a direct filter
+    val c0clicks = graft.sources.Tables.events(spark, sf)
+      .where(pmod($"user_id", lit(10)) === 0 && $"event_type" === "click").count()
+    assert(rows.find(_._1 == 0L).get._2 === c0clicks)
+  }
+
+  test("q17: cube grouping ids partition the rows; grand total matches") {
+    val rows = RelationalQueries.q17Cube(spark, sf)
+      .select($"gid", $"rflag", $"lstatus", $"cnt")
+      .as[(Int, String, String, Long)].collect()
+    val byGid = rows.groupBy(_._1)
+    assert(byGid.keySet === Set(0, 1, 2, 3))
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    // every grouping set partitions the input: counts per gid all sum to total
+    byGid.values.foreach(g => assert(g.map(_._4).sum === total))
+    // gid bit order: 1 = linestatus rolled up, 2 = returnflag rolled up
+    assert(byGid(1).forall(r => r._3 == "ALL" && r._2 != "ALL"))
+    assert(byGid(2).forall(r => r._2 == "ALL" && r._3 != "ALL"))
+    assert(byGid(3) === Array((3, "ALL", "ALL", total)).toSeq)
+  }
+
   test("q15: range lookback counts match a brute-force window scan") {
     val byUser = events.groupBy(_._2)
     val expected = events.map { e =>
