@@ -238,11 +238,77 @@ object SimilarityOps {
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
        |FROM ($s1Sql)""".stripMargin
 
+  // ----------------------------------------- IVF as a storage layout (s3)
+
+  private val layoutWritten = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Path of the cell-partitioned copy of `embeddings` — the corpus
+    * bucketed ONCE by nearest centroid and written `partitionBy("cell")`,
+    * exactly the layout SCALING.md prescribes for IVF at 100 TB. Written
+    * on first use per (testdata dir, JVM); deterministic content (seeded
+    * quantizer), so reuse mirrors the one-time index build it stands for. */
+  private[graft] def embeddingsByCell(s: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): String =
+    layoutWritten.getOrElseUpdate(dir, {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_emb_by_cell_" + Integer.toHexString(dir.hashCode)).toString
+      Tables.embeddings(s, dir)
+        .withColumn("cell", nearestCell(col("embedding"), centroids))
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      out
+    })
+
+  /** s3: the online-serving ANN path — ONE query (vec_id 0) probed
+    * against the cell-partitioned layout. The probe's `cell IN (...)`
+    * predicate is a scan PartitionFilter, so only nprobe of k cell
+    * directories are listed and read (SimilarityOpsSpec asserts the
+    * touched files): at 100 TB the index IS the layout and a lookup
+    * reads ~nprobe/k of the corpus, no job-side filtering needed.
+    * Output shape and recall contract mirror [[s2AnnIvfChecked]],
+    * restricted to the single query. */
+  def s3AnnCellPruned(s: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = kmeans(emb, k, iters = 3)
+    val layout = embeddingsByCell(s, dir, centroids)
+
+    val one = emb.where($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val probes = one.select($"query_id", $"q_emb",
+      explode(slice(sort_array(array(cellScores($"q_emb", centroids): _*),
+        asc = false), 1, nprobe).getField("i")).as("cell"))
+    // The probed cell ids are data-independent of the corpus scan (they
+    // come from the quantizer + ONE query row) — collecting them makes
+    // the IN-list a literal the scan can prune partitions with.
+    val cells = probes.select($"cell").as[Int].collect().toSeq
+    val corpus = s.read.parquet(layout)
+      .where($"cell".isInCollection(cells))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val sims = corpus.join(broadcast(one), $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    val approx = sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= K)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+    recallChecked(
+      s1CosineTopk(s, dir).where($"query_id" === 0), approx)
+  }
+
+  private val s3Sql =
+    s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
+       |FROM ($s1Sql) WHERE query_id = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopk _,
-    "s2_ann_ivf" -> s2AnnIvfChecked _)
+    "s2_ann_ivf" -> s2AnnIvfChecked _,
+    "s3_ann_cell_pruned" -> ((s, d) => s3AnnCellPruned(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
-    "s2_ann_ivf" -> s2Sql)
+    "s2_ann_ivf" -> s2Sql,
+    "s3_ann_cell_pruned" -> s3Sql)
 }

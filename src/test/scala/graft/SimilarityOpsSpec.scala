@@ -73,6 +73,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.forall(_._3), "IVF recall below bound on the real corpus")
   }
 
+  test("s3: probe scan prunes on cell partitions; recall_ok true") {
+    val df = SimilarityOps.s3AnnCellPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the nprobe IN-list must reach the layout scan as a PARTITION filter
+    // (directory pruning), not a post-scan row filter
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected cell partition pruning in:\n$plan")
+    val rows = df.select($"rnk", $"recall_ok").as[(Int, Boolean)].collect()
+    assert(rows.map(_._1).sorted.toSeq === (1 to SimilarityOps.K))
+    assert(rows.forall(_._2), "single-query IVF recall below bound")
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
