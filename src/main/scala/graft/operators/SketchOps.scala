@@ -68,11 +68,43 @@ object SketchOps {
       |  TRUE AS sketch_within_2pct
       |FROM events GROUP BY 1""".stripMargin
 
+  /** k3: heavy hitters via count-min sketch — the top-5 users by event
+    * count, each with the exact count and a boolean asserting the CMS
+    * estimate landed inside its guarantee (est ≥ exact always; est ≤
+    * exact + 2·eps·N at ≥99% confidence, seeded → deterministic). The
+    * sketch is the point at 100 TB: a (depth × width) integer grid built
+    * in one mergeable pass — frequency queries without shuffling distinct
+    * keys. The two driver-side materializations are both bounded: the
+    * sketch itself (~20 KB by construction — Spark's `stat.countMinSketch`
+    * API returns it to the driver) and the top-5 row set. */
+  def k3CmsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val eps = 0.005
+    val total = ev.count()
+    val cms = ev.stat.countMinSketch($"user_id", eps, 0.99, 7077)
+    val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"user_id".asc).limit(5)
+      .as[(Long, Long)].collect() // bounded: exactly 5 rows
+    top.toSeq.map { case (uid, exact) =>
+      val est = cms.estimateCount(uid)
+      (uid, exact,
+        est >= exact && est <= exact + math.max(1L, (2 * eps * total).toLong))
+    }.toDF("user_id", "exact_cnt", "cms_within_bound")
+  }
+
+  private val k3Sql =
+    """SELECT user_id, COUNT(*) AS exact_cnt, TRUE AS cms_within_bound
+      |FROM events GROUP BY 1
+      |ORDER BY exact_cnt DESC, user_id LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_hll_distinct" -> k1HllDistinct _,
-    "k2_quantile_sketch" -> k2QuantileSketch _)
+    "k2_quantile_sketch" -> k2QuantileSketch _,
+    "k3_cms_topk" -> k3CmsTopk _)
 
   val oracleSql: Map[String, String] = Map(
     "k1_hll_distinct" -> k1Sql,
-    "k2_quantile_sketch" -> k2Sql)
+    "k2_quantile_sketch" -> k2Sql,
+    "k3_cms_topk" -> k3Sql)
 }

@@ -250,13 +250,63 @@ object TextOps {
       |      FROM documents)
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- t7 repetition ratios
+
+  /** Word n-grams as strings (shares the windowed-slice shape of
+    * [[DedupOps.shingles]] — safe against the CollapseProject per-element
+    * re-eval trap); docs shorter than n fall back to one whole-text gram,
+    * giving ratio 0. */
+  private def grams(w: Column, n: Int, text: Column): Column =
+    if (n == 1) w
+    else when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array(text))
+
+  /** t7: repetition ratios — the Gopher-style duplicate-n-gram filter.
+    * rep_n = fraction of n-gram OCCURRENCES that are repeats
+    * (1 − distinct/total) for n = 1..3; `repetitive` flags rep2 > 0.2,
+    * the templated/boilerplate band. Pure narrow map (per-row array
+    * expressions, no shuffle) — this runs in the same first pass over raw
+    * text as t3's rule battery. */
+  def t7Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    def rep(n: Int): Column = {
+      val g = grams(w, n, $"text")
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
+    }
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      rep(1).as("rep1"), rep(2).as("rep2"), rep(3).as("rep3"),
+      (rep(2) > 0.2).as("repetitive"))
+  }
+
+  private val t7Sql = {
+    def g(n: Int): String =
+      if (n == 1) "string_split(text, ' ')"
+      else s"""CASE WHEN len(string_split(text, ' ')) >= $n
+              | THEN list_transform(generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+              |   i -> array_to_string(string_split(text, ' ')[i : i + ${n - 1}], ' '))
+              | ELSE [text] END""".stripMargin.replaceAll("\n", "")
+    def rep(n: Int): String =
+      s"round(1.0 - CAST(len(list_distinct(${g(n)})) AS DOUBLE) / len(${g(n)}), 6)"
+    s"""SELECT doc_id,
+       |  ${rep(1)} AS rep1,
+       |  ${rep(2)} AS rep2,
+       |  ${rep(3)} AS rep3,
+       |  ${rep(2)} > 0.2 AS repetitive
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
     "t4_token_count" -> t4TokenCount _,
     "t5_fingerprint" -> t5Fingerprint _,
-    "t6_hash_split" -> t6HashSplit _)
+    "t6_hash_split" -> t6HashSplit _,
+    "t7_repetition" -> t7Repetition _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
@@ -264,5 +314,6 @@ object TextOps {
     "t3_quality_score" -> t3Sql,
     "t4_token_count" -> t4Sql,
     "t5_fingerprint" -> t5Sql,
-    "t6_hash_split" -> t6Sql)
+    "t6_hash_split" -> t6Sql,
+    "t7_repetition" -> t7Sql)
 }

@@ -3,6 +3,7 @@ package graft
 import graft.operators.SketchOps
 
 class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("k1: HLL distinct lands within its 5% bound on every group") {
     val rows = SketchOps.k1HllDistinct(spark, sf).collect()
@@ -21,5 +22,19 @@ class SketchOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("sketch_within_2pct"))
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))
     }
+  }
+
+  test("k3: exactly 5 heavy hitters, descending, CMS inside its bound") {
+    val rows = SketchOps.k3CmsTopk(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_._3), "CMS estimate escaped its guarantee")
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // cross-check the top entry against a direct filter
+    val top = rows.head
+    val direct = graft.sources.Tables.events(spark, sf)
+      .where($"user_id" === top._1).count()
+    assert(direct === top._2)
   }
 }

@@ -74,4 +74,27 @@ class TextOpsSpec extends SparkSpec {
     val n = graft.sources.Tables.documents(spark, sf).count()
     assert(TextOps.t5Fingerprint(spark, sf).count() === n)
   }
+
+  test("t7: repetition ratios match a Scala recount; all in [0,1)") {
+    def rep(text: String, n: Int): Double = {
+      val w = text.split(" ", -1)
+      val g = if (n == 1) w.toSeq
+        else if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq(text)
+      BigDecimal(1.0 - g.distinct.size.toDouble / g.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val rows = TextOps.t7Repetition(spark, sf)
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.length === docs.size)
+    rows.foreach { case (id, r1, r2, r3, flag) =>
+      assert(r1 >= 0 && r1 < 1 && r2 >= 0 && r2 < 1 && r3 >= 0 && r3 < 1)
+      assert(r1 === rep(docs(id), 1), s"doc $id rep1")
+      assert(r2 === rep(docs(id), 2), s"doc $id rep2")
+      assert(r3 === rep(docs(id), 3), s"doc $id rep3")
+      assert(flag === (r2 > 0.2))
+    }
+  }
 }
