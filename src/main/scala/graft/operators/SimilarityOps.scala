@@ -250,9 +250,11 @@ object SimilarityOps {
   private[graft] def embeddingsByCell(s: SparkSession, dir: String,
       centroids: Array[Array[Double]]): String =
     layoutWritten.getOrElseUpdate(dir, {
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_emb_by_cell_" + Integer.toHexString(dir.hashCode)).toString
+      // under target/ (like Bench's output), keeping all writes inside
+      // the repo working directory
+      val out = java.nio.file.Paths.get("target",
+        "graft_emb_by_cell_" + Integer.toHexString(dir.hashCode))
+        .toAbsolutePath.toString
       Tables.embeddings(s, dir)
         .withColumn("cell", nearestCell(col("embedding"), centroids))
         .write.mode("overwrite").partitionBy("cell").parquet(out)

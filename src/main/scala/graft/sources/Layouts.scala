@@ -26,9 +26,11 @@ object Layouts {
     * mirrors the write-once table it stands in for. */
   def documentsBySource(s: SparkSession, dir: String): String =
     written.getOrElseUpdate(dir, {
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_docs_by_source_" + Integer.toHexString(dir.hashCode)).toString
+      // under target/ (like Bench's output), keeping all writes inside
+      // the repo working directory
+      val out = java.nio.file.Paths.get("target",
+        "graft_docs_by_source_" + Integer.toHexString(dir.hashCode))
+        .toAbsolutePath.toString
       Tables.documents(s, dir)
         .write.mode("overwrite").partitionBy("source").parquet(out)
       out
