@@ -158,6 +158,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bounded-state dedup: a key returning after watermark eviction re-emits") {
+    // Proves the documented trade behind st3's no-watermark choice: the
+    // bounded-state alternative (dropDuplicatesWithinWatermark) evicts key
+    // state once the watermark passes, so a late re-occurrence of the SAME
+    // key is emitted again — batch/stream agreement is lost, state is O(live
+    // window) instead of O(distinct keys). st3 keeps exact semantics; this
+    // spec keeps the alternative's price visible.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val deduped = stream.toDF.toDF("ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    val q = deduped.writeStream.format("memory").queryName("st_bounded")
+      .outputMode("append").start()
+    try {
+      val b = 100L
+      stream.addData((ts(b), 1L, "click"), (ts(b), 1L, "click")) // dup in-window
+      q.processAllAvailable()
+      // push the watermark far past b + 10min, evicting the key's state
+      stream.addData((ts(b + 120), 2L, "view"))
+      q.processAllAvailable()
+      // same key again, long after eviction -> emitted a second time
+      stream.addData((ts(b + 125), 1L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("st_bounded").as[(Long, String)].collect().toSeq
+      assert(got.count(_ == (1L, "click")) === 2,
+        s"expected the evicted key to re-emit, got $got")
+      assert(got.count(_ == (2L, "view")) === 1)
+    } finally q.stop()
+  }
+
   test("sys: serverSpec reports the local executor with cores > 0") {
     val rows = ClusterInfo.serverSpec(spark).collect()
     assert(rows.nonEmpty)
