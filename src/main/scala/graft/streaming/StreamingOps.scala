@@ -129,13 +129,66 @@ object StreamingOps {
   private val st3Sql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Attribution window for [[intervalJoin]] — purchases within 30
+    * minutes AFTER a click, exact microseconds (same unit discipline as
+    * sessionization). */
+  val AttributionUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Stream-stream interval join, written once for both modes: clicks
+    * joined to same-user purchases with 0 ≤ gap ≤ 30 min. In batch this
+    * is a user_id equi-join with the time bound as a post-join filter;
+    * on streams the SAME condition becomes Spark's watermarked
+    * stream-stream join — the time bound is what lets the join evict
+    * buffered rows once the watermark passes, so state is O(events in
+    * the live 30-minute window) per side, not O(stream). The caller
+    * supplies the two sides (batch: two filters of one table; streaming:
+    * two watermarked readStreams). */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    // The bound must be DIRECT timestamp comparisons (micros-exact, same
+    // semantics as an epoch_us gap test): that is the form Spark's
+    // stream-stream join recognizes as a state-eviction range condition.
+    c.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        // `div`, not `/`: Column./ is fractional even on longs; the
+        // oracle's // is BIGINT floor division
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_sec"))
+  }
+
+  /** st4: the interval join in batch mode over `events` — click→purchase
+    * attribution, the canonical stream-stream join workload. */
+  def st4IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    intervalJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"))
+  }
+
+  private val st4Sql =
+    """SELECT c.user_id,
+      |  c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+      |FROM events c
+      |JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
     "st2_sessionize" -> st2Sessionize _,
-    "st3_stream_dedup" -> st3StreamDedup _)
+    "st3_stream_dedup" -> st3StreamDedup _,
+    "st4_interval_join" -> st4IntervalJoin _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
     "st2_sessionize" -> st2Sql,
-    "st3_stream_dedup" -> st3Sql)
+    "st3_stream_dedup" -> st3Sql,
+    "st4_interval_join" -> st4Sql)
 }

@@ -158,6 +158,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("st4: watermarked stream-stream interval join agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val b = 200L
+    // (ts, event_type, user_id, event_id): user 1 has one in-window
+    // purchase (25m after click), one out-of-window (40m); user 2's
+    // purchase PRECEDES the click (must not match); user 3 click-only
+    val fixture = Seq(
+      (ts(b), "click", 1L, 1L), (ts(b + 25), "purchase", 1L, 2L),
+      (ts(b + 65), "purchase", 1L, 3L), // 65m after click 1: out of window
+      (ts(b + 10), "purchase", 2L, 4L), (ts(b + 20), "click", 2L, 5L),
+      (ts(b + 30), "click", 3L, 6L))
+    val cols = Seq("ts", "event_type", "user_id", "event_id")
+    val batch = fixture.toDF(cols: _*)
+    val want = StreamingOps.intervalJoin(
+        batch.where($"event_type" === "click"),
+        batch.where($"event_type" === "purchase"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want === Set((1L, 1L, 2L, 1500L))) // exactly the one attribution
+
+    val stream = MemoryStream[(Timestamp, String, Long, Long)]
+    stream.addData(fixture)
+    val src = stream.toDF.toDF(cols: _*)
+    val q = StreamingOps.intervalJoin(
+        src.where($"event_type" === "click").withWatermark("ts", "30 minutes"),
+        src.where($"event_type" === "purchase").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("st4_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st4_test")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("bounded-state dedup: a key returning after watermark eviction re-emits") {
     // Proves the documented trade behind st3's no-watermark choice: the
     // bounded-state alternative (dropDuplicatesWithinWatermark) evicts key
