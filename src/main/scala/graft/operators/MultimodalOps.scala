@@ -47,6 +47,14 @@ object MultimodalOps {
       * a video payload. */
     def frameSample(bytes: Array[Byte], stride: Int): Array[Int] =
       bytes.indices.by(stride).map(i => bytes(i) & 0xff).toArray
+
+    /** Nearest-neighbor "resize" to a fixed output length — the stand-in
+      * for image downscaling: output byte j = input byte at
+      * floor(j * len / outLen). Payloads shorter than `outLen` stay as-is
+      * (no upsampling), mirroring a real thumbnailer's no-op path. */
+    def resize(bytes: Array[Byte], outLen: Int): Array[Byte] =
+      if (bytes.length <= outLen) bytes
+      else Array.tabulate(outLen)(j => bytes((j.toLong * bytes.length / outLen).toInt))
   }
 
   private def withBlob(s: SparkSession, dir: String): DataFrame = {
@@ -145,13 +153,51 @@ object MultimodalOps {
       |FROM documents,
       |  UNNEST(generate_series(1, (length(text) + 31) // 32)) AS t(i)""".stripMargin
 
+  /** Output length for the m4 stub resize. */
+  private val ResizeLen = 64
+
+  /** m4: resize/downsample over the blob column — completes the
+    * decode / feature-extract / resize / frame-sample quartet. Same
+    * iterator-per-partition batch path as m2 (a real thumbnailer
+    * amortizes codec init identically); emits the sizes plus a digest of
+    * the resized payload so the transform's exact bytes are
+    * hash-checkable without an array column. */
+  def m4Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = FakeCodec.resize(bytes, ResizeLen)
+          (id, bytes.length, out.length,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(out).map(b => f"$b%02x").mkString)
+        }
+      }
+      .toDF("doc_id", "in_bytes", "out_bytes", "resized_md5")
+  }
+
+  // The resized payload over the ASCII corpus is the string of chars at
+  // positions floor(j*len/64) — reconstructed with a generate_series
+  // transform and md5'd, so the oracle pins the exact resized bytes.
+  private val m4Sql =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS in_bytes,
+       |  CAST(least(length(text), $ResizeLen) AS INT) AS out_bytes,
+       |  md5(CASE WHEN length(text) <= $ResizeLen THEN text
+       |      ELSE array_to_string(list_transform(generate_series(0, ${ResizeLen - 1}),
+       |             j -> substr(text, CAST((j * length(text)) // $ResizeLen AS INT) + 1, 1)), '')
+       |      END) AS resized_md5
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_image_features" -> m2ImageFeatures _,
-    "m3_frame_sample" -> m3FrameSample _)
+    "m3_frame_sample" -> m3FrameSample _,
+    "m4_resize" -> m4Resize _)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_image_features" -> m2Sql,
-    "m3_frame_sample" -> m3Sql)
+    "m3_frame_sample" -> m3Sql,
+    "m4_resize" -> m4Sql)
 }

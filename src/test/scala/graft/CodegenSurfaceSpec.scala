@@ -13,7 +13,8 @@ class CodegenSurfaceSpec extends SparkSpec {
     "q2_prime_sum",        // isPrime — no built-in primality
     "q3_matrix_inverse",   // Gauss-Jordan — no built-in linalg
     "m2_image_features",   // typed mapPartitions batch path (codec stub)
-    "m3_frame_sample")     // stub codec UDF
+    "m3_frame_sample",     // stub codec UDF
+    "m4_resize")           // typed mapPartitions batch path (codec stub)
 
   // mr_* run eagerly through Engine.mapReduce (RDD lambdas, not SQL UDFs)
   // and produce local results; they have no SQL plan to scan.

@@ -50,6 +50,24 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("m4: resize clamps to 64 bytes; short payloads pass through intact") {
+    val rows = MultimodalOps.m4Resize(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf), "doc_id")
+      .select($"in_bytes", $"out_bytes", $"resized_md5",
+        length($"text").as("len"), md5($"text").as("text_md5"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("in_bytes") === r.getAs[Int]("len"))
+      assert(r.getAs[Int]("out_bytes") === math.min(64, r.getAs[Int]("len")))
+      if (r.getAs[Int]("len") <= 64)
+        assert(r.getAs[String]("resized_md5") === r.getAs[String]("text_md5"))
+    }
+    // FakeCodec resize is nearest-neighbor on a known payload
+    val out = FakeCodec.resize("abcdefgh".getBytes("UTF-8"), 4)
+    assert(new String(out, "UTF-8") === "aceg")
+  }
+
   test("m3: frame count per doc is ceil(bytes/32)") {
     val got = MultimodalOps.m3FrameSample(spark, sf)
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
