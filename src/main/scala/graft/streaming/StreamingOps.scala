@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * watermark evicts closed windows, so state never grows with stream
   * length. Sessionization state is one running session per live user key,
   * evicted by timeout — the `mapGroupsWithState` path in
-  * [[StatefulOps.runningUserStats]].
+  * [[StatefulOps.sessionizeStream]].
   */
 object StreamingOps {
 
