@@ -692,10 +692,13 @@ object DedupOps {
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
+    // unpersist BEFORE the convergence check: a require-throw must not
+    // leave the 2×edges relation pinned in the executor store (callers
+    // like Bench catch and retry — each leaked copy would accumulate)
+    sym.unpersist()
     require(changed == 0,
       s"connectedComponents: not converged after $maxIter iterations " +
         "(graph deeper than expected — switch to large-star/small-star)")
-    sym.unpersist()
     labels
   }
 

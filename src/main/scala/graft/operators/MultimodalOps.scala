@@ -166,11 +166,13 @@ object MultimodalOps {
     import s.implicits._
     withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // per-partition init (the point of the batch path): one digest
+        // instance reused across the partition — digest() resets it
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val out = FakeCodec.resize(bytes, ResizeLen)
           (id, bytes.length, out.length,
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(out).map(b => f"$b%02x").mkString)
+            md.digest(out).map(b => f"$b%02x").mkString)
         }
       }
       .toDF("doc_id", "in_bytes", "out_bytes", "resized_md5")

@@ -215,8 +215,12 @@ object SimilarityOps {
 
   /** Exact top-k rows + recall booleans vs the given approx ranking.
     * Factored out so the spec can refute it with a sabotaged approx. The
-    * global window runs on the 20-row per-query relation, not the corpus. */
-  private[graft] def recallChecked(exact: DataFrame, approx: DataFrame): DataFrame = {
+    * global window runs on the 20-row per-query relation, not the corpus.
+    * `meanBound` is only meaningful over a multi-query set — single-query
+    * callers (s3) must pass 0.0 and rely on the per-query floor, per the
+    * heavy-tail analysis above. */
+  private[graft] def recallChecked(exact: DataFrame, approx: DataFrame,
+      minHits: Int = PerQueryMinHits, meanBound: Double = MeanRecallBound): DataFrame = {
     val hits = exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"))
@@ -227,8 +231,8 @@ object SimilarityOps {
       .withColumn("mean_recall",
         avg(col("n_hits").cast("double") / K).over(Window.partitionBy()))
       .select(col("query_id"),
-        (col("n_hits") >= PerQueryMinHits &&
-          col("mean_recall") >= MeanRecallBound).as("recall_ok"))
+        (col("n_hits") >= minHits &&
+          col("mean_recall") >= meanBound).as("recall_ok"))
     exact.join(perQuery, Seq("query_id"))
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"),
         col("recall_ok"))
@@ -240,26 +244,20 @@ object SimilarityOps {
 
   // ----------------------------------------- IVF as a storage layout (s3)
 
-  private val layoutWritten = scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Path of the cell-partitioned copy of `embeddings` — the corpus
     * bucketed ONCE by nearest centroid and written `partitionBy("cell")`,
     * exactly the layout SCALING.md prescribes for IVF at 100 TB. Written
-    * on first use per (testdata dir, JVM); deterministic content (seeded
-    * quantizer), so reuse mirrors the one-time index build it stands for. */
-  private[graft] def embeddingsByCell(s: SparkSession, dir: String,
+    * on first use per (k, testdata dir, JVM) via the shared write-once
+    * helper — k is part of the layout name because the cell assignment
+    * baked into the directories depends on the quantizer size.
+    * Deterministic content (seeded quantizer), so reuse mirrors the
+    * one-time index build it stands for. */
+  private[graft] def embeddingsByCell(s: SparkSession, dir: String, k: Int,
       centroids: Array[Array[Double]]): String =
-    layoutWritten.getOrElseUpdate(dir, {
-      // under target/ (like Bench's output), keeping all writes inside
-      // the repo working directory
-      val out = java.nio.file.Paths.get("target",
-        "graft_emb_by_cell_" + Integer.toHexString(dir.hashCode))
-        .toAbsolutePath.toString
+    graft.sources.Layouts.writeOncePartitioned(s"graft_emb_by_cell_k$k", dir, "cell") {
       Tables.embeddings(s, dir)
         .withColumn("cell", nearestCell(col("embedding"), centroids))
-        .write.mode("overwrite").partitionBy("cell").parquet(out)
-      out
-    })
+    }
 
   /** s3: the online-serving ANN path — ONE query (vec_id 0) probed
     * against the cell-partitioned layout. The probe's `cell IN (...)`
@@ -274,7 +272,7 @@ object SimilarityOps {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val centroids = kmeans(emb, k, iters = 3)
-    val layout = embeddingsByCell(s, dir, centroids)
+    val layout = embeddingsByCell(s, dir, k, centroids)
 
     val one = emb.where($"vec_id" === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
@@ -296,8 +294,11 @@ object SimilarityOps {
     val approx = sims.withColumn("rnk", row_number().over(w))
       .where($"rnk" <= K)
       .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
-    recallChecked(
-      s1CosineTopk(s, dir).where($"query_id" === 0), approx)
+    // single query: the 20-query mean bound does not apply (per-query
+    // recall is heavy-tailed by design) — the hard signal is the floor:
+    // a broken quantizer/probe recovers 0 of the exact top-K
+    recallChecked(s1CosineTopk(s, dir).where($"query_id" === 0), approx,
+      minHits = PerQueryMinHits, meanBound = 0.0)
   }
 
   private val s3Sql =

@@ -81,11 +81,16 @@ object SketchOps {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val eps = 0.005
-    val total = ev.count()
     val cms = ev.stat.countMinSketch($"user_id", eps, 0.99, 7077)
-    val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    // one aggregate pass serves both the top-5 and the total (for the
+    // error bound) — no separate full-corpus count()
+    val grouped = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = grouped
       .orderBy($"exact_cnt".desc, $"user_id".asc).limit(5)
       .as[(Long, Long)].collect() // bounded: exactly 5 rows
+    val total = grouped.agg(sum($"exact_cnt")).as[Long].collect()(0)
+    grouped.unpersist()
     top.toSeq.map { case (uid, exact) =>
       val est = cms.estimateCount(uid)
       (uid, exact,

@@ -20,21 +20,29 @@ object Layouts {
 
   private val written = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Path of the by-source partitioned copy of `documents`, written on
-    * first use per (testdata dir, JVM). Deterministic content — rewriting
-    * would produce identical rows — so reuse across queries/bench passes
-    * mirrors the write-once table it stands in for. */
-  def documentsBySource(s: SparkSession, dir: String): String =
-    written.getOrElseUpdate(dir, {
-      // under target/ (like Bench's output), keeping all writes inside
-      // the repo working directory
+  /** Write-once partitioned layout: materializes `df` partitioned by
+    * `partCol` under target/ (keeping all writes inside the repo working
+    * directory) on FIRST use per (name, source dir, JVM) and returns the
+    * path. `name` must encode every parameter that changes the file
+    * contents (e.g. the quantizer's k) — the cache key is (name, dir).
+    * Deterministic producers only: rewriting must give identical rows, so
+    * reuse across queries/bench passes mirrors the write-once table this
+    * stands in for. */
+  def writeOncePartitioned(name: String, dir: String, partCol: String)
+      (df: => DataFrame): String =
+    written.getOrElseUpdate(s"$name#$dir", {
       val out = java.nio.file.Paths.get("target",
-        "graft_docs_by_source_" + Integer.toHexString(dir.hashCode))
+        name + "_" + Integer.toHexString(dir.hashCode))
         .toAbsolutePath.toString
-      Tables.documents(s, dir)
-        .write.mode("overwrite").partitionBy("source").parquet(out)
+      df.write.mode("overwrite").partitionBy(partCol).parquet(out)
       out
     })
+
+  /** Path of the by-source partitioned copy of `documents`. */
+  def documentsBySource(s: SparkSession, dir: String): String =
+    writeOncePartitioned("graft_docs_by_source", dir, "source") {
+      Tables.documents(s, dir)
+    }
 
   /** src1: single-slice stats off the partitioned layout. The
     * `source IN (...)` predicate becomes a scan PartitionFilter — only

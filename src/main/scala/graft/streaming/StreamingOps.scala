@@ -129,10 +129,11 @@ object StreamingOps {
   private val st3Sql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
-  /** Attribution window for [[intervalJoin]] — purchases within 30
-    * minutes AFTER a click, exact microseconds (same unit discipline as
-    * sessionization). */
-  val AttributionUs: Long = 30L * 60 * 1000 * 1000
+  /** Attribution window for [[intervalJoin]] — purchases within this many
+    * minutes AFTER a click. Single source of truth: the join's INTERVAL
+    * literal and the oracle's epoch_us bound are both derived from it. */
+  val AttributionMinutes: Int = 30
+  private val AttributionUs: Long = AttributionMinutes * 60L * 1000 * 1000
 
   /** Stream-stream interval join, written once for both modes: clicks
     * joined to same-user purchases with 0 ≤ gap ≤ 30 min. In batch this
@@ -153,7 +154,8 @@ object StreamingOps {
     // stream-stream join recognizes as a state-eviction range condition.
     c.join(p, col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $AttributionMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         // `div`, not `/`: Column./ is fractional even on longs; the
         // oracle's // is BIGINT floor division
@@ -171,14 +173,14 @@ object StreamingOps {
   }
 
   private val st4Sql =
-    """SELECT c.user_id,
-      |  c.event_id AS click_id,
-      |  p.event_id AS purchase_id,
-      |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
-      |FROM events c
-      |JOIN events p ON c.user_id = p.user_id
-      | AND c.event_type = 'click' AND p.event_type = 'purchase'
-      | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000""".stripMargin
+    s"""SELECT c.user_id,
+       |  c.event_id AS click_id,
+       |  p.event_id AS purchase_id,
+       |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+       |FROM events c
+       |JOIN events p ON c.user_id = p.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
