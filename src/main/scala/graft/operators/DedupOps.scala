@@ -702,6 +702,79 @@ object DedupOps {
     labels
   }
 
+  /** The deep-graph switch for [[connectedComponents]]: alternating
+    * large-star/small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") — O(log n) ROUNDS instead of O(diameter)
+    * iterations, same join primitive, SAME output (DedupOpsSpec asserts
+    * equality on random graphs and runs a 120-hop path the propagation
+    * kernel's iteration cap cannot cross). Each round:
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(Γ(u) ∪ u) — long chains contract toward small ids;
+    *  - small-star: every node links its smaller neighbors and itself to
+    *    the minimum of that set — stars flatten.
+    *
+    * Edges are kept canonical (hi > lo), deduped, and localCheckpoint'ed
+    * per round (same lineage discipline as the propagation kernel);
+    * convergence = the edge relation reaching a fixpoint, detected by a
+    * (count, order-free hash-sum) signature — at fixpoint every edge is
+    * (node, component-min), which is exactly the label set. Like
+    * [[d4PrefixJaccard]], this is the measured-switch variant: shallow
+    * near-dup graphs favor the propagation kernel's constants; true
+    * million-link chains need this one. */
+  private[graft] def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var e = edges
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .dropDuplicates("hi", "lo")
+      .localCheckpoint(true)
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-free and overflow-free (a SUM of hashes overflows
+      // long under ANSI mode)
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    var rounds = 0
+    var converged = sig._1 == 0
+    while (!converged && rounds < maxRounds) {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // large-star: (v, m_u) for every neighbor v > u
+      val ls = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .dropDuplicates("hi", "lo")
+      // small-star over the canonical (child > parent) edges of ls:
+      // every node's smaller neighbors AND itself link to their minimum
+      val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(minsS, Seq("hi"))
+        .select(explode(array(
+          struct(col("lo").as("c"), col("m")),
+          struct(col("hi").as("c"), col("m")))).as("p"))
+        .select(col("p.c").as("hi"), col("p.m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .dropDuplicates("hi", "lo")
+        .localCheckpoint(true)
+      val nextSig = signature(ss)
+      converged = nextSig == sig
+      sig = nextSig
+      e = ss
+      rounds += 1
+    }
+    require(converged || sig._1 == 0,
+      s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
+    // fixpoint edges are stars (node, component-min): the label set is
+    // children plus the roots themselves
+    e.select(col("hi").as("node"), col("lo").as("lbl"))
+      .union(e.select(col("lo").as("node"), col("lo").as("lbl")))
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+  }
+
   /** d7: transitive-closure dedup clustering — the case d6's greedy rule
     * deliberately skips. Exact-dup groups collapse to their canonical,
     * verified near-dup pairs among canonicals (d2 machinery) form the

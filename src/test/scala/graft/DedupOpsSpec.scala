@@ -163,6 +163,36 @@ class DedupOpsSpec extends SparkSpec {
   test("connectedComponents: empty edge list yields empty labels") {
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupOps.connectedComponents(edges).count() === 0)
+    assert(DedupOps.connectedComponentsStar(edges).count() === 0)
+  }
+
+  test("large-star/small-star CC equals propagation CC on random graphs") {
+    val rng = new scala.util.Random(123L)
+    for (trial <- 0 until 4) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n + rng.nextInt(n)) {
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        if (a == b) (a, (b + 1) % n) else (a, b)
+      }.toDF("doc_a", "doc_b")
+      val prop = DedupOps.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val star = DedupOps.connectedComponentsStar(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop, s"trial=$trial n=$n")
+    }
+  }
+
+  test("star CC crosses a 120-hop path the propagation iteration cap cannot") {
+    // diameter 119 >> propagation's maxIter=30; the star algorithm needs
+    // only O(log n) rounds — this is the deep-graph case it exists for
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = DedupOps.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(star.length === 120)
+    assert(star.forall(_._2 == 0L), "every node must label to the path head")
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chain).count()
+    }
   }
 
   test("d7: cluster ids are component minima; keep set is within d6's") {
