@@ -359,6 +359,46 @@ object RelationalQueries {
       |  SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** q18: the `spark.sql(...)` entry point — the one API surface the
+    * DataFrame-authored queries don't exercise. A correlated scalar
+    * subquery (customers above their own nation's average balance),
+    * which Catalyst de-correlates into an aggregate + join: the SQL text
+    * and the DataFrame API land on the same plans, so everything the
+    * other queries prove (pushdown, partial aggregation, broadcast)
+    * holds here too. Registered as temp views per call — view
+    * registration is idempotent. */
+  def q18SqlEntry(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+    // the threshold average follows the Det discipline: exact DECIMAL sum
+    // cast to double, then one double division — bit-identical in both
+    // engines at any partition order, so the > comparison can never flip
+    // on a boundary row (a raw double AVG is order-sensitive)
+    s.sql(
+      """SELECT n_name,
+        |  COUNT(*) AS above_avg_cnt,
+        |  MIN(c_acctbal) AS min_above
+        |FROM g_customer c
+        |JOIN g_nation n ON c_nationkey = n_nationkey
+        |WHERE c_acctbal >
+        |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*)
+        |   FROM g_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  private val q18Sql =
+    """SELECT n_name,
+      |  COUNT(*) AS above_avg_cnt,
+      |  MIN(c_acctbal) AS min_above
+      |FROM customer c
+      |JOIN nation n ON c_nationkey = n_nationkey
+      |WHERE c_acctbal >
+      |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |          / COUNT(*)
+      |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -372,7 +412,8 @@ object RelationalQueries {
     "q14_asof_join" -> q14AsofJoin _,
     "q15_range_lookback" -> q15RangeLookback _,
     "q16_pivot" -> q16Pivot _,
-    "q17_cube" -> q17Cube _)
+    "q17_cube" -> q17Cube _,
+    "q18_sql_entry" -> q18SqlEntry _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -387,5 +428,6 @@ object RelationalQueries {
     "q14_asof_join" -> q14Sql,
     "q15_range_lookback" -> q15Sql,
     "q16_pivot" -> q16Sql,
-    "q17_cube" -> q17Sql)
+    "q17_cube" -> q17Sql,
+    "q18_sql_entry" -> q18Sql)
 }

@@ -54,6 +54,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(byGid(3) === Array((3, "ALL", "ALL", total)).toSeq)
   }
 
+  test("q18: SQL-entry correlated subquery matches a DataFrame recomputation") {
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val avgByNation = cust.groupBy($"c_nationkey")
+      .agg((sum($"c_acctbal".cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("nation_avg"))
+    val want = cust.join(avgByNation, Seq("c_nationkey"))
+      .where($"c_acctbal" > $"nation_avg")
+      .join(graft.sources.Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("above_avg_cnt"), min($"c_acctbal").as("min_above"))
+      .as[(String, Long, Double)].collect().toSet
+    val got = RelationalQueries.q18SqlEntry(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q15: range lookback counts match a brute-force window scan") {
     val byUser = events.groupBy(_._2)
     val expected = events.map { e =>
