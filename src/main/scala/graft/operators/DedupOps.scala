@@ -706,8 +706,9 @@ object DedupOps {
     * large-star/small-star rounds (Kiveris et al., "Connected Components
     * in MapReduce and Beyond") — O(log n) ROUNDS instead of O(diameter)
     * iterations, same join primitive, SAME output (DedupOpsSpec asserts
-    * equality on random graphs and runs a 120-hop path the propagation
-    * kernel's iteration cap cannot cross). Each round:
+    * equality on random graphs incl. self-loops and runs a 120-node
+    * diameter-119 path the propagation kernel's iteration cap cannot
+    * cross). Each round:
     *
     *  - large-star: every node u links its LARGER neighbors to
     *    m = min(Γ(u) ∪ u) — long chains contract toward small ids;
@@ -723,6 +724,12 @@ object DedupOps {
     * near-dup graphs favor the propagation kernel's constants; true
     * million-link chains need this one. */
   private[graft] def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // every node appearing in the input — preserved to the output even if
+    // its only edges are self-loops (which the canonical edge set drops),
+    // keeping the output contract identical to [[connectedComponents]]
+    val nodes = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .distinct()
     var e = edges
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
@@ -744,11 +751,14 @@ object DedupOps {
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // large-star: (v, m_u) for every neighbor v > u
+      // large-star: (v, m_u) for every neighbor v > u. Checkpointed —
+      // it feeds BOTH the small-star min aggregate and its join; without
+      // materialization the shuffle join below would execute twice.
       val ls = sym.join(mins, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .dropDuplicates("hi", "lo")
+        .localCheckpoint(true)
       // small-star over the canonical (child > parent) edges of ls:
       // every node's smaller neighbors AND itself link to their minimum
       val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
@@ -769,10 +779,13 @@ object DedupOps {
     require(converged || sig._1 == 0,
       s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
     // fixpoint edges are stars (node, component-min): the label set is
-    // children plus the roots themselves
-    e.select(col("hi").as("node"), col("lo").as("lbl"))
+    // children plus the roots themselves; self-loop-only nodes (absent
+    // from the canonical edges) label to themselves
+    val star = e.select(col("hi").as("node"), col("lo").as("lbl"))
       .union(e.select(col("lo").as("node"), col("lo").as("lbl")))
       .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    nodes.join(star, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
   }
 
   /** d7: transitive-closure dedup clustering — the case d6's greedy rule

@@ -170,10 +170,12 @@ class DedupOpsSpec extends SparkSpec {
     val rng = new scala.util.Random(123L)
     for (trial <- 0 until 4) {
       val n = 30 + trial * 20
-      val edges = Seq.fill(n + rng.nextInt(n)) {
+      // includes an isolated self-loop node (n+5, n+5): both kernels must
+      // label it to itself rather than dropping it
+      val edges = (Seq.fill(n + rng.nextInt(n)) {
         val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
         if (a == b) (a, (b + 1) % n) else (a, b)
-      }.toDF("doc_a", "doc_b")
+      } :+ (n.toLong + 5, n.toLong + 5)).toDF("doc_a", "doc_b")
       val prop = DedupOps.connectedComponents(edges)
         .as[(Long, Long)].collect().toMap
       val star = DedupOps.connectedComponentsStar(edges)
@@ -182,9 +184,10 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
-  test("star CC crosses a 120-hop path the propagation iteration cap cannot") {
-    // diameter 119 >> propagation's maxIter=30; the star algorithm needs
-    // only O(log n) rounds — this is the deep-graph case it exists for
+  test("star CC crosses a 120-node path the propagation iteration cap cannot") {
+    // 120 nodes, diameter 119 >> propagation's maxIter=30; the star
+    // algorithm needs only O(log n) rounds — the deep-graph case it
+    // exists for
     val chain = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val star = DedupOps.connectedComponentsStar(chain)
       .as[(Long, Long)].collect()

@@ -57,8 +57,7 @@ class RelationalOpsSpec extends SparkSpec {
   test("q18: SQL-entry correlated subquery matches a DataFrame recomputation") {
     val cust = graft.sources.Tables.customer(spark, sf)
     val avgByNation = cust.groupBy($"c_nationkey")
-      .agg((sum($"c_acctbal".cast("decimal(18,2)")).cast("double") /
-        count(lit(1))).as("nation_avg"))
+      .agg(graft.sources.Det.davg($"c_acctbal").as("nation_avg"))
     val want = cust.join(avgByNation, Seq("c_nationkey"))
       .where($"c_acctbal" > $"nation_avg")
       .join(graft.sources.Tables.nation(spark, sf),
