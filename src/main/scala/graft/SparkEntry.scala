@@ -16,7 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++ DedupOps.queries ++
-      TextOps.queries ++ SimilarityOps.queries ++ SketchOps.queries ++
+      TextOps.queries ++ SamplingOps.queries ++ SimilarityOps.queries ++ SketchOps.queries ++
       MultimodalOps.queries ++ graft.streaming.StreamingOps.queries ++
       graft.sources.Layouts.queries ++
       Map("sys_server_spec" -> ((s, _) => ClusterInfo.serverSpec(s)))
@@ -25,7 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++ DedupOps.oracleSql ++
-      TextOps.oracleSql ++ SimilarityOps.oracleSql ++ SketchOps.oracleSql ++
+      TextOps.oracleSql ++ SamplingOps.oracleSql ++ SimilarityOps.oracleSql ++ SketchOps.oracleSql ++
       MultimodalOps.oracleSql ++ graft.streaming.StreamingOps.oracleSql ++
       graft.sources.Layouts.oracleSql
 }

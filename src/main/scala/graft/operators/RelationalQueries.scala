@@ -399,6 +399,35 @@ object RelationalQueries {
       |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |GROUP BY n_name""".stripMargin
 
+  /** q19: grouped string aggregation (LISTAGG) — the dup-cluster roster:
+    * for every canonical-fingerprint group ([[TextOps.t5Fingerprint]]'s
+    * key) holding ≥ 2 documents, the member doc-ids as one sorted
+    * comma-joined string. `sort_array(collect_list(...))` pins the
+    * element order so the aggregated STRING is deterministic at any
+    * partitioning — an unordered listagg is not a checkable value. Group
+    * payloads are bounded by cluster size; the shuffle carries (16-byte
+    * digest, doc_id) pairs only. */
+  def q19StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+    Tables.documents(s, dir)
+      .select($"doc_id", fp.as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")))
+          .as("doc_ids"))
+      .where($"n_docs" >= 2)
+  }
+
+  private val q19Sql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |    AS fingerprint,
+      |  COUNT(*) AS n_docs,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -413,7 +442,8 @@ object RelationalQueries {
     "q15_range_lookback" -> q15RangeLookback _,
     "q16_pivot" -> q16Pivot _,
     "q17_cube" -> q17Cube _,
-    "q18_sql_entry" -> q18SqlEntry _)
+    "q18_sql_entry" -> q18SqlEntry _,
+    "q19_string_agg" -> q19StringAgg _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -429,5 +459,6 @@ object RelationalQueries {
     "q15_range_lookback" -> q15Sql,
     "q16_pivot" -> q16Sql,
     "q17_cube" -> q17Sql,
-    "q18_sql_entry" -> q18Sql)
+    "q18_sql_entry" -> q18Sql,
+    "q19_string_agg" -> q19Sql)
 }

@@ -299,6 +299,100 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------ t8 bigram LM scoring
+
+  /** `fluent` threshold: ~90th percentile of the corpus distribution —
+    * the self-reinforcing high tail is near-duplicate boilerplate whose
+    * own bigrams inflate the counts, exactly what an LM-likelihood
+    * filter surfaces. */
+  private val FluentMin = 0.036
+
+  /** Salted 60-bit md5 key — the join/grouping key for n-gram relations.
+    * Shuffles carry 8-byte hashes instead of bigram strings; a ~1e-10
+    * collision merges the same counts in BOTH engines (the oracle hashes
+    * identically), so results stay exact. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** t8: bigram language-model scoring — the perplexity-style quality
+    * filter training pipelines run (CCNet/KenLM shape, with the corpus
+    * itself as the model). Two passes, both linear:
+    *
+    *  1. model: per-(doc, bigram) occurrence counts (map-side combined
+    *     before the shuffle), aggregated into corpus bigram counts c2 and
+    *     context counts c1 — conditional probability p(w2|w1) = c2/c1;
+    *  2. score: each doc's bigrams joined back to (c2, c1); the score is
+    *     the occurrence-weighted mean probability.
+    *
+    * Numeric determinism: probabilities are quantized to micro-units in
+    * PURE INTEGER arithmetic — p_q = (c2 × 10⁶) div c1 — summed exactly
+    * as BIGINTs, with ONE final IEEE division for the mean. No round(),
+    * no decimal cast: `round(double, 6)` is NOT portable at the boundary
+    * (Spark rounds the exact decimal expansion of the double, DuckDB
+    * rounds in float — ~0.1% of a dense value population lands on
+    * disagreeing sides; measured on this operator's first formulation),
+    * while integer div and a single exact-rounded division are
+    * bit-identical in both engines and order-insensitive at any partition
+    * count. Bigrams are built with zip_with over two shifted slices — the
+    * CollapseProject-safe shape (a transform lambda re-indexing the token
+    * array can go quadratic per document).
+    *
+    * Scale: the exploded relation is O(total tokens) but every shuffled
+    * row is (8-byte hash, count) — the model tables are vocab²-bounded,
+    * far smaller than the corpus, and AQE broadcasts them when small. */
+  def t8BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    val n = size(w) - lit(1) // bigram count; slice(_, 1, 0) = [] on 1-token docs
+    val pairs = zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+      (a, b) => struct(h60(a).as("ch"), h60(concat_ws(" ", a, b)).as("bh")))
+    val docs = Tables.documents(s, dir)
+    val occ = docs
+      .select($"doc_id", explode(pairs).as("p"))
+      .groupBy($"doc_id", $"p.ch".as("ch"), $"p.bh".as("bh"))
+      .agg(count(lit(1)).as("m"))
+    val c2 = occ.groupBy($"bh").agg(sum($"m").as("c2"))
+    val c1 = occ.groupBy($"ch").agg(sum($"m").as("c1"))
+    val scored = occ.join(c2, Seq("bh")).join(c1, Seq("ch"))
+      // micro-unit conditional probability, integer-exact: (c2*1e6) div c1
+      .withColumn("pq", expr("(c2 * 1000000L) div c1"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        (sum($"m" * $"pq").cast("double") / (sum($"m") * lit(1000000L)))
+          .as("avg_p"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"avg_p", lit(0.0)).as("avg_p"))
+      .withColumn("fluent", $"avg_p" >= FluentMin)
+  }
+
+  private val t8Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(u.x.c), 1, 15))::BIGINT AS ch,
+       |    ('0x' || substr(md5(u.x.s), 1, 15))::BIGINT AS bh,
+       |    count(*) AS m
+       |  FROM toks, UNNEST(list_transform(generate_series(1, len(w) - 1),
+       |    i -> {'c': w[i], 's': w[i] || ' ' || w[i+1]})) AS u(x)
+       |  GROUP BY 1, 2, 3),
+       |c2 AS (SELECT bh, CAST(SUM(m) AS BIGINT) AS c2 FROM occ GROUP BY 1),
+       |c1 AS (SELECT ch, CAST(SUM(m) AS BIGINT) AS c1 FROM occ GROUP BY 1),
+       |scored AS (
+       |  SELECT o.doc_id,
+       |    CAST(SUM(o.m) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(o.m * ((c2.c2 * 1000000) // c1.c1)) AS DOUBLE)
+       |      / (SUM(o.m) * 1000000) AS avg_p
+       |  FROM occ o JOIN c2 ON o.bh = c2.bh JOIN c1 ON o.ch = c1.ch
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(s.avg_p, 0.0) AS avg_p,
+       |  COALESCE(s.avg_p, 0.0) >= $FluentMin AS fluent
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
@@ -306,7 +400,8 @@ object TextOps {
     "t4_token_count" -> t4TokenCount _,
     "t5_fingerprint" -> t5Fingerprint _,
     "t6_hash_split" -> t6HashSplit _,
-    "t7_repetition" -> t7Repetition _)
+    "t7_repetition" -> t7Repetition _,
+    "t8_bigram_lm" -> t8BigramLm _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
@@ -315,5 +410,6 @@ object TextOps {
     "t4_token_count" -> t4Sql,
     "t5_fingerprint" -> t5Sql,
     "t6_hash_split" -> t6Sql,
-    "t7_repetition" -> t7Sql)
+    "t7_repetition" -> t7Sql,
+    "t8_bigram_lm" -> t8Sql)
 }

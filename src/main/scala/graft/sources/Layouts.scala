@@ -66,9 +66,64 @@ object Layouts {
       |WHERE source IN ('src3', 'src7')
       |GROUP BY 1""".stripMargin
 
+  /** Write-once bucketed copy of a testdata table, registered in the
+    * session catalog (bucket metadata only exists through the catalog, so
+    * this is `saveAsTable` with an explicit external path under target/).
+    * The table name encodes (table, key, buckets, source dir) — a second
+    * call is a metadata hit, a different sf dir is a different table. */
+  def bucketedTable(s: SparkSession, dir: String, table: String,
+                    key: String, buckets: Int): String = {
+    val tname = s"graft_${table}_bk${buckets}_" +
+      Integer.toHexString(dir.hashCode)
+    if (!s.catalog.tableExists(tname)) {
+      val path = java.nio.file.Paths.get("target", tname)
+        .toAbsolutePath.toString
+      Tables.load(s, dir, table).write
+        .mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(tname)
+    }
+    tname
+  }
+
+  /** src2: shuffle-free fact-fact join off co-bucketed layouts — lineitem
+    * and orders both bucketed (and sorted) on orderkey. The join consumes
+    * the tables' bucket partitioning directly: NO exchange on either side
+    * (LayoutsSpec asserts it), the per-bucket sort order feeds the merge.
+    * At 100 TB this is THE lever for a recurring fact-fact join: the
+    * orderkey shuffle of both tables is paid once at write time, then
+    * every subsequent join/aggregation on that key is exchange-free.
+    * `MERGE` hint pins sort-merge so the proof doesn't silently degrade
+    * into a broadcast at small SF. */
+  def src2BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d182 = DecimalType(18, 2)
+    val l = s.table(bucketedTable(s, dir, "lineitem", "l_orderkey", 8))
+    val o = s.table(bucketedTable(s, dir, "orders", "o_orderkey", 8))
+    val revenue = col("l_extendedprice").cast(d182) *
+      (lit(1).cast(d182) - col("l_discount").cast(d182))
+    l.hint("MERGE").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_cnt"),
+        sum(revenue).cast("double").as("revenue"))
+  }
+
+  private val src2Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS line_cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "src1_partition_prune" -> src1PartitionPrune _)
+    "src1_partition_prune" -> src1PartitionPrune _,
+    "src2_bucketed_join" -> src2BucketedJoin _)
 
   val oracleSql: Map[String, String] = Map(
-    "src1_partition_prune" -> src1Sql)
+    "src1_partition_prune" -> src1Sql,
+    "src2_bucketed_join" -> src2Sql)
 }

@@ -182,15 +182,39 @@ object StreamingOps {
        | AND c.event_type = 'click' AND p.event_type = 'purchase'
        | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND $AttributionUs""".stripMargin
 
+  /** Stream-static enrichment join, written once for both modes — each
+    * event joined to a fixed dimension (nation, keyed by the event's
+    * routing cohort). The canonical ingest-enrichment shape: the static
+    * side is `broadcast()` (re-read per micro-batch, never shuffled), the
+    * join is STATELESS — no watermark, no state store, nothing
+    * accumulates at any stream length — and the stream side stays a
+    * narrow map. At 100 TB/day this is the plan you want: the only data
+    * in motion is the stream itself. */
+  def enrichStatic(events: DataFrame, nation: DataFrame): DataFrame =
+    events.join(broadcast(nation),
+        pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_name").as("cohort_nation"))
+
+  /** st5: the enrichment join in batch mode over `events`. */
+  def st5StreamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    enrichStatic(Tables.events(s, dir), Tables.nation(s, dir))
+
+  private val st5Sql =
+    """SELECT e.event_id, e.user_id, e.event_type, n.n_name AS cohort_nation
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
     "st2_sessionize" -> st2Sessionize _,
     "st3_stream_dedup" -> st3StreamDedup _,
-    "st4_interval_join" -> st4IntervalJoin _)
+    "st4_interval_join" -> st4IntervalJoin _,
+    "st5_stream_static_join" -> st5StreamStaticJoin _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
     "st2_sessionize" -> st2Sql,
     "st3_stream_dedup" -> st3Sql,
-    "st4_interval_join" -> st4Sql)
+    "st4_interval_join" -> st4Sql,
+    "st5_stream_static_join" -> st5Sql)
 }

@@ -38,4 +38,26 @@ class LayoutsSpec extends SparkSpec {
     assert(got === want)
     assert(got.size === 2)
   }
+
+  test("src2: co-bucketed join runs with no exchange on either side") {
+    val q = Layouts.src2BucketedJoin(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // exactly ONE shuffle in the whole query: the tiny final groupBy.
+    // The join itself consumes the bucket partitioning of both scans.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"bucketed join must not shuffle its inputs:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), plan)
+
+    // values equal the flat-table join
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"))
+      .as[(String, Long)].collect().toSet
+    val got = q.select($"o_orderpriority", $"line_cnt")
+      .as[(String, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }

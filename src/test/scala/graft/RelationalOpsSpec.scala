@@ -84,4 +84,33 @@ class RelationalOpsSpec extends SparkSpec {
       .map(r => r._1 -> (r._3.toInt, r._4.toInt)).toMap
     assert(got === expected)
   }
+
+  test("q19: listagg rosters are sorted, complete, and partition-invariant") {
+    val rows = RelationalQueries.q19StringAgg(spark, sf)
+      .as[(String, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, ids) =>
+      val parts = ids.split(",").map(_.toLong).toSeq
+      assert(parts.length.toLong === n)
+      assert(parts === parts.sorted, s"roster not sorted: $ids")
+    }
+    // group count matches t5's group_sz >= 2 fingerprint count
+    val t5groups = graft.operators.TextOps.t5Fingerprint(spark, sf)
+      .where($"group_sz" >= 2).select($"fingerprint").distinct().count()
+    assert(rows.length.toLong === t5groups)
+    // aggregated string is stable under an adversarial repartition: the
+    // sort_array pins element order regardless of physical layout
+    val shuffled = graft.sources.Tables.documents(spark, sf).repartition(13)
+      .select($"doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+          .as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")))
+          .as("doc_ids"))
+      .where($"n_docs" >= 2)
+      .as[(String, Long, String)].collect().toSet
+    assert(shuffled === rows.toSet)
+  }
 }

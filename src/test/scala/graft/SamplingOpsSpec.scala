@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.SamplingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SamplingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(df: DataFrame): Set[(String, Long, Int)] =
+    df.select($"source", $"doc_id", $"rnk").as[(String, Long, Int)].collect().toSet
+
+  test("p1: two-stage top-k equals the one-window formulation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val naive = SamplingOps.topkPerKey(docs, 5)
+    // one-window reference: global rank per source directly
+    val rk = conv(substring(md5(concat(lit("p1:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val ref = docs.select($"doc_id", $"source", rk.as("rk"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"rk", $"doc_id")).cast("int"))
+      .where($"rnk" <= 5)
+      .select($"source", $"doc_id", $"rnk")
+    assert(canon(naive) === canon(ref))
+    assert(canon(naive).nonEmpty)
+  }
+
+  test("p1: result is invariant under adversarial physical partitioning") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val base = canon(SamplingOps.topkPerKey(docs, 7))
+    // skew-hostile layouts: everything in 1 partition, scattered over 13,
+    // and range-clustered by source (whole key groups in one partition)
+    assert(canon(SamplingOps.topkPerKey(docs.repartition(1), 7)) === base)
+    assert(canon(SamplingOps.topkPerKey(docs.repartition(13), 7)) === base)
+    assert(canon(SamplingOps.topkPerKey(docs.repartition($"source"), 7)) === base)
+  }
+
+  test("p1: per-source size = min(k, source size); ranks are 1..n") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sizes = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val got = SamplingOps.p1SampleTopk(spark, sf)
+      .groupBy($"source").agg(count(lit(1)).as("n"), max($"rnk").as("mx"),
+        min($"rnk").as("mn"))
+      .as[(String, Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, mx, mn) =>
+      assert(n === math.min(SamplingOps.TopK.toLong, sizes(src)))
+      assert(mn === 1 && mx.toLong === n) // dense 1..n ranks
+    }
+  }
+
+  test("p1: scan reads only the id/routing columns (text pruned away)") {
+    val plan = SamplingOps.p1SampleTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("text"), "p1 must never read the text column")
+  }
+
+  test("p2: sampled set is exactly the bucket-threshold filter (no misses, no extras)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("p2:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000))
+    val rate = when($"lang" === "en", 100).when($"lang" === "zh", 500).otherwise(300)
+    val want = docs.select($"doc_id", $"lang", bucket.as("b"), rate.as("r"))
+      .where($"b" < $"r").select($"doc_id").as[Long].collect().toSet
+    val got = SamplingOps.p2StratifiedSample(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("p2: independent of the t6 split and of p1 (different salt channels)") {
+    // distinct salts => the p2 sample is not a subset/superset artifact of
+    // the p1 ranks: check the two draws disagree on some docs both ways
+    val p1Ids = SamplingOps.p1SampleTopk(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val p2Ids = SamplingOps.p2StratifiedSample(spark, sf).select($"doc_id").as[Long].collect().toSet
+    assert((p1Ids -- p2Ids).nonEmpty)
+    assert((p2Ids -- p1Ids).nonEmpty)
+  }
+}

@@ -223,6 +223,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st5: stream-static enrichment agrees between modes and is stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((12L, "NATION_12"), (13L, "NATION_13"))
+      .toDF("n_nationkey", "n_name")
+    val fixture = Seq( // (event_id, user_id, event_type)
+      (1L, 12L, "click"), (2L, 13L, "view"), (3L, 37L, "click"), // 37 % 25 = 12
+      (4L, 99L, "view")) // 99 % 25 = 24: no dim row -> dropped (inner join)
+    val want = StreamingOps.enrichStatic(
+        fixture.toDF("event_id", "user_id", "event_type"), dim)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(want.map(_._1) === Set(1L, 2L, 3L))
+    assert(want.find(_._1 == 3L).get._4 === "NATION_12")
+
+    val stream = MemoryStream[(Long, Long, String)]
+    stream.addData(fixture)
+    val q = StreamingOps.enrichStatic(
+        stream.toDF.toDF("event_id", "user_id", "event_type"), dim)
+      .writeStream.format("memory").queryName("st5_test")
+      .outputMode("append").start() // append with NO watermark: stateless
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st5_test")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got === want)
+  }
+
   test("sys: serverSpec reports the local executor with cores > 0") {
     val rows = ClusterInfo.serverSpec(spark).collect()
     assert(rows.nonEmpty)

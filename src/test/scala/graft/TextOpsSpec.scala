@@ -97,4 +97,36 @@ class TextOpsSpec extends SparkSpec {
       assert(flag === (r2 > 0.2))
     }
   }
+
+  test("t8: bigram LM scores match hand-computed conditional probabilities") {
+    // corpus: "a b a b" + "a b c" + single-token "x"
+    //   c2: ab=3, ba=1, bc=1; c1(context): a=3, b=2
+    //   micro-unit p: p(b|a)=1000000, p(a|b)=500000, p(c|b)=500000
+    //   doc1 avg = 2500000/3000000 ; doc2 avg = 1500000/2000000
+    val dir = java.nio.file.Files.createTempDirectory("graft_t8").toString
+    Seq((1L, "a b a b", "en", "s", 7L), (2L, "a b c", "en", "s", 5L),
+        (3L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t8BigramLm(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map { case (id, nb, p, f) => id -> ((nb, p, f)) }.toMap
+    assert(got(1L) === ((3L, 2500000.0 / 3000000, true)))
+    assert(got(2L) === ((2L, 0.75, true)))
+    assert(got(3L) === ((0L, 0.0, false)))
+  }
+
+  test("t8: corpus invariants — probabilities in (0,1], bigram counts = words-1") {
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("nw"))
+      .as[(Long, Int)].collect().toMap
+    val rows = TextOps.t8BigramLm(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length === words.size)
+    rows.foreach { case (id, nb, p, fl) =>
+      assert(nb === math.max(words(id) - 1, 0).toLong, s"doc $id n_bigrams")
+      assert(p > 0.0 && p <= 1.0, s"doc $id avg_p=$p")
+      assert(fl === (p >= 0.036))
+    }
+  }
 }
