@@ -32,14 +32,21 @@ object DedupOps {
 
   /** Word n-gram shingle set as a native (codegen'd) column — no UDF.
     * Documents shorter than n tokens contribute their whole text as the
-    * single shingle so every doc has a non-empty set. */
+    * single shingle so every doc has a non-empty set.
+    *
+    * Built as a zip_with fold over n shifted slices of the token array,
+    * NOT `transform(sequence(...), i -> concat_ws(slice(w, i, n)))`: in
+    * the lambda form the token-array subtree is re-evaluated per element
+    * (the CollapseProject trap that made trigram hashing quadratic, see
+    * [[withShingleHashes]]) — measured 3.3× slower at sf0.1 with
+    * byte-identical output. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))))
-      .otherwise(array(text))
+    val m = size(w) - lit(n - 1)
+    val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), m), (p, c) => concat(p, lit(" "), c))
+    }
+    when(size(w) >= n, array_distinct(grams)).otherwise(array(text))
   }
 
   /** d1: exact dedup. Survivor = min doc_id per content-hash group; every

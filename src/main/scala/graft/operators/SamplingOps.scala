@@ -114,11 +114,75 @@ object SamplingOps {
        |WHERE bucket < $rate""".stripMargin
   }
 
+  /** Target mixture weights by language (sum to 1) and the repeat budget —
+    * a language may be seen at most [[MaxEpochs]] times before the mix is
+    * infeasible at that size. */
+  private[graft] val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  private[graft] val MaxEpochs = 4.0
+
+  /** p3: training-mix planning — given per-language target weights and a
+    * max-repeat budget, size the largest feasible training corpus and the
+    * per-language sampling/repeat factor that realizes it. The standard
+    * data-mixture arithmetic:
+    *
+    *   T_l    = available whitespace tokens per language,
+    *   S      = min_l (T_l × MaxEpochs / w_l) — the binding language caps
+    *            the total (its full supply, repeated MaxEpochs times,
+    *            must cover its share),
+    *   need_l = w_l × S,  factor_l = need_l / T_l
+    *            (> 1 ⇒ upsample by repeats, < 1 ⇒ downsample).
+    *
+    * One tiny aggregate (per-language token counts, map-side combined) +
+    * one all-rows window min over 5 rows — the scan is the only thing
+    * that scales. Every output is derived from exact BIGINT token counts
+    * and literal weights via single IEEE ops — bit-identical in both
+    * engines with no rounding. */
+  def p3DatasetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wExpr = MixWeights.tail.foldLeft(
+      when($"lang" === MixWeights.head._1, MixWeights.head._2)) {
+      case (e, (l, v)) => e.when($"lang" === l, v)
+    }
+    Tables.documents(s, dir)
+      .select($"lang", size(split($"text", " ")).as("t"))
+      .groupBy($"lang").agg(sum($"t").as("tokens"))
+      .withColumn("weight", wExpr)
+      .withColumn("feasible", $"tokens".cast("double") * MaxEpochs / $"weight")
+      .withColumn("mix_total", min($"feasible").over(
+        Window.partitionBy(lit(1))))
+      .select($"lang", $"tokens", $"weight",
+        ($"weight" * $"mix_total").as("need_tokens"),
+        ($"weight" * $"mix_total" / $"tokens").as("repeat_factor"))
+  }
+
+  private val p3Sql = {
+    val w = MixWeights.map { case (l, v) => s"WHEN lang = '$l' THEN $v" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |f AS (
+       |  SELECT lang, tokens, $w AS weight,
+       |    CAST(tokens AS DOUBLE) * $MaxEpochs / ($w) AS feasible
+       |  FROM t),
+       |m AS (SELECT lang, tokens, weight,
+       |        MIN(feasible) OVER () AS mix_total FROM f)
+       |SELECT lang, tokens, weight,
+       |  weight * mix_total AS need_tokens,
+       |  weight * mix_total / tokens AS repeat_factor
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sample_topk" -> p1SampleTopk _,
-    "p2_stratified_sample" -> p2StratifiedSample _)
+    "p2_stratified_sample" -> p2StratifiedSample _,
+    "p3_dataset_mix" -> p3DatasetMix _)
 
   val oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
-    "p2_stratified_sample" -> p2Sql)
+    "p2_stratified_sample" -> p2Sql,
+    "p3_dataset_mix" -> p3Sql)
 }

@@ -252,16 +252,20 @@ object TextOps {
 
   // -------------------------------------------------- t7 repetition ratios
 
-  /** Word n-grams as strings (shares the windowed-slice shape of
-    * [[DedupOps.shingles]] — safe against the CollapseProject per-element
-    * re-eval trap); docs shorter than n fall back to one whole-text gram,
-    * giving ratio 0. */
+  /** Word n-grams as strings — the zip_with-over-shifted-slices shape of
+    * [[DedupOps.shingles]] (a transform lambda slicing the token array
+    * re-evaluates it per element — the CollapseProject re-eval trap);
+    * docs shorter than n fall back to one whole-text gram, giving
+    * ratio 0. */
   private def grams(w: Column, n: Int, text: Column): Column =
     if (n == 1) w
-    else when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array(text))
+    else {
+      val m = size(w) - lit(n - 1)
+      val g = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+        zip_with(acc, slice(w, lit(j), m), (p, c) => concat(p, lit(" "), c))
+      }
+      when(size(w) >= n, g).otherwise(array(text))
+    }
 
   /** t7: repetition ratios — the Gopher-style duplicate-n-gram filter.
     * rep_n = fraction of n-gram OCCURRENCES that are repeats
@@ -393,6 +397,55 @@ object TextOps {
        |  COALESCE(s.avg_p, 0.0) >= $FluentMin AS fluent
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
 
+  // --------------------------------------------------- t9 PII redaction
+
+  /** PII patterns — simple-class regexes (char classes, +, {m,n} only),
+    * deliberately inside the syntax subset where Java regex and RE2
+    * (DuckDB) agree, so the oracle replays them verbatim. */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** t9: PII redaction — the scrub pass every corpus takes before
+    * training: emails, phone numbers, and IPv4 literals counted and
+    * replaced with type tokens, in one narrow map (count + redact fused
+    * into the same codegen span as the scan; nothing shuffles at any
+    * scale). Replacement order is the declaration order — earlier
+    * patterns consume their text before later ones see it (an IP never
+    * double-matches inside a redacted email).
+    *
+    * This corpus is lowercase word-soup and legitimately contains zero
+    * PII, so every count is 0 and `redacted_len` = n_chars — the oracle
+    * still checks all of that exactly; TextOpsSpec proves the actual
+    * redaction behavior on planted synthetic documents (the same
+    * corpus-plants-none pattern as d5). */
+  def t9PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all($"text", lit(re), lit(0))).as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft($"text": Column) {
+      case (c, (_, re, tok)) => regexp_replace(c, re, tok)
+    }
+    Tables.documents(s, dir).select(
+      ($"doc_id" +: counts :+ length(redacted).as("redacted_len")): _*)
+  }
+
+  private val t9Sql = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_$name"
+    }.mkString(",\n  ")
+    val redacted = PiiPatterns.foldLeft("text") {
+      case (e, (_, re, tok)) => s"regexp_replace($e, '$re', '$tok', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  $counts,
+       |  CAST(length($redacted) AS INT) AS redacted_len
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
@@ -401,7 +454,8 @@ object TextOps {
     "t5_fingerprint" -> t5Fingerprint _,
     "t6_hash_split" -> t6HashSplit _,
     "t7_repetition" -> t7Repetition _,
-    "t8_bigram_lm" -> t8BigramLm _)
+    "t8_bigram_lm" -> t8BigramLm _,
+    "t9_pii_redact" -> t9PiiRedact _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
@@ -411,5 +465,6 @@ object TextOps {
     "t5_fingerprint" -> t5Sql,
     "t6_hash_split" -> t6Sql,
     "t7_repetition" -> t7Sql,
-    "t8_bigram_lm" -> t8Sql)
+    "t8_bigram_lm" -> t8Sql,
+    "t9_pii_redact" -> t9Sql)
 }

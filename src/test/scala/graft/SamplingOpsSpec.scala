@@ -72,6 +72,23 @@ class SamplingOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("p3: mix plan — binding language at max epochs, shares hit targets, feasibility") {
+    val rows = SamplingOps.p3DatasetMix(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSet === Set("en", "de", "es", "fr", "zh"))
+    val total = rows.map(_._4).sum
+    rows.foreach { case (lang, tokens, w, need, factor) =>
+      // need_l / S = w_l: the mix hits its target share exactly
+      assert(math.abs(need / total - w) < 1e-12, s"$lang share")
+      // no language exceeds the repeat budget; the plan stays feasible
+      assert(factor <= SamplingOps.MaxEpochs + 1e-12, s"$lang factor=$factor")
+      assert(factor === need / tokens)
+    }
+    // exactly the binding language(s) sit AT the budget
+    assert(rows.exists(r => math.abs(r._5 - SamplingOps.MaxEpochs) < 1e-9),
+      s"some language must bind the total: ${rows.toSeq}")
+  }
+
   test("p2: independent of the t6 split and of p1 (different salt channels)") {
     // distinct salts => the p2 sample is not a subset/superset artifact of
     // the p1 ranks: check the two draws disagree on some docs both ways

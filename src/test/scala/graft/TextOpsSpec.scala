@@ -116,6 +116,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0.0, false)))
   }
 
+  test("t9: planted PII is counted and redacted; clean text passes through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t9").toString
+    Seq(
+      (1L, "contact alice.smith@example.com or bob@site.org today", "en", "s", 0L),
+      (2L, "call 555-123-4567 from 10.0.0.1 now", "en", "s", 0L),
+      (3L, "plain clean text with no identifiers", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t9PiiRedact(spark, dir)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((2, 0, 0,
+      "contact <EMAIL> or <EMAIL> today".length)))
+    assert(got(2L) === ((0, 1, 1, "call <PHONE> from <IP> now".length)))
+    assert(got(3L) === ((0, 0, 0,
+      "plain clean text with no identifiers".length)))
+    // the real corpus is PII-free by construction: counts 0, length identity
+    val corpus = TextOps.t9PiiRedact(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Int]("n_email") === 0)
+      assert(r.getAs[Int]("n_phone") === 0)
+      assert(r.getAs[Int]("n_ip") === 0)
+    }
+  }
+
   test("t8: corpus invariants — probabilities in (0,1], bigram counts = words-1") {
     val words = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", size(split($"text", " ")).as("nw"))
