@@ -428,6 +428,44 @@ object RelationalQueries {
       |FROM documents
       |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
 
+  /** q20: recursive CTE (`WITH RECURSIVE`, new SQL surface in Spark 4.x) —
+    * hierarchical subtree rollup. Documents are placed on the implicit
+    * binary-tree hierarchy parent(id) = id div 2 (the stand-in for any
+    * real log-depth hierarchy: domain → site → page paths, category
+    * trees) and every node aggregates its subtree's doc and token counts
+    * — the recursive analog of rollup, inexpressible with static
+    * grouping sets because the hierarchy depth is data-dependent.
+    *
+    * UNION ALL recursion is safe and LINEAR here because each node has
+    * exactly one parent — total intermediate rows = Σ depth(doc) =
+    * O(docs × log docs), far under Spark's default recursion row limit;
+    * cycle-free by construction (id strictly decreases). Depth is
+    * O(log corpus) at any scale, so the recursion terminates in ~45
+    * levels even at 100 TB. Both engines run the IDENTICAL query text
+    * modulo integer floor division spelling (`div` vs `//`). */
+  def q20RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+    s.sql(
+      """WITH RECURSIVE anc (doc_id, node, t) AS (
+        |  SELECT doc_id, doc_id, size(split(text, ' ')) FROM g_documents
+        |  UNION ALL
+        |  SELECT doc_id, node div 2, t FROM anc WHERE node > 0)
+        |SELECT node,
+        |  COUNT(*) AS subtree_docs,
+        |  CAST(SUM(t) AS BIGINT) AS subtree_tokens
+        |FROM anc GROUP BY node""".stripMargin)
+  }
+
+  private val q20Sql =
+    """WITH RECURSIVE anc (doc_id, node, t) AS (
+      |  SELECT doc_id, doc_id, len(string_split(text, ' ')) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, node // 2, t FROM anc WHERE node > 0)
+      |SELECT node,
+      |  COUNT(*) AS subtree_docs,
+      |  CAST(SUM(t) AS BIGINT) AS subtree_tokens
+      |FROM anc GROUP BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -443,7 +481,8 @@ object RelationalQueries {
     "q16_pivot" -> q16Pivot _,
     "q17_cube" -> q17Cube _,
     "q18_sql_entry" -> q18SqlEntry _,
-    "q19_string_agg" -> q19StringAgg _)
+    "q19_string_agg" -> q19StringAgg _,
+    "q20_recursive_cte" -> q20RecursiveCte _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -460,5 +499,6 @@ object RelationalQueries {
     "q16_pivot" -> q16Sql,
     "q17_cube" -> q17Sql,
     "q18_sql_entry" -> q18Sql,
-    "q19_string_agg" -> q19Sql)
+    "q19_string_agg" -> q19Sql,
+    "q20_recursive_cte" -> q20Sql)
 }

@@ -51,6 +51,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("p2/t9: sampling filter and PII scrub are pure narrow maps") {
+    for (q <- Seq("p2_stratified_sample", "t9_pii_redact")) {
+      val p = plan(q)
+      assert(shuffles(p) === 0, s"$q must not shuffle:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q should not join:\n$p")
+    }
+  }
+
+  test("p1: exactly the two ranking exchanges, nothing over the corpus text") {
+    val p = plan("p1_sample_topk")
+    // stage 1 partitions by (source, physical partition), stage 2 by
+    // source over the k×partitions survivors — two id-only exchanges
+    assert(shuffles(p) === 2, p)
+  }
+
+  test("st5: static side broadcast — the stream/fact side never shuffles") {
+    val p = plan("st5_stream_static_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) === 0, s"st5 must be shuffle-free:\n$p")
+  }
+
+  test("q19: one shuffle — the fingerprint aggregate") {
+    val p = plan("q19_string_agg")
+    assert(shuffles(p) === 1, p)
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,

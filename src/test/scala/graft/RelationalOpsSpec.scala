@@ -85,6 +85,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q20: recursive subtree rollup matches a Scala ancestor-walk recount") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("t"))
+      .as[(Long, Long)].collect()
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    docs.foreach { case (id, t) =>
+      val chain = Iterator.iterate(id)(_ / 2).takeWhile(_ > 0).toSeq :+ 0L
+      chain.foreach { node =>
+        val (c, s0) = expect.getOrElse(node, (0L, 0L))
+        expect(node) = (c + 1, s0 + t)
+      }
+    }
+    val got = RelationalQueries.q20RecursiveCte(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expect.toMap)
+    // the root aggregates the whole corpus
+    assert(got(0L)._1 === docs.length.toLong)
+    assert(got(0L)._2 === docs.map(_._2).sum)
+  }
+
   test("q19: listagg rosters are sorted, complete, and partition-invariant") {
     val rows = RelationalQueries.q19StringAgg(spark, sf)
       .as[(String, Long, String)].collect()
