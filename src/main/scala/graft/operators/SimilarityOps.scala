@@ -44,17 +44,24 @@ object SimilarityOps {
   def s1CosineTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val queries = emb.where($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val sims = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
-      .join(broadcast(queries), $"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id",
-        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    exactTopk(emb, emb.where($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb")))
+  }
+
+  /** Exact cosine top-K of every `queries` row against the corpus — s1's
+    * core over an arbitrary (bounded) query set. The query side is
+    * broadcast; the corpus side never shuffles; the only exchange is the
+    * per-query top-k. */
+  private def exactTopk(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val sims = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineCol(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w))
-      .where($"rnk" <= K)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+      .where(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
 
   private val s1Sql =
@@ -305,13 +312,85 @@ object SimilarityOps {
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
        |FROM ($s1Sql) WHERE query_id = 0""".stripMargin
 
+  // --------------------------------------------------- kNN join (s4)
+
+  /** Every [[KnnSampleMod]]-th vector is an audit query for the s4
+    * recall check — id-modulus so the DuckDB oracle replays the sample. */
+  private[graft] val KnnSampleMod = 10
+
+  /** s4: full-corpus kNN JOIN — the batch kNN-graph build behind
+    * embedding-space dedup, diversity sampling, and graph-based label
+    * propagation. Unlike s2 (small query set, broadcast) the query set
+    * here IS the corpus, so broadcasting is impossible by definition:
+    * both sides bucket by IVF cell and candidates come from the cell
+    * equi-join — each vector is scored against ~nprobe/k of the corpus
+    * instead of all of it, which is what makes a kNN graph buildable at
+    * 100 TB (all-pairs is N² and never viable). Exact cosine + per-query
+    * top-K window on the candidates only. */
+  def s4KnnJoin(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = kmeans(emb, k, iters = 3)
+    val cell = nearestCell($"embedding", centroids)
+    val corpus = emb.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("c_emb"), cell.as("cell"))
+    val probes = sort_array(array(cellScores($"embedding", centroids): _*),
+      asc = false)
+    val queries = emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+      explode(slice(probes, 1, nprobe).getField("i")).as("cell"))
+    val sims = corpus.join(queries, Seq("cell"))
+      .where($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= K)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+  }
+
+  /** s4 as registered for the driver: the exact top-K of a deterministic
+    * 1-in-[[KnnSampleMod]] query sample (the oracle anchor) plus a
+    * `recall_ok` boolean measuring the full IVF kNN graph against it.
+    * The MEAN bound is the hard signal; the per-query floor is waived
+    * (minHits = 0): over a 10%-of-corpus sample the heavy per-query
+    * recall tail (exact neighbors on cell boundaries) makes a 0-hit
+    * query possible where s2's 20-query set never shows one, and the
+    * mean alone still refutes a broken quantizer (~0.25). */
+  def s4KnnJoinChecked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val sample = emb.where(pmod($"vec_id", lit(KnnSampleMod)) === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    recallChecked(exactTopk(emb, sample), s4KnnJoin(s, dir),
+      minHits = 0, meanBound = MeanRecallBound)
+  }
+
+  private val s4Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id % $KnnSampleMod = 0),
+       |sims AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+       |  FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+       |  FROM sims)
+       |SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopk _,
     "s2_ann_ivf" -> s2AnnIvfChecked _,
-    "s3_ann_cell_pruned" -> ((s, d) => s3AnnCellPruned(s, d)))
+    "s3_ann_cell_pruned" -> ((s, d) => s3AnnCellPruned(s, d)),
+    "s4_knn_join" -> s4KnnJoinChecked _)
 
   val oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_ivf" -> s2Sql,
-    "s3_ann_cell_pruned" -> s3Sql)
+    "s3_ann_cell_pruned" -> s3Sql,
+    "s4_knn_join" -> s4Sql)
 }

@@ -85,6 +85,37 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.forall(_._2), "single-query IVF recall below bound")
   }
 
+  test("s4: kNN graph covers every vector; recall >= 0.8 vs brute force on clustered data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val graph = SimilarityOps.s4KnnJoin(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    // the graph has an entry for EVERY vector (the kNN-join contract)
+    assert(graph.keySet === (0L until 400L).toSet)
+    // exact truth for a spot-check sample of queries (s1's 0..19 set)
+    val truth = SimilarityOps.s1CosineTopk(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val recalls = truth.map { case (q, t) =>
+      graph.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("s4 checked: exact sampled top-k, recall_ok true on the real corpus") {
+    val rows = SimilarityOps.s4KnnJoinChecked(spark, sf)
+      .select($"query_id", $"rnk", $"recall_ok")
+      .as[(Long, Int, Boolean)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    // exactly the 1-in-mod sampled queries, K rows each
+    assert(byQuery.keySet.forall(_ % SimilarityOps.KnnSampleMod === 0))
+    byQuery.values.foreach(r => assert(r.length === SimilarityOps.K))
+    assert(rows.forall(_._3), "kNN-join recall below bound on the real corpus")
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
