@@ -281,9 +281,10 @@ object DedupOps {
     val tables: Seq[(Int, Int)] =
       for { i <- 0 until NumBlocks; j <- (i + 1) until NumBlocks } yield (i, j)
 
-    /** shingle → 60-bit base hash, as a native (codegen'd) column. */
+    /** shingle → 60-bit base hash ([[graft.sources.Hash60]] device), as a
+      * native (codegen'd) column. */
     def shingleHash(s: Column): Column =
-      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+      graft.sources.Hash60.col60(s.cast("binary"))
 
     /** (doc_id, sh: array<string>) → (doc_id, fp): per-bit majority votes
       * via the [[graft.functions.simhashFingerprint]] codegen'd expression

@@ -409,7 +409,7 @@ object RelationalQueries {
     * digest, doc_id) pairs only. */
   def q19StringAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fp = md5(concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+    val fp = TextOps.canonicalFingerprint($"text")
     Tables.documents(s, dir)
       .select($"doc_id", fp.as("fingerprint"))
       .groupBy($"fingerprint")
@@ -421,12 +421,11 @@ object RelationalQueries {
   }
 
   private val q19Sql =
-    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-      |    AS fingerprint,
-      |  COUNT(*) AS n_docs,
-      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
-      |FROM documents
-      |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+    s"""SELECT ${TextOps.canonicalFingerprintSql} AS fingerprint,
+       |  COUNT(*) AS n_docs,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+       |FROM documents
+       |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
 
   /** q20: recursive CTE (`WITH RECURSIVE`, new SQL surface in Spark 4.x) —
     * hierarchical subtree rollup. Documents are placed on the implicit
@@ -438,12 +437,18 @@ object RelationalQueries {
     *
     * UNION ALL recursion is safe and LINEAR here because each node has
     * exactly one parent — total intermediate rows = Σ depth(doc) =
-    * O(docs × log docs), far under Spark's default recursion row limit;
-    * cycle-free by construction (id strictly decreases). Depth is
-    * O(log corpus) at any scale, so the recursion terminates in ~45
-    * levels even at 100 TB. Both engines run the IDENTICAL query text
-    * modulo integer floor division spelling (`div` vs `//`). */
+    * O(docs × log docs); cycle-free by construction (id strictly
+    * decreases). Depth is O(log corpus) at any scale, so the recursion
+    * terminates in ~45 levels even at 100 TB. Linear is NOT "small":
+    * docs × log₂(docs) already brushes Spark's default 1M-row recursion
+    * guard at ~50k docs, so the limit is raised explicitly here — the
+    * guard exists to catch runaway recursion, and this recursion's
+    * bound is proven by the strictly-decreasing id, not by the default
+    * constant. Both engines run the IDENTICAL query text modulo integer
+    * floor division spelling (`div` vs `//`). */
   def q20RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    // docs × ~45 levels at large corpora ≫ the 1M default (Int-typed conf)
+    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
     Tables.documents(s, dir).createOrReplaceTempView("g_documents")
     s.sql(
       """WITH RECURSIVE anc (doc_id, node, t) AS (

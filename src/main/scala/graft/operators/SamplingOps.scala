@@ -24,14 +24,13 @@ import org.apache.spark.sql.functions._
 object SamplingOps {
 
   /** Deterministic uniform rank in [0, 2^60) from a salted doc id — the
-    * md5-prefix-as-BIGINT device of [[TextOps.t6HashSplit]], with a salt
-    * prefix so distinct sampling channels draw independent hashes. */
+    * shared [[graft.sources.Hash60]] device, with a salt prefix so
+    * distinct sampling channels draw independent hashes. */
   private def hashRank(docId: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), docId.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.sources.Hash60.col60(concat(lit(salt), docId.cast("string")))
 
   private def hashRankSql(salt: String): String =
-    s"('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    graft.sources.Hash60.sql60(s"'$salt' || CAST(doc_id AS VARCHAR)")
 
   private[graft] val TopK = 20
 

@@ -184,16 +184,24 @@ object SimilarityOps {
     val queries = emb.where($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         explode(slice(probes, 1, nprobe).getField("i")).as("cell"))
+    ivfTopk(corpus, broadcast(queries))
+  }
 
-    val sims = corpus.join(broadcast(queries), Seq("cell"))
-      .where($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id",
-        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+  /** Candidate scoring + per-query top-K shared by the IVF searchers:
+    * equi-join on cell, exact cosine on CANDIDATES only, rank window.
+    * The caller picks the query-side strategy — s2 broadcasts its
+    * bounded query set; s4's query set is the corpus and must shuffle
+    * on cell. */
+  private def ivfTopk(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val sims = corpus.join(queries, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineCol(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w))
-      .where($"rnk" <= K)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+      .where(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
 
   /** Recall bounds asserted by [[s2AnnIvfChecked]], sized from measured
@@ -222,7 +230,9 @@ object SimilarityOps {
 
   /** Exact top-k rows + recall booleans vs the given approx ranking.
     * Factored out so the spec can refute it with a sabotaged approx. The
-    * global window runs on the 20-row per-query relation, not the corpus.
+    * global window runs on the bounded audit relation (queries × K rows
+    * — every caller bounds its query set: s1/s2 a 20-query literal, s3
+    * one query, s4 an absolute-capped sample), never the corpus.
     * `meanBound` is only meaningful over a multi-query set — single-query
     * callers (s3) must pass 0.0 and rely on the per-query floor, per the
     * heavy-tail analysis above. */
@@ -314,9 +324,13 @@ object SimilarityOps {
 
   // --------------------------------------------------- kNN join (s4)
 
-  /** Every [[KnnSampleMod]]-th vector is an audit query for the s4
-    * recall check — id-modulus so the DuckDB oracle replays the sample. */
+  /** Every [[KnnSampleMod]]-th vector under [[KnnAuditCap]] is an audit
+    * query for the s4 recall check — id-modulus so the DuckDB oracle
+    * replays the sample, an ABSOLUTE cap so the audit stays broadcastable
+    * at any corpus size (a proportional sample would grow with the corpus
+    * and re-introduce the broadcast s4 exists to avoid). */
   private[graft] val KnnSampleMod = 10
+  private[graft] val KnnAuditCap = 10000L
 
   /** s4: full-corpus kNN JOIN — the batch kNN-graph build behind
     * embedding-space dedup, diversity sampling, and graph-based label
@@ -338,15 +352,7 @@ object SimilarityOps {
       asc = false)
     val queries = emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
       explode(slice(probes, 1, nprobe).getField("i")).as("cell"))
-    val sims = corpus.join(queries, Seq("cell"))
-      .where($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id",
-        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    sims.withColumn("rnk", row_number().over(w))
-      .where($"rnk" <= K)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+    ivfTopk(corpus, queries)
   }
 
   /** s4 as registered for the driver: the exact top-K of a deterministic
@@ -360,7 +366,8 @@ object SimilarityOps {
   def s4KnnJoinChecked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val sample = emb.where(pmod($"vec_id", lit(KnnSampleMod)) === 0)
+    val sample = emb
+      .where(pmod($"vec_id", lit(KnnSampleMod)) === 0 && $"vec_id" < KnnAuditCap)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     recallChecked(exactTopk(emb, sample), s4KnnJoin(s, dir),
       minHits = 0, meanBound = MeanRecallBound)
@@ -368,7 +375,8 @@ object SimilarityOps {
 
   private val s4Sql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-       |           FROM embeddings WHERE vec_id % $KnnSampleMod = 0),
+       |           FROM embeddings
+       |           WHERE vec_id % $KnnSampleMod = 0 AND vec_id < $KnnAuditCap),
        |sims AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),

@@ -201,9 +201,19 @@ object TextOps {
     * canonical-duplicate clusters are visible. One shuffle, keyed on the
     * 16-byte digest — documents ride through it already reduced to
     * (doc_id, digest). */
+  /** Canonical bag-of-words fingerprint — t5's grouping key. q19's
+    * roster query groups on the SAME key, so both read this one
+    * definition (the spec-side recomputations stay deliberately inline
+    * as independent checks). */
+  private[operators] def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  private[operators] val canonicalFingerprintSql: String =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
   def t5Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fp = md5(concat_ws(" ", array_sort(array_distinct(words($"text")))))
+    val fp = canonicalFingerprint($"text")
     Tables.documents(s, dir)
       .select($"doc_id", fp.as("fingerprint"))
       .withColumn("group_sz", count(lit(1)).over(
@@ -211,14 +221,12 @@ object TextOps {
   }
 
   private val t5Sql =
-    """WITH fp AS (
-      |  SELECT doc_id,
-      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-      |      AS fingerprint
-      |  FROM documents)
-      |SELECT doc_id, fingerprint,
-      |  COUNT(*) OVER (PARTITION BY fingerprint) AS group_sz
-      |FROM fp""".stripMargin
+    s"""WITH fp AS (
+       |  SELECT doc_id, $canonicalFingerprintSql AS fingerprint
+       |  FROM documents)
+       |SELECT doc_id, fingerprint,
+       |  COUNT(*) OVER (PARTITION BY fingerprint) AS group_sz
+       |FROM fp""".stripMargin
 
   // ------------------------------------------------- t6 deterministic split
 
@@ -232,8 +240,7 @@ object TextOps {
   def t6HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = pmod(
-      conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(100))
+      graft.sources.Hash60.col60($"doc_id".cast("string")), lit(100))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     Tables.documents(s, dir)
       .select($"source", split.as("split"))
@@ -242,13 +249,13 @@ object TextOps {
   }
 
   private val t6Sql =
-    """SELECT source,
-      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-      |  COUNT(*) AS docs
-      |FROM (SELECT source,
-      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
-      |      FROM documents)
-      |GROUP BY 1, 2""".stripMargin
+    s"""SELECT source,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS docs
+       |FROM (SELECT source,
+       |        ${graft.sources.Hash60.sql60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+       |      FROM documents)
+       |GROUP BY 1, 2""".stripMargin
 
   // -------------------------------------------------- t7 repetition ratios
 
@@ -311,12 +318,11 @@ object TextOps {
     * filter surfaces. */
   private val FluentMin = 0.036
 
-  /** Salted 60-bit md5 key — the join/grouping key for n-gram relations.
-    * Shuffles carry 8-byte hashes instead of bigram strings; a ~1e-10
-    * collision merges the same counts in BOTH engines (the oracle hashes
-    * identically), so results stay exact. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Salted 60-bit md5 key ([[graft.sources.Hash60]]) — the join/grouping
+    * key for n-gram relations. Shuffles carry 8-byte hashes instead of
+    * bigram strings; a ~1e-10 collision merges the same counts in BOTH
+    * engines (the oracle hashes identically), so results stay exact. */
+  private def h60(c: Column): Column = graft.sources.Hash60.col60(c)
 
   /** t8: bigram language-model scoring — the perplexity-style quality
     * filter training pipelines run (CCNet/KenLM shape, with the corpus
@@ -376,8 +382,8 @@ object TextOps {
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |occ AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(u.x.c), 1, 15))::BIGINT AS ch,
-       |    ('0x' || substr(md5(u.x.s), 1, 15))::BIGINT AS bh,
+       |    ${graft.sources.Hash60.sql60("u.x.c")} AS ch,
+       |    ${graft.sources.Hash60.sql60("u.x.s")} AS bh,
        |    count(*) AS m
        |  FROM toks, UNNEST(list_transform(generate_series(1, len(w) - 1),
        |    i -> {'c': w[i], 's': w[i] || ' ' || w[i+1]})) AS u(x)
@@ -412,9 +418,12 @@ object TextOps {
     * training: emails, phone numbers, and IPv4 literals counted and
     * replaced with type tokens, in one narrow map (count + redact fused
     * into the same codegen span as the scan; nothing shuffles at any
-    * scale). Replacement order is the declaration order — earlier
-    * patterns consume their text before later ones see it (an IP never
-    * double-matches inside a redacted email).
+    * scale). Replacement order is the declaration order, and each
+    * pattern's COUNT is taken on the text as that stage actually sees it
+    * (after earlier replacements) — so counts are exactly the number of
+    * replacements performed, and text consumed by an earlier pattern is
+    * never double-counted by a later one (digits inside an address that
+    * the email pass redacted are invisible to the phone/IP passes).
     *
     * This corpus is lowercase word-soup and legitimately contains zero
     * PII, so every count is 0 and `redacted_len` = n_chars — the oracle
@@ -423,26 +432,27 @@ object TextOps {
     * corpus-plants-none pattern as d5). */
   def t9PiiRedact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val counts = PiiPatterns.map { case (name, re, _) =>
-      size(regexp_extract_all($"text", lit(re), lit(0))).as(s"n_$name")
-    }
-    val redacted = PiiPatterns.foldLeft($"text": Column) {
+    // stages(i) = text after the first i patterns applied
+    val stages = PiiPatterns.scanLeft($"text": Column) {
       case (c, (_, re, tok)) => regexp_replace(c, re, tok)
     }
+    val counts = PiiPatterns.zip(stages).map { case ((name, re, _), seen) =>
+      size(regexp_extract_all(seen, lit(re), lit(0))).as(s"n_$name")
+    }
     Tables.documents(s, dir).select(
-      ($"doc_id" +: counts :+ length(redacted).as("redacted_len")): _*)
+      ($"doc_id" +: counts :+ length(stages.last).as("redacted_len")): _*)
   }
 
   private val t9Sql = {
-    val counts = PiiPatterns.map { case (name, re, _) =>
-      s"CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_$name"
-    }.mkString(",\n  ")
-    val redacted = PiiPatterns.foldLeft("text") {
+    val stages = PiiPatterns.scanLeft("text") {
       case (e, (_, re, tok)) => s"regexp_replace($e, '$re', '$tok', 'g')"
     }
+    val counts = PiiPatterns.zip(stages).map { case ((name, re, _), seen) =>
+      s"CAST(len(regexp_extract_all($seen, '$re')) AS INT) AS n_$name"
+    }.mkString(",\n  ")
     s"""SELECT doc_id,
        |  $counts,
-       |  CAST(length($redacted) AS INT) AS redacted_len
+       |  CAST(length(${stages.last}) AS INT) AS redacted_len
        |FROM documents""".stripMargin
   }
 

@@ -69,12 +69,16 @@ object Layouts {
   /** Write-once bucketed copy of a testdata table, registered in the
     * session catalog (bucket metadata only exists through the catalog, so
     * this is `saveAsTable` with an explicit external path under target/).
-    * The table name encodes (table, key, buckets, source dir) — a second
-    * call is a metadata hit, a different sf dir is a different table. */
+    * The table name encodes EVERY layout parameter — (table, bucket key,
+    * bucket count, source dir) — so a second identical call is a
+    * metadata hit while any differing parameter is a different table
+    * (same-table-different-key must never alias; the dir tag is an md5
+    * prefix, not String.hashCode, so distinct dirs cannot collide). */
   def bucketedTable(s: SparkSession, dir: String, table: String,
                     key: String, buckets: Int): String = {
-    val tname = s"graft_${table}_bk${buckets}_" +
-      Integer.toHexString(dir.hashCode)
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val tname = s"graft_${table}_${key}_bk${buckets}_$dirTag"
     if (!s.catalog.tableExists(tname)) {
       val path = java.nio.file.Paths.get("target", tname)
         .toAbsolutePath.toString

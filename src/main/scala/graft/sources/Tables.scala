@@ -42,6 +42,22 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
 
+/** The one home of the md5-prefix-60-bit-BIGINT device: a deterministic,
+  * engine-portable uniform hash (first 15 hex chars of md5 parsed base-16
+  * — 60 bits keeps the value positive in a signed BIGINT in both
+  * engines). Used wherever a hash must be REPRODUCED by the DuckDB
+  * oracle — sampling ranks, split buckets, n-gram join keys (xxhash64
+  * does not exist in DuckDB). Column form and SQL fragment live together
+  * so the two spellings cannot drift. */
+object Hash60 {
+  def col60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[col60]] over a SQL expression string. */
+  def sql60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+}
+
 /** Oracle-determinism helpers.
   *
   * The driver hash-compares our parquet output against DuckDB running the
