@@ -77,6 +77,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
+  test("runtime bloom filter: a selective dim filter injects might_contain into the fact scan") {
+    // The optimizer lever for selective fact-fact joins at scale: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered side and
+    // pushes `might_contain` onto the probe side, cutting shuffle input
+    // before the join. Size thresholds are tuned for real clusters, so
+    // the test lowers them to demonstrate the mechanism at fixture scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = graft.sources.Tables.lineitem(spark, sf)
+      val o = graft.sources.Tables.orders(spark, sf)
+        .where(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      val p = l.join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+        .count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,
