@@ -620,7 +620,7 @@ object DedupOps {
           !coalesce(col("neardup"), lit(false))).as("keep"))
   }
 
-  private val d6Sql =
+  private[operators] val d6Sql =
     """WITH canon AS (
       |  SELECT doc_id, text FROM (
       |    SELECT doc_id, text,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The capstone composition: the full "prepare a training corpus" pass as
+  * ONE declarative plan. Real pipelines run exactly this chain — quality
+  * rules, repetition filter, exact+near dedup, then a reproducible split —
+  * and the point of building every stage as a composable Spark expression
+  * is that the composition costs ONE corpus scan for all narrow signals
+  * plus the dedup machinery's id-only exchanges, not one pass per stage.
+  */
+object PipelineOps {
+
+  /** e1: per-document final disposition —
+    *
+    *   keep  = dedup-canonical-and-not-near-dup (d6's bit)
+    *           ∧ quality score ≥ 3 (t3's rule battery)
+    *           ∧ not repetitive (t7's rep2 filter)
+    *   split = t6's deterministic hash split for kept docs, 'dropped'
+    *           otherwise.
+    *
+    * Plan shape: the three text signals are EXPRESSIONS composed into a
+    * single narrow projection over one documents scan (zero extra passes
+    * — this is why t3/t6/t7 expose their expressions rather than only
+    * DataFrames); the only joined relation is d6's (doc_id, keep) bit,
+    * whose pipeline exchanges ids and digests only. At 100 TB this runs
+    * one full read of the corpus plus the LSH machinery — the same cost
+    * as d6 alone. */
+  def e1Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val signals = Tables.documents(s, dir).select(
+      $"doc_id",
+      (TextOps.qualityScoreExpr($"text") >= 3).as("q_keep"),
+      (TextOps.repExpr($"text", 2) > 0.2).as("repetitive"),
+      TextOps.splitExpr($"doc_id").as("split0"))
+    val dedup = DedupOps.d6DedupKeep(s, dir)
+      .withColumnRenamed("keep", "dedup_keep")
+    val keep = $"dedup_keep" && $"q_keep" && !$"repetitive"
+    signals.join(dedup, Seq("doc_id"))
+      .select($"doc_id", keep.as("keep"),
+        when(keep, $"split0").otherwise("dropped").as("split"))
+  }
+
+  /** Oracle: the same composition over the stage oracles — d6's full SQL
+    * and t3/t7's batteries as subqueries, the split inline. The oracle may
+    * re-scan per stage (DuckDB at sf0.01); the engine must not. */
+  private val e1Sql =
+    s"""WITH d6 AS (SELECT doc_id, keep AS dedup_keep FROM (${DedupOps.d6Sql})),
+       |tq AS (SELECT doc_id, keep AS q_keep FROM (${TextOps.t3Sql})),
+       |tr AS (SELECT doc_id, repetitive FROM (${TextOps.t7Sql})),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split0
+       |  FROM (SELECT doc_id,
+       |        ${graft.sources.Hash60.sql60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+       |        FROM documents))
+       |SELECT d6.doc_id,
+       |  (dedup_keep AND q_keep AND NOT repetitive) AS keep,
+       |  CASE WHEN dedup_keep AND q_keep AND NOT repetitive
+       |       THEN sp.split0 ELSE 'dropped' END AS split
+       |FROM d6
+       |JOIN tq USING (doc_id)
+       |JOIN tr USING (doc_id)
+       |JOIN sp USING (doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_pipeline" -> e1Pipeline _)
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_pipeline" -> e1Sql)
+}

@@ -112,23 +112,29 @@ object TextOps {
     * [0,4]; `keep` at >= 3 is the pipeline's filter bit. At 100 TB this is
     * the first pass over raw text, so it must stay a narrow map — it does:
     * no shuffle, filter bit computed inline with the scan. */
-  def t3QualityScore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w = words($"text")
+  /** t3's rule battery as a reusable expression (score in [0,4]) — the
+    * e1 pipeline composes it inline with the other narrow signals so
+    * everything rides one scan. */
+  private[operators] def qualityScoreExpr(text: Column): Column = {
+    val w = split(text, " ")
     val nWords = size(w)
     val stopRatio = markerHits(w, langMarkers.head._2).cast("double") / nWords
     val ttr = size(array_distinct(w)).cast("double") / nWords
-    val meanLen = (length($"text") - nWords + 1).cast("double") / nWords
-    val score =
-      when(nWords.between(10, 1000), 1).otherwise(0) +
+    val meanLen = (length(text) - nWords + 1).cast("double") / nWords
+    when(nWords.between(10, 1000), 1).otherwise(0) +
       when(stopRatio > 0.05, 1).otherwise(0) +
       when(ttr > 0.2, 1).otherwise(0) +
       when(meanLen.between(3.0, 10.0), 1).otherwise(0)
+  }
+
+  def t3QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val score = qualityScoreExpr($"text")
     Tables.documents(s, dir).select(
       $"doc_id", score.as("quality"), (score >= 3).as("keep"))
   }
 
-  private val t3Sql = {
+  private[operators] val t3Sql = {
     val en = langMarkers.head._2.map(x => s"'$x'").mkString("[", ", ", "]")
     """WITH f AS (
       |  SELECT doc_id,
@@ -237,13 +243,17 @@ object TextOps {
     * property a random() split lacks), (c) a narrow map: no shuffle for the
     * assignment itself, one tiny aggregate for the audit counts. 80/10/10
     * by hash bucket; md5-based so the oracle reproduces it bit-for-bit. */
+  /** t6's split assignment for one document id — reused by the e1
+    * pipeline so both land each doc in the same split. */
+  private[graft] def splitExpr(docId: Column): Column = {
+    val bucket = pmod(graft.sources.Hash60.col60(docId.cast("string")), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def t6HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = pmod(
-      graft.sources.Hash60.col60($"doc_id".cast("string")), lit(100))
-    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     Tables.documents(s, dir)
-      .select($"source", split.as("split"))
+      .select($"source", splitExpr($"doc_id").as("split"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("docs"))
   }
@@ -280,20 +290,23 @@ object TextOps {
     * the templated/boilerplate band. Pure narrow map (per-row array
     * expressions, no shuffle) — this runs in the same first pass over raw
     * text as t3's rule battery. */
-  def t7Repetition(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w = words($"text")
-    def rep(n: Int): Column = {
-      val g = grams(w, n, $"text")
-      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
-    }
-    Tables.documents(s, dir).select(
-      $"doc_id",
-      rep(1).as("rep1"), rep(2).as("rep2"), rep(3).as("rep3"),
-      (rep(2) > 0.2).as("repetitive"))
+  /** rep_n ratio of `text` as a reusable expression (e1 composes the
+    * n=2 filter inline with the other narrow signals). */
+  private[operators] def repExpr(text: Column, n: Int): Column = {
+    val g = grams(split(text, " "), n, text)
+    round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
   }
 
-  private val t7Sql = {
+  def t7Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      repExpr($"text", 1).as("rep1"), repExpr($"text", 2).as("rep2"),
+      repExpr($"text", 3).as("rep3"),
+      (repExpr($"text", 2) > 0.2).as("repetitive"))
+  }
+
+  private[operators] val t7Sql = {
     def g(n: Int): String =
       if (n == 1) "string_split(text, ' ')"
       else s"""CASE WHEN len(string_split(text, ' ')) >= $n
