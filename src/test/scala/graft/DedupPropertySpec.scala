@@ -60,6 +60,32 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingles column equals a Scala sliding-window recount on generated texts") {
+    // Guards the zip_with-fold formulation (the transform-lambda original
+    // was quadratic): whatever the plan shape, the OUTPUT contract is
+    // distinct n-gram strings in first-occurrence order, whole text as
+    // fallback below n tokens.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text: Gen[String] = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "dd", "tok", "x1"))
+        .map(_.mkString(" ")))
+    val texts = samples(text, n = 120).distinct
+    assert(texts.size > 50)
+    for (n <- Seq(2, 3, 5)) {
+      val got = texts.toDF("text")
+        .select($"text", DedupOps.shingles($"text", n).as("sh"))
+        .as[(String, Seq[String])].collect().toMap
+      texts.foreach { t =>
+        val w = t.split(" ", -1)
+        val expect =
+          if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+          else Seq(t)
+        assert(got(t) === expect, s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("SimHash pigeonhole: hamming <= 3 pairs always share a two-block table key") {
     val fpAndFlips = Gen.zip(
       Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_ & ((1L << 60) - 1)),

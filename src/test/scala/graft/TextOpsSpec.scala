@@ -142,6 +142,42 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t8: exact integer recount on a generated random corpus") {
+    val rng = new scala.util.Random(99L)
+    val vocab = Seq("a", "b", "c", "dd", "eee")
+    val docs = (0 until 40).map { i =>
+      val n = 1 + rng.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_t8p").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Scala recount in the same integer arithmetic (string keys: the
+    // operator's 60-bit hashes cannot collide on this 25-bigram vocab)
+    val occ = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      w.sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0), p.mkString(" "))).toSeq
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c2 = occ.groupBy(_._1._3).map { case (k, v) => k -> v.values.sum }
+    val c1 = occ.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val expect = docs.map { case (id, t) =>
+      val mine = occ.filter(_._1._1 == id)
+      val nb = mine.values.sum
+      val avg =
+        if (nb == 0) 0.0
+        else mine.map { case ((_, c, s), m) =>
+          m * ((c2(s) * 1000000L) / c1(c))
+        }.sum.toDouble / (nb * 1000000L)
+      id -> ((nb, avg, avg >= 0.036))
+    }.toMap
+    val got = TextOps.t8BigramLm(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expect)
+  }
+
   test("t8: corpus invariants — probabilities in (0,1], bigram counts = words-1") {
     val words = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", size(split($"text", " ")).as("nw"))
