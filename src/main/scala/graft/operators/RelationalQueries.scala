@@ -471,6 +471,32 @@ object RelationalQueries {
       |  CAST(SUM(t) AS BIGINT) AS subtree_tokens
       |FROM anc GROUP BY node""".stripMargin
 
+  /** q21: LATERAL correlated subquery (the other new Spark 4.x SQL
+    * surface next to q20's recursion) — per-nation top-3 customers by
+    * balance, written as the per-row subquery a SQL author reaches for.
+    * Catalyst decorrelates the LATERAL + ORDER BY + LIMIT into a
+    * partitioned rank over one customer shuffle — the same physical plan
+    * the window formulation (q9's shape) gets, which is the point: the
+    * friendlier SQL spelling costs nothing. Raw column values pass
+    * through untouched (no aggregation), so the compare is float-safe. */
+  def q21LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+    s.sql(
+      """SELECT n.n_name, r.c_custkey, r.c_acctbal
+        |FROM g_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM g_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) r""".stripMargin)
+  }
+
+  private val q21Sql =
+    """SELECT n.n_name, r.c_custkey, r.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -487,7 +513,8 @@ object RelationalQueries {
     "q17_cube" -> q17Cube _,
     "q18_sql_entry" -> q18SqlEntry _,
     "q19_string_agg" -> q19StringAgg _,
-    "q20_recursive_cte" -> q20RecursiveCte _)
+    "q20_recursive_cte" -> q20RecursiveCte _,
+    "q21_lateral_topk" -> q21LateralTopk _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -505,5 +532,6 @@ object RelationalQueries {
     "q17_cube" -> q17Sql,
     "q18_sql_entry" -> q18Sql,
     "q19_string_agg" -> q19Sql,
-    "q20_recursive_cte" -> q20Sql)
+    "q20_recursive_cte" -> q20Sql,
+    "q21_lateral_topk" -> q21Sql)
 }

@@ -106,6 +106,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got(0L)._2 === docs.map(_._2).sum)
   }
 
+  test("q21: LATERAL top-3 equals the window-rank formulation") {
+    val got = RelationalQueries.q21LateralTopk(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    val want = graft.sources.Tables.customer(spark, sf)
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .join(graft.sources.Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"c_acctbal")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach(rows => assert(rows.size <= 3))
+  }
+
   test("q19: listagg rosters are sorted, complete, and partition-invariant") {
     val rows = RelationalQueries.q19StringAgg(spark, sf)
       .as[(String, Long, String)].collect()

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.SketchOps
+import org.apache.spark.sql.functions._
 
 class SketchOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -36,5 +37,28 @@ class SketchOpsSpec extends SparkSpec {
     val direct = graft.sources.Tables.events(spark, sf)
       .where($"user_id" === top._1).count()
     assert(direct === top._2)
+  }
+
+  test("k4: merged shard sketches estimate the global distinct within bound") {
+    val rows = SketchOps.k4SketchUnion(spark, sf)
+      .as[(Long, Boolean, Long)].collect()
+    assert(rows.length === 1)
+    val (exact, ok, nSketches) = rows.head
+    assert(nSketches === 4L)
+    assert(ok, "merged HLL estimate escaped the 5% bound")
+    val direct = graft.sources.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(exact === direct)
+    // mergeability: the union of the 4 shard sketches must agree with a
+    // single sketch built over the undivided column (same lgK)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val one = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))"))
+      .as[Long].collect()(0)
+    val merged = ev.withColumn("shard", pmod($"user_id", lit(4)))
+      .groupBy($"shard").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .as[Long].collect()(0)
+    assert(merged === one,
+      s"sketch union ($merged) must equal the one-shot sketch ($one)")
   }
 }
