@@ -204,17 +204,43 @@ object StreamingOps {
     """SELECT e.event_id, e.user_id, e.event_type, n.n_name AS cohort_nation
       |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin
 
+  /** st6: the SINK end of the streaming story — [[hourlyTypeCounts]]
+    * materialized to a parquet table partitioned by event_type and read
+    * back (write-once per JVM via the shared layout helper, the same
+    * standing-in-for-a-real-table discipline as src1/s3). On a stream
+    * the same materialization runs through `foreachBatch` with
+    * complete-mode overwrite — each micro-batch idempotently rewrites
+    * the small aggregate table, so replays after failure converge to the
+    * same files (StreamingOpsSpec drives that path through a
+    * MemoryStream and asserts the on-disk table equals the batch
+    * result). Downstream readers get partition pruning on event_type
+    * for free — the sink IS a layout. */
+  def st6StreamSink(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layouts.writeOncePartitioned(
+      "graft_st6_sink", dir, "event_type") {
+      hourlyTypeCounts(Tables.events(s, dir))
+    }
+    s.read.parquet(path).select(
+      col("hour_start"), col("event_type"), col("n_events"),
+      col("min_value"), col("max_value"))
+  }
+
+  // lossless roundtrip: the sink table holds exactly st1's rows
+  private val st6Sql = st1Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
     "st2_sessionize" -> st2Sessionize _,
     "st3_stream_dedup" -> st3StreamDedup _,
     "st4_interval_join" -> st4IntervalJoin _,
-    "st5_stream_static_join" -> st5StreamStaticJoin _)
+    "st5_stream_static_join" -> st5StreamStaticJoin _,
+    "st6_stream_sink" -> st6StreamSink _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
     "st2_sessionize" -> st2Sql,
     "st3_stream_dedup" -> st3Sql,
     "st4_interval_join" -> st4Sql,
-    "st5_stream_static_join" -> st5Sql)
+    "st5_stream_static_join" -> st5Sql,
+    "st6_stream_sink" -> st6Sql)
 }

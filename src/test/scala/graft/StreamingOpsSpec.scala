@@ -248,6 +248,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("st6: foreachBatch complete-mode sink converges to the batch table") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      (ts(5), "click", 1L, 1.5, 1L),
+      (ts(10), "view", 2L, 2.5, 2L),
+      (ts(65), "click", 3L, 9.0, 3L))
+    val want = StreamingOps.hourlyTypeCounts(
+        fixture.toDF("ts", "event_type", "user_id", "value", "event_id"))
+      .collect().map(_.toSeq).toSet
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_st6").toString
+    val stream = MemoryStream[(Timestamp, String, Long, Double, Long)]
+    val q = StreamingOps.hourlyTypeCounts(
+        stream.toDF.toDF("ts", "event_type", "user_id", "value", "event_id"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // complete mode + overwrite: every micro-batch idempotently
+        // rewrites the whole (tiny) aggregate table — a replayed batch
+        // after failure produces the identical files
+        batch.write.mode("overwrite").partitionBy("event_type").parquet(sink)
+      }
+      .start()
+    try {
+      // two deliveries: the second batch must OVERWRITE, not append
+      stream.addData(fixture.take(2))
+      q.processAllAvailable()
+      stream.addData(fixture.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(sink)
+      .select($"hour_start", $"event_type", $"n_events", $"min_value", $"max_value")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("sys: serverSpec reports the local executor with cores > 0") {
     val rows = ClusterInfo.serverSpec(spark).collect()
     assert(rows.nonEmpty)
