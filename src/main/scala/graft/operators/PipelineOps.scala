@@ -32,8 +32,8 @@ object PipelineOps {
     import s.implicits._
     val signals = Tables.documents(s, dir).select(
       $"doc_id",
-      (TextOps.qualityScoreExpr($"text") >= 3).as("q_keep"),
-      (TextOps.repExpr($"text", 2) > 0.2).as("repetitive"),
+      TextOps.qualityKeepExpr($"text").as("q_keep"),
+      TextOps.repetitiveExpr($"text").as("repetitive"),
       TextOps.splitExpr($"doc_id").as("split0"))
     val dedup = DedupOps.d6DedupKeep(s, dir)
       .withColumnRenamed("keep", "dedup_keep")
@@ -51,7 +51,7 @@ object PipelineOps {
        |tq AS (SELECT doc_id, keep AS q_keep FROM (${TextOps.t3Sql})),
        |tr AS (SELECT doc_id, repetitive FROM (${TextOps.t7Sql})),
        |sp AS (SELECT doc_id,
-       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split0
+       |  ${TextOps.splitSqlCase("b")} AS split0
        |  FROM (SELECT doc_id,
        |        ${graft.sources.Hash60.sql60("CAST(doc_id AS VARCHAR)")} % 100 AS b
        |        FROM documents))

@@ -106,17 +106,11 @@ object TextOps {
 
   // ----------------------------------------------------- t3 quality score
 
-  /** t3: document quality scoring — the C4/Gopher-style rule battery
-    * re-expressed as one codegen'd expression: length band, stopword
-    * ratio, repetition (type/token) ratio, mean word length band. Score in
-    * [0,4]; `keep` at >= 3 is the pipeline's filter bit. At 100 TB this is
-    * the first pass over raw text, so it must stay a narrow map — it does:
-    * no shuffle, filter bit computed inline with the scan. */
   /** t3's rule battery as a reusable expression (score in [0,4]) — the
     * e1 pipeline composes it inline with the other narrow signals so
     * everything rides one scan. */
   private[operators] def qualityScoreExpr(text: Column): Column = {
-    val w = split(text, " ")
+    val w = words(text)
     val nWords = size(w)
     val stopRatio = markerHits(w, langMarkers.head._2).cast("double") / nWords
     val ttr = size(array_distinct(w)).cast("double") / nWords
@@ -127,11 +121,22 @@ object TextOps {
       when(meanLen.between(3.0, 10.0), 1).otherwise(0)
   }
 
+  /** The pipeline's keep bit — ONE home for the ≥ 3 cutoff (t3 and e1
+    * both read it; tuning it cannot desynchronize them). */
+  private[operators] def qualityKeepExpr(text: Column): Column =
+    qualityScoreExpr(text) >= 3
+
+  /** t3: document quality scoring — the C4/Gopher-style rule battery
+    * re-expressed as one codegen'd expression: length band, stopword
+    * ratio, repetition (type/token) ratio, mean word length band. Score in
+    * [0,4]; `keep` at >= 3 is the pipeline's filter bit. At 100 TB this is
+    * the first pass over raw text, so it must stay a narrow map — it does:
+    * no shuffle, filter bit computed inline with the scan. */
   def t3QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val score = qualityScoreExpr($"text")
     Tables.documents(s, dir).select(
-      $"doc_id", score.as("quality"), (score >= 3).as("keep"))
+      $"doc_id", qualityScoreExpr($"text").as("quality"),
+      qualityKeepExpr($"text").as("keep"))
   }
 
   private[operators] val t3Sql = {
@@ -236,13 +241,6 @@ object TextOps {
 
   // ------------------------------------------------- t6 deterministic split
 
-  /** t6: deterministic train/val/test assignment — the split every training
-    * pipeline needs, keyed on a content-independent hash of doc_id so it is
-    * (a) reproducible across runs/engines/cluster sizes, (b) stable under
-    * corpus growth (adding documents never reassigns existing ones — the
-    * property a random() split lacks), (c) a narrow map: no shuffle for the
-    * assignment itself, one tiny aggregate for the audit counts. 80/10/10
-    * by hash bucket; md5-based so the oracle reproduces it bit-for-bit. */
   /** t6's split assignment for one document id — reused by the e1
     * pipeline so both land each doc in the same split. */
   private[graft] def splitExpr(docId: Column): Column = {
@@ -250,6 +248,18 @@ object TextOps {
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
+  /** DuckDB twin of [[splitExpr]] over a bucket expression — t6's oracle
+    * and e1's share the one CASE. */
+  private[operators] def splitSqlCase(b: String): String =
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+
+  /** t6: deterministic train/val/test assignment — the split every training
+    * pipeline needs, keyed on a content-independent hash of doc_id so it is
+    * (a) reproducible across runs/engines/cluster sizes, (b) stable under
+    * corpus growth (adding documents never reassigns existing ones — the
+    * property a random() split lacks), (c) a narrow map: no shuffle for the
+    * assignment itself, one tiny aggregate for the audit counts. 80/10/10
+    * by hash bucket; md5-based so the oracle reproduces it bit-for-bit. */
   def t6HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -260,7 +270,7 @@ object TextOps {
 
   private val t6Sql =
     s"""SELECT source,
-       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  ${splitSqlCase("b")} AS split,
        |  COUNT(*) AS docs
        |FROM (SELECT source,
        |        ${graft.sources.Hash60.sql60("CAST(doc_id AS VARCHAR)")} % 100 AS b
@@ -284,26 +294,31 @@ object TextOps {
       when(size(w) >= n, g).otherwise(array(text))
     }
 
+  /** rep_n ratio of `text` as a reusable expression (e1 composes the
+    * n=2 filter inline with the other narrow signals). */
+  private[operators] def repExpr(text: Column, n: Int): Column = {
+    val g = grams(words(text), n, text)
+    round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
+  }
+
+  /** The boilerplate flag — ONE home for the rep2 > 0.2 cutoff (t7 and
+    * e1 both read it). */
+  private[operators] def repetitiveExpr(text: Column): Column =
+    repExpr(text, 2) > 0.2
+
   /** t7: repetition ratios — the Gopher-style duplicate-n-gram filter.
     * rep_n = fraction of n-gram OCCURRENCES that are repeats
     * (1 − distinct/total) for n = 1..3; `repetitive` flags rep2 > 0.2,
     * the templated/boilerplate band. Pure narrow map (per-row array
     * expressions, no shuffle) — this runs in the same first pass over raw
     * text as t3's rule battery. */
-  /** rep_n ratio of `text` as a reusable expression (e1 composes the
-    * n=2 filter inline with the other narrow signals). */
-  private[operators] def repExpr(text: Column, n: Int): Column = {
-    val g = grams(split(text, " "), n, text)
-    round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6)
-  }
-
   def t7Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(
       $"doc_id",
       repExpr($"text", 1).as("rep1"), repExpr($"text", 2).as("rep2"),
       repExpr($"text", 3).as("rep3"),
-      (repExpr($"text", 2) > 0.2).as("repetitive"))
+      repetitiveExpr($"text").as("repetitive"))
   }
 
   private[operators] val t7Sql = {

@@ -31,12 +31,19 @@ object Layouts {
   def writeOncePartitioned(name: String, dir: String, partCol: String)
       (df: => DataFrame): String =
     written.getOrElseUpdate(s"$name#$dir", {
+      // md5 prefix, not String.hashCode: distinct source dirs must never
+      // alias the same on-disk layout (same rule as bucketedTable)
       val out = java.nio.file.Paths.get("target",
-        name + "_" + Integer.toHexString(dir.hashCode))
-        .toAbsolutePath.toString
+        name + "_" + dirTag(dir)).toAbsolutePath.toString
       df.write.mode("overwrite").partitionBy(partCol).parquet(out)
       out
     })
+
+  /** Collision-safe 32-bit-hex tag of a source dir for on-disk layout
+    * names. */
+  private[sources] def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
 
   /** Path of the by-source partitioned copy of `documents`. */
   def documentsBySource(s: SparkSession, dir: String): String =
@@ -76,9 +83,7 @@ object Layouts {
     * prefix, not String.hashCode, so distinct dirs cannot collide). */
   def bucketedTable(s: SparkSession, dir: String, table: String,
                     key: String, buckets: Int): String = {
-    val dirTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-    val tname = s"graft_${table}_${key}_bk${buckets}_$dirTag"
+    val tname = s"graft_${table}_${key}_bk${buckets}_${dirTag(dir)}"
     if (!s.catalog.tableExists(tname)) {
       val path = java.nio.file.Paths.get("target", tname)
         .toAbsolutePath.toString

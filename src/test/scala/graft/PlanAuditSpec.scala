@@ -85,6 +85,7 @@ class PlanAuditSpec extends SparkSpec {
     // the test lowers them to demonstrate the mechanism at fixture scale.
     val conf = spark.conf
     val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
     try {

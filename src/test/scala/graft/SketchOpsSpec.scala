@@ -50,7 +50,11 @@ class SketchOpsSpec extends SparkSpec {
       .select($"user_id").distinct().count()
     assert(exact === direct)
     // mergeability: the union of the 4 shard sketches must agree with a
-    // single sketch built over the undivided column (same lgK)
+    // single sketch over the undivided column to within sketch error.
+    // NOT exact equality: the one-shot path can retain the HIP estimator
+    // while a union is always composite-estimator — whether they coincide
+    // depends on partition count, so a === here would flake across
+    // machines. Both must sit within the 5% band around exact.
     val ev = graft.sources.Tables.events(spark, sf)
     val one = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))"))
       .as[Long].collect()(0)
@@ -58,7 +62,7 @@ class SketchOpsSpec extends SparkSpec {
       .groupBy($"shard").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
       .as[Long].collect()(0)
-    assert(merged === one,
-      s"sketch union ($merged) must equal the one-shot sketch ($one)")
+    assert(math.abs(merged - exact) <= exact * 0.05 + 1, s"merged=$merged exact=$exact")
+    assert(math.abs(one - exact) <= exact * 0.05 + 1, s"one=$one exact=$exact")
   }
 }
