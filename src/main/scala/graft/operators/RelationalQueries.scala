@@ -441,24 +441,36 @@ object RelationalQueries {
     * decreases). Depth is O(log corpus) at any scale, so the recursion
     * terminates in ~45 levels even at 100 TB. Linear is NOT "small":
     * docs × log₂(docs) already brushes Spark's default 1M-row recursion
-    * guard at ~50k docs, so the limit is raised explicitly here — the
-    * guard exists to catch runaway recursion, and this recursion's
-    * bound is proven by the strictly-decreasing id, not by the default
-    * constant. Both engines run the IDENTICAL query text modulo integer
-    * floor division spelling (`div` vs `//`). */
+    * guard at ~50k docs, so the limit is raised explicitly here — but
+    * SCOPED, not disabled: the bound is computed from the data (each doc
+    * emits one row per ancestor level, ≤ 65 levels for any positive
+    * 64-bit id, so docs × 65 + slack), the recursion runs eagerly under
+    * it (`localCheckpoint(true)` forces execution — the conf is read at
+    * run time, so a lazy return would escape the scope), and the prior
+    * value is restored in a finally so the session keeps its
+    * runaway-recursion guard for everything that runs after. Both
+    * engines run the IDENTICAL query text modulo integer floor division
+    * spelling (`div` vs `//`). */
   def q20RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    // docs × ~45 levels at large corpora ≫ the 1M default (Int-typed conf)
-    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
-    Tables.documents(s, dir).createOrReplaceTempView("g_documents")
-    s.sql(
-      """WITH RECURSIVE anc (doc_id, node, t) AS (
-        |  SELECT doc_id, doc_id, size(split(text, ' ')) FROM g_documents
-        |  UNION ALL
-        |  SELECT doc_id, node div 2, t FROM anc WHERE node > 0)
-        |SELECT node,
-        |  COUNT(*) AS subtree_docs,
-        |  CAST(SUM(t) AS BIGINT) AS subtree_tokens
-        |FROM anc GROUP BY node""".stripMargin)
+    val docs = Tables.documents(s, dir)
+    docs.createOrReplaceTempView("g_documents")
+    // metadata-only parquet count; one row per (doc, ancestor level)
+    val bound = math.min(Int.MaxValue.toLong, docs.count() * 65L + 1024L)
+    val confKey = "spark.sql.cteRecursionRowLimit"
+    val prior = s.conf.get(confKey)
+    s.conf.set(confKey, bound.toString)
+    try {
+      s.sql(
+        """WITH RECURSIVE anc (doc_id, node, t) AS (
+          |  SELECT doc_id, doc_id, size(split(text, ' ')) FROM g_documents
+          |  UNION ALL
+          |  SELECT doc_id, node div 2, t FROM anc WHERE node > 0)
+          |SELECT node,
+          |  COUNT(*) AS subtree_docs,
+          |  CAST(SUM(t) AS BIGINT) AS subtree_tokens
+          |FROM anc GROUP BY node""".stripMargin)
+        .localCheckpoint(true)
+    } finally s.conf.set(confKey, prior)
   }
 
   private val q20Sql =

@@ -136,7 +136,15 @@ object SamplingOps {
     * one all-rows window min over 5 rows — the scan is the only thing
     * that scales. Every output is derived from exact BIGINT token counts
     * and literal weights via single IEEE ops — bit-identical in both
-    * engines with no rounding. */
+    * engines with no rounding.
+    *
+    * Languages outside [[MixWeights]] are EXPLICITLY excluded by the
+    * filter (they have no target share, so they contribute neither
+    * supply nor demand to the plan) — without the filter they would get
+    * a NULL weight and vanish from the binding-min silently, which both
+    * engines would agree on and the oracle could never catch.
+    * SamplingOpsSpec asserts the fixture's languages are all weighted,
+    * so on the test corpus the filter drops nothing. */
   def p3DatasetMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -145,6 +153,7 @@ object SamplingOps {
       case (e, (l, v)) => e.when($"lang" === l, v)
     }
     Tables.documents(s, dir)
+      .where($"lang".isInCollection(MixWeights.map(_._1)))
       .select($"lang", size(split($"text", " ")).as("t"))
       .groupBy($"lang").agg(sum($"t").as("tokens"))
       .withColumn("weight", wExpr)
@@ -159,10 +168,11 @@ object SamplingOps {
   private val p3Sql = {
     val w = MixWeights.map { case (l, v) => s"WHEN lang = '$l' THEN $v" }
       .mkString("CASE ", " ", " END")
+    val langs = MixWeights.map { case (l, _) => s"'$l'" }.mkString(", ")
     s"""WITH t AS (
        |  SELECT lang,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
-       |  FROM documents GROUP BY 1),
+       |  FROM documents WHERE lang IN ($langs) GROUP BY 1),
        |f AS (
        |  SELECT lang, tokens, $w AS weight,
        |    CAST(tokens AS DOUBLE) * $MaxEpochs / ($w) AS feasible

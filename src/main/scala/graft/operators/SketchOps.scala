@@ -132,10 +132,16 @@ object SketchOps {
         $"n_sketches")
   }
 
+  // n_sketches derived from the data (distinct pmod-4 residues actually
+  // present), not hardcoded: a fixture whose user_ids miss a residue class
+  // would otherwise surface as an opaque hash mismatch instead of a
+  // legible count difference. ((x % 4) + 4) % 4 is DuckDB's spelling of
+  // Spark's pmod (sign-safe).
   private val k4Sql =
     """SELECT COUNT(DISTINCT user_id) AS exact_users,
       |  TRUE AS merged_within_5pct,
-      |  CAST(4 AS BIGINT) AS n_sketches
+      |  (SELECT COUNT(DISTINCT ((user_id % 4) + 4) % 4) FROM events)
+      |    AS n_sketches
       |FROM events""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

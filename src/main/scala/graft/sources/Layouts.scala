@@ -39,11 +39,14 @@ object Layouts {
       out
     })
 
-  /** Collision-safe 32-bit-hex tag of a source dir for on-disk layout
-    * names. */
+  /** 64-bit md5-prefix tag of a source dir for on-disk layout names.
+    * Distinct dirs colliding is possible in principle (any finite tag) but
+    * at 2^-64 per pair it is ignorable; the point of md5 over
+    * String.hashCode is distribution quality — hashCode's 32 bits over
+    * similar path strings collide in practice. */
   private[sources] def dirTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
 
   /** Path of the by-source partitioned copy of `documents`. */
   def documentsBySource(s: SparkSession, dir: String): String =
@@ -79,23 +82,28 @@ object Layouts {
     * The table name encodes EVERY layout parameter — (table, bucket key,
     * bucket count, source dir) — so a second identical call is a
     * metadata hit while any differing parameter is a different table
-    * (same-table-different-key must never alias; the dir tag is an md5
-    * prefix, not String.hashCode, so distinct dirs cannot collide). */
+    * (same-table-different-key must never alias; the dir tag is a 64-bit
+    * md5 prefix — see [[dirTag]]). Concurrent first callers are
+    * serialized through the same TrieMap device as
+    * [[writeOncePartitioned]] — a bare check-then-saveAsTable would race
+    * two writers onto one path. */
   def bucketedTable(s: SparkSession, dir: String, table: String,
                     key: String, buckets: Int): String = {
     val tname = s"graft_${table}_${key}_bk${buckets}_${dirTag(dir)}"
-    if (!s.catalog.tableExists(tname)) {
-      val path = java.nio.file.Paths.get("target", tname)
-        .toAbsolutePath.toString
-      Tables.load(s, dir, table).write
-        .mode("overwrite")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(tname)
-    }
-    tname
+    written.getOrElseUpdate(tname, {
+      if (!s.catalog.tableExists(tname)) {
+        val path = java.nio.file.Paths.get("target", tname)
+          .toAbsolutePath.toString
+        Tables.load(s, dir, table).write
+          .mode("overwrite")
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .option("path", path)
+          .format("parquet")
+          .saveAsTable(tname)
+      }
+      tname
+    })
   }
 
   /** src2: shuffle-free fact-fact join off co-bucketed layouts — lineitem

@@ -106,6 +106,16 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got(0L)._2 === docs.map(_._2).sum)
   }
 
+  test("q20: recursion-limit raise is scoped — session guard intact afterwards") {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.get(key)
+    RelationalQueries.q20RecursiveCte(spark, sf).count()
+    assert(spark.conf.get(key) === before,
+      "q20 must restore the recursion guard it temporarily raised")
+    assert(spark.conf.get(key).toLong < Int.MaxValue.toLong,
+      "the session must keep a finite runaway-recursion guard")
+  }
+
   test("q21: LATERAL top-3 equals the window-rank formulation") {
     val got = RelationalQueries.q21LateralTopk(spark, sf)
       .as[(String, Long, Double)].collect().toSet

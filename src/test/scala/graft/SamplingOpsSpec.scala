@@ -89,6 +89,15 @@ class SamplingOpsSpec extends SparkSpec {
       s"some language must bind the total: ${rows.toSeq}")
   }
 
+  test("p3: every corpus language carries a mix weight (the explicit filter drops nothing)") {
+    val corpusLangs = graft.sources.Tables.documents(spark, sf)
+      .select($"lang").distinct().as[String].collect().toSet
+    val weighted = SamplingOps.MixWeights.map(_._1).toSet
+    assert(corpusLangs.subsetOf(weighted),
+      s"unweighted corpus languages would be excluded from the mix plan: " +
+        s"${corpusLangs -- weighted}")
+  }
+
   test("p2: independent of the t6 split and of p1 (different salt channels)") {
     // distinct salts => the p2 sample is not a subset/superset artifact of
     // the p1 ranks: check the two draws disagree on some docs both ways
