@@ -668,6 +668,10 @@ object DedupOps {
     * chains) the known fix is alternating large-star/small-star rounds
     * (O(log n) rounds, same join primitive); this corpus never gets
     * close, so the simple kernel is the shipped plan. */
+  /** Observation names must be session-unique; d7 runs many rounds per
+    * call and Bench/specs invoke it repeatedly in one JVM. */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges
@@ -682,21 +686,33 @@ object DedupOps {
     // materialized rows; superseded checkpoint blocks are released by the
     // ContextCleaner once the old DataFrame is unreferenced. On a real
     // cluster prefer `checkpoint()` to a reliable dir for fault tolerance.
-    var labels = sym
-      .groupBy(col("src").as("node")).agg(min(col("dst")).as("nbl"))
-      .select(col("node"), least(col("node"), col("nbl")).as("lbl"))
-      .localCheckpoint(true)
-    var changed = labels.count() // 0 on an empty graph: skip the loop
+    // ONE job per round: the convergence signal rides the checkpoint
+    // materialization as an observed metric (`Dataset.observe` collects
+    // aggregates during the action that materializes the plan — codegen-
+    // friendly, no second scan, no separate count job; previously each
+    // round paid label-materialize + count = 2 jobs of scheduler
+    // overhead, the dominant cost of this operator at sf0.1).
+    def observed(df: DataFrame, metric: org.apache.spark.sql.Column): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${ccObsId.incrementAndGet()}")
+      val out = df.observe(obs, metric.as("m")).localCheckpoint(true)
+      (out, obs.get.apply("m").asInstanceOf[Long])
+    }
+    var (labels, changed) = observed(
+      sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("nbl"))
+        .select(col("node"), least(col("node"), col("nbl")).as("lbl")),
+      count(lit(1))) // row count: 0 on an empty graph — skip the loop
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbr = sym.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nbl"))
-      val next = labels.withColumnRenamed("lbl", "old")
-        .join(nbr, Seq("node"), "left")
-        .select(col("node"), col("old"),
-          least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.where(col("lbl") =!= col("old")).count()
+      val (next, c) = observed(
+        labels.withColumnRenamed("lbl", "old")
+          .join(nbr, Seq("node"), "left")
+          .select(col("node"), col("old"),
+            least(col("old"), coalesce(col("nbl"), col("old"))).as("lbl")),
+        count(when(col("lbl") =!= col("old"), lit(1))))
+      changed = c
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
@@ -738,19 +754,23 @@ object DedupOps {
     val nodes = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .distinct()
-    var e = edges
+    // checkpoint + fixpoint signature in ONE job (same Observation device
+    // as the propagation kernel): bit_xor is order-free and overflow-free
+    // (a SUM of hashes overflows long under ANSI mode)
+    def checkpointed(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${ccObsId.incrementAndGet()}")
+      val out = df.observe(obs, count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(hi, lo))").as("h")).localCheckpoint(true)
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long],
+        m.get("h").collect { case h: Long => h }.getOrElse(0L)))
+    }
+    var (e, sig) = checkpointed(edges
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .where(col("hi") =!= col("lo"))
-      .dropDuplicates("hi", "lo")
-      .localCheckpoint(true)
-    def signature(df: DataFrame): (Long, Long) = {
-      // bit_xor: order-free and overflow-free (a SUM of hashes overflows
-      // long under ANSI mode)
-      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var sig = signature(e)
+      .dropDuplicates("hi", "lo"))
     var rounds = 0
     var converged = sig._1 == 0
     while (!converged && rounds < maxRounds) {
@@ -770,15 +790,13 @@ object DedupOps {
       // small-star over the canonical (child > parent) edges of ls:
       // every node's smaller neighbors AND itself link to their minimum
       val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val ss = ls.join(minsS, Seq("hi"))
+      val (ss, nextSig) = checkpointed(ls.join(minsS, Seq("hi"))
         .select(explode(array(
           struct(col("lo").as("c"), col("m")),
           struct(col("hi").as("c"), col("m")))).as("p"))
         .select(col("p.c").as("hi"), col("p.m").as("lo"))
         .where(col("hi") =!= col("lo"))
-        .dropDuplicates("hi", "lo")
-        .localCheckpoint(true)
-      val nextSig = signature(ss)
+        .dropDuplicates("hi", "lo"))
       converged = nextSig == sig
       sig = nextSig
       e = ss
