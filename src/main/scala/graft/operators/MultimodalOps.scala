@@ -20,12 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** The codec contract every multimodal operator is written against: the
+    * operators' plan shapes (per-partition batch decode, narrow maps) are
+    * codec-independent — swapping implementations changes kernels, never
+    * plans. Implementations must be deterministic (same bytes → same
+    * outputs) and serializable (they ride the task closure). */
+  private[graft] trait BlobCodec extends Serializable {
+    /** (width, height, channels) of the decoded payload. */
+    def meta(bytes: Array[Byte]): (Int, Int, Int)
+
+    /** Fixed-width (16) L1-normalized feature vector — the stand-in for a
+      * pooled CNN embedding. */
+    def features(bytes: Array[Byte]): Array[Double]
+
+    /** Every `stride`-th sample of the decoded payload as an int. */
+    def frameSample(bytes: Array[Byte], stride: Int): Array[Int]
+
+    /** Downscale toward `outLen`; payloads already within bound pass
+      * through untouched (a real thumbnailer's no-op path). */
+    def resize(bytes: Array[Byte], outLen: Int): Array[Byte]
+  }
+
   /** ======= STUB CODEC =======
     * Deterministic fake decoder standing in for libjpeg/ffmpeg. Derives
     * "image" metadata and "frames" purely from the first bytes of the
-    * payload, so results are stable across runs and engines. A real
-    * implementation would return the same shapes from actual headers. */
-  private[graft] object FakeCodec {
+    * payload, so results are stable across runs and engines — and, unlike
+    * a real codec, expressible in DuckDB SQL, which is what keeps the
+    * registered m1–m4 queries oracle-checkable over the ASCII corpus.
+    * [[ImageIoCodec]] is the real-decoder drop-in behind the same
+    * interface. */
+  private[graft] object FakeCodec extends BlobCodec {
     /** (width, height, channels) pretend-parsed from the payload header. */
     def meta(bytes: Array[Byte]): (Int, Int, Int) = {
       val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
@@ -55,6 +79,82 @@ object MultimodalOps {
     def resize(bytes: Array[Byte], outLen: Int): Array[Byte] =
       if (bytes.length <= outLen) bytes
       else Array.tabulate(outLen)(j => bytes((j.toLong * bytes.length / outLen).toInt))
+  }
+
+  /** ======= REAL CODEC =======
+    * `javax.imageio`-backed decoder (JDK-builtin — no new dependency)
+    * behind the same [[BlobCodec]] interface: PNG/JPEG/BMP/GIF payloads
+    * decode for real. The registered m1–m4 queries stay on [[FakeCodec]]
+    * (the driver corpus blobs are ASCII text, and only the stub is
+    * DuckDB-expressible); MultimodalOpsSpec drives THIS codec through the
+    * identical m2/m4 batch paths on generated PNG bytes, proving the
+    * plumbing is codec-agnostic. Luminance = integer ITU-R BT.601
+    * (299r + 587g + 114b)/1000 — all-integer, so bit-stable anywhere. */
+  private[graft] object ImageIoCodec extends BlobCodec {
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    private def lum(rgb: Int): Int =
+      ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+    def meta(bytes: Array[Byte]): (Int, Int, Int) = {
+      val img = read(bytes)
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+
+    /** 16-bin luminance histogram over all pixels, L1-normalized. */
+    def features(bytes: Array[Byte]): Array[Double] = {
+      val img = read(bytes)
+      val h = new Array[Double](16)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h(lum(img.getRGB(x, y)) >> 4) += 1.0; x += 1 }
+        y += 1
+      }
+      val n = math.max(1, img.getWidth * img.getHeight)
+      h.map(_ / n)
+    }
+
+    /** Every `stride`-th pixel's luminance in row-major order. */
+    def frameSample(bytes: Array[Byte], stride: Int): Array[Int] = {
+      val img = read(bytes)
+      val w = img.getWidth
+      (0 until w * img.getHeight by stride)
+        .map(i => lum(img.getRGB(i % w, i / w))).toArray
+    }
+
+    /** Nearest-neighbor downscale so max(width, height) = `outLen`
+      * (aspect preserved), re-encoded as PNG; images already within the
+      * bound pass through byte-identically. */
+    def resize(bytes: Array[Byte], outLen: Int): Array[Byte] = {
+      val img = read(bytes)
+      if (img.getWidth <= outLen && img.getHeight <= outLen) bytes
+      else {
+        val s = outLen.toDouble / math.max(img.getWidth, img.getHeight)
+        val nw = math.max(1, (img.getWidth * s).toInt)
+        val nh = math.max(1, (img.getHeight * s).toInt)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            out.setRGB(x, y, img.getRGB(
+              (x.toLong * img.getWidth / nw).toInt,
+              (y.toLong * img.getHeight / nh).toInt))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
   }
 
   private def withBlob(s: SparkSession, dir: String): DataFrame = {
@@ -93,12 +193,22 @@ object MultimodalOps {
     * the whole row DuckDB-oracle-checkable. */
   def m2ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val decoded = withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])]
+    imageFeaturesVia(FakeCodec)(
+      withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** Codec-generic core of m2 — the SAME batch path runs [[FakeCodec]]
+    * (registered query, oracle-checked) and [[ImageIoCodec]] (spec-proven
+    * on generated PNGs): only the kernel changes, never the plan. */
+  private[graft] def imageFeaturesVia(codec: BlobCodec)(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val decoded = blobs
       .mapPartitions { it =>
         // per-partition init would live here (codec handles, model weights)
         it.map { case (id, bytes) =>
-          val (w, h, c) = FakeCodec.meta(bytes)
-          (id, w, h, c, FakeCodec.features(bytes))
+          val (w, h, c) = codec.meta(bytes)
+          (id, w, h, c, codec.features(bytes))
         }
       }
       .toDF("doc_id", "width", "height", "channels", "features")
@@ -164,13 +274,21 @@ object MultimodalOps {
     * hash-checkable without an array column. */
   def m4Resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])]
+    resizeVia(FakeCodec)(
+      withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** Codec-generic core of m4 (same contract as [[imageFeaturesVia]]). */
+  private[graft] def resizeVia(codec: BlobCodec)(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
       .mapPartitions { it =>
         // per-partition init (the point of the batch path): one digest
         // instance reused across the partition — digest() resets it
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
-          val out = FakeCodec.resize(bytes, ResizeLen)
+          val out = codec.resize(bytes, ResizeLen)
           (id, bytes.length, out.length,
             md.digest(out).map(b => f"$b%02x").mkString)
         }

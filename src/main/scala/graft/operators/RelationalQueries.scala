@@ -483,6 +483,56 @@ object RelationalQueries {
       |  CAST(SUM(t) AS BIGINT) AS subtree_tokens
       |FROM anc GROUP BY node""".stripMargin
 
+  /** q20b: the SAME subtree rollup as [[q20RecursiveCte]], computed
+    * bottom-up level-wise instead of by materializing every (doc,
+    * ancestor) pair — the 100 TB shape for deep-hierarchy rollups.
+    *
+    * Key structural fact: parent(n) = n div 2 drops exactly one bit, so a
+    * node's level IS its bit length (`length(bin(n))` — exact integer
+    * string arithmetic, no float log) and all children of a level-L node
+    * sit at level L+1. Processing levels top-bit-length DOWN, a node's
+    * subtree total is complete the moment its level is reached: each
+    * round emits the completed level and folds its totals into the
+    * parents' partials. Live state is one (node, docs, tokens) row per
+    * OPEN node — O(nodes), never O(docs × depth); total rows shuffled
+    * across all rounds = Σ level sizes = O(nodes), vs the recursion's
+    * O(docs × depth) materialized ancestor rows. Rounds = bit length of
+    * the max id (~13 at sf0.1, ~45 at 100 TB) of small jobs — the same
+    * fixed-cost-per-round profile as d7's CC loop, and the same
+    * per-round eager-checkpoint discipline (each round references the
+    * partial relation twice: completed filter + open filter).
+    *
+    * Node 0 never matches a positive bit length (`bin(0)` = "0" has
+    * length 1, same as node 1), so it is carried explicitly and emitted
+    * after the loop. Oracle: IDENTICAL SQL to q20 — the driver's hash
+    * compare proves the two formulations equal; RelationalOpsSpec pins
+    * it engine-side too. */
+  def q20LevelRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val own = Tables.documents(s, dir)
+      .select($"doc_id".as("node"), lit(1L).as("docs"),
+        size(split($"text", " ")).cast("long").as("tokens"))
+    val lvlOf = length(bin($"node"))
+    var agg = own.localCheckpoint(true)
+    val top = agg.agg(max(when($"node" > 0, lvlOf))).collect()(0)
+    val maxLvl = if (top.isNullAt(0)) 0 else top.getInt(0)
+    val completed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (lvl <- maxLvl to 1 by -1) {
+      val cur = agg.where($"node" > 0 && lvlOf === lvl)
+      completed += cur
+      agg = agg.where($"node" === 0 || lvlOf < lvl)
+        .unionByName(cur.select(expr("node div 2").as("node"),
+          $"docs", $"tokens"))
+        .groupBy($"node")
+        .agg(sum($"docs").as("docs"), sum($"tokens").as("tokens"))
+        .localCheckpoint(true)
+    }
+    completed += agg // only node 0 can remain open after level 1
+    completed.reduce(_ unionByName _)
+      .select($"node", $"docs".as("subtree_docs"),
+        $"tokens".as("subtree_tokens"))
+  }
+
   /** q21: LATERAL correlated subquery (the other new Spark 4.x SQL
     * surface next to q20's recursion) — per-nation top-3 customers by
     * balance, written as the per-row subquery a SQL author reaches for.
@@ -526,6 +576,7 @@ object RelationalQueries {
     "q18_sql_entry" -> q18SqlEntry _,
     "q19_string_agg" -> q19StringAgg _,
     "q20_recursive_cte" -> q20RecursiveCte _,
+    "q20b_level_rollup" -> q20LevelRollup _,
     "q21_lateral_topk" -> q21LateralTopk _)
 
   val oracleSql: Map[String, String] = Map(
@@ -545,5 +596,8 @@ object RelationalQueries {
     "q18_sql_entry" -> q18Sql,
     "q19_string_agg" -> q19Sql,
     "q20_recursive_cte" -> q20Sql,
+    // deliberately the SAME oracle text: the driver's hash compare is the
+    // proof that the level-wise rewrite equals the recursive formulation
+    "q20b_level_rollup" -> q20Sql,
     "q21_lateral_topk" -> q21Sql)
 }

@@ -1,11 +1,21 @@
 package graft
 
 import graft.operators.MultimodalOps
-import graft.operators.MultimodalOps.FakeCodec
+import graft.operators.MultimodalOps.{FakeCodec, ImageIoCodec}
 import org.apache.spark.sql.functions._
 
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  /** PNG bytes of a width×height image painted by `paint(x, y) -> rgb`. */
+  private def png(width: Int, height: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) img.setRGB(x, y, paint(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   test("FakeCodec: deterministic meta, normalized features, strided frames") {
     val bytes = "hello world, this is a fake image payload".getBytes("UTF-8")
@@ -66,6 +76,48 @@ class MultimodalOpsSpec extends SparkSpec {
     // FakeCodec resize is nearest-neighbor on a known payload
     val out = FakeCodec.resize("abcdefgh".getBytes("UTF-8"), 4)
     assert(new String(out, "UTF-8") === "aceg")
+  }
+
+  test("ImageIoCodec: real PNGs through the m2 feature path — known histograms and meta") {
+    // luminance is exactly known: black -> bin 0, white -> bin 15,
+    // rgb(128,128,128) -> lum 128 -> bin 8
+    val black = png(8, 5)((_, _) => 0x000000)
+    val white = png(6, 7)((_, _) => 0xffffff)
+    val halfHalf = png(10, 4)((x, _) => if (x < 5) 0x000000 else 0x808080)
+    val blobs = Seq(1L -> black, 2L -> white, 3L -> halfHalf).toDS()
+    val rows = MultimodalOps.imageFeaturesVia(ImageIoCodec)(blobs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def f(id: Long, i: Int): Double = rows(id).getAs[Double](s"f$i")
+    assert(rows(1L).getAs[Int]("width") === 8 && rows(1L).getAs[Int]("height") === 5)
+    assert(rows(2L).getAs[Int]("width") === 6 && rows(2L).getAs[Int]("height") === 7)
+    assert((1L to 3L).forall(id => rows(id).getAs[Int]("channels") === 3))
+    assert(f(1L, 0) === 1.0 && (1 until 16).forall(i => f(1L, i) === 0.0))
+    assert(f(2L, 15) === 1.0 && (0 until 15).forall(i => f(2L, i) === 0.0))
+    assert(f(3L, 0) === 0.5 && f(3L, 8) === 0.5)
+  }
+
+  test("ImageIoCodec: m4 path downsamples a real PNG; in-bound images pass through") {
+    val grad = png(128, 64)((x, y) => (x * 2 << 16) | (y * 4 << 8) | 0x40)
+    val small = png(16, 16)((_, _) => 0x123456)
+    val blobs = Seq(1L -> grad, 2L -> small).toDS()
+    val rows = MultimodalOps.resizeVia(ImageIoCodec)(blobs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 128x64 -> max dim 64, aspect kept -> 64x32; result decodes as PNG
+    val resized = ImageIoCodec.resize(grad, 64)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth === 64 && img.getHeight === 32)
+    // nearest-neighbor: output pixel (x,y) = source pixel (2x, 2y)
+    assert(img.getRGB(10, 10) === (20 * 2 << 16 | 20 * 4 << 8 | 0x40 | 0xff000000))
+    assert(rows(1L).getAs[Int]("in_bytes") === grad.length)
+    assert(rows(1L).getAs[Int]("out_bytes") === resized.length)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(resized).map(b => f"$b%02x").mkString
+    assert(rows(1L).getAs[String]("resized_md5") === md5hex)
+    // 16x16 is already within the 64 bound: byte-identical pass-through
+    assert(rows(2L).getAs[Int]("out_bytes") === small.length)
+    // meta + frame sampling agree with the generated geometry
+    assert(ImageIoCodec.meta(grad) === ((128, 64, 3)))
+    assert(ImageIoCodec.frameSample(small, 100).length === (16 * 16 + 99) / 100)
   }
 
   test("m3: frame count per doc is ceil(bytes/32)") {

@@ -106,6 +106,15 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got(0L)._2 === docs.map(_._2).sum)
   }
 
+  test("q20b: level-wise bottom-up rollup equals the recursive CTE exactly") {
+    val rec = RelationalQueries.q20RecursiveCte(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val lvl = RelationalQueries.q20LevelRollup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lvl === rec)
+    assert(lvl.nonEmpty)
+  }
+
   test("q20: recursion-limit raise is scoped — session guard intact afterwards") {
     val key = "spark.sql.cteRecursionRowLimit"
     val before = spark.conf.get(key)
