@@ -20,8 +20,11 @@ CONTRACT = re.compile(r"(_ok$|within|_bound$)")
 def main(outdir: str) -> int:
     bad = 0
     checked = 0
-    for path in sorted(glob.glob(os.path.join(outdir, "*.parquet"))):
-        name = os.path.basename(path)[:-len(".parquet")]
+    # graft.Verify writes one DIRECTORY of part files per query
+    for path in sorted(glob.glob(os.path.join(outdir, "*"))):
+        if not os.path.isdir(path):
+            continue
+        name = os.path.basename(path)
         tbl = pq.read_table(path)
         for field in tbl.schema:
             if not CONTRACT.search(field.name):

@@ -559,6 +559,64 @@ object RelationalQueries {
       |         WHERE c.c_nationkey = n.n_nationkey
       |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) r""".stripMargin
 
+  /** Salt fan-out for [[q22SkewSalted]] — 16 ways is enough to demonstrate
+    * the spread at fixture scale; at 100 TB you size S to the hot key's
+    * row share divided by a healthy task's row budget. */
+  private[graft] val SkewSalts = 16
+
+  /** q22: skew-mitigated aggregation, end-to-end — the manual salting
+    * pattern [[graft.SkewSpec]] proves at plan level, registered against
+    * the oracle. A deliberately pathological key is manufactured from
+    * orders (every custkey not divisible by 10 collapses to key 0, so one
+    * key owns ~90% of the table) and aggregated in two stages: stage 1
+    * groups by (hot_key, salt) with salt = xxhash64(o_orderkey) % 16 —
+    * the hot key's rows spread over 16 independent reducers — and stage 2
+    * recombines the 16 partials per key. Every aggregate here is
+    * decomposable across salts (counts/sums add, min/max fold), and the
+    * money sum stays in DECIMAL through BOTH stages (exact integer
+    * arithmetic — only the final value is cast to double), so the result
+    * is bit-identical to the direct GROUP BY at any salt count.
+    *
+    * Honesty note (scaladoc is the contract): for purely algebraic
+    * aggregates like these, Spark's map-side partial aggregation already
+    * bounds per-task state, so the direct GROUP BY survives this skew
+    * too. The salted shape is the device for when that defense fails —
+    * holistic aggregates whose per-group state grows with the group
+    * (exact percentiles, collect_list rosters, large UDAF buffers): the
+    * final merge for the hot key must otherwise absorb the whole group on
+    * one task. The plan audit asserts the mitigation's signature — first
+    * exchange hash-partitions on (hot_key, salt), second on hot_key only
+    * — and RelationalOpsSpec pins equality with the unsalted result plus
+    * the actual 16-way spread of the hot key's stage-1 groups. */
+  def q22SkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d182 = DecimalType(18, 2)
+    Tables.orders(s, dir)
+      .select(
+        when($"o_custkey" % 10 =!= 0, lit(0L)).otherwise($"o_custkey")
+          .as("hot_key"),
+        pmod(xxhash64($"o_orderkey"), lit(SkewSalts)).as("salt"),
+        $"o_totalprice")
+      .groupBy($"hot_key", $"salt")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"o_totalprice".cast(d182)).as("amt"),
+        min($"o_totalprice").as("mn"),
+        max($"o_totalprice").as("mx"))
+      .groupBy($"hot_key")
+      .agg(sum($"cnt").as("n_orders"),
+        sum($"amt").cast("double").as("total_price"),
+        min($"mn").as("min_price"),
+        max($"mx").as("max_price"))
+  }
+
+  private val q22Sql =
+    """SELECT CASE WHEN o_custkey % 10 <> 0 THEN 0 ELSE o_custkey END AS hot_key,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -577,7 +635,8 @@ object RelationalQueries {
     "q19_string_agg" -> q19StringAgg _,
     "q20_recursive_cte" -> q20RecursiveCte _,
     "q20b_level_rollup" -> q20LevelRollup _,
-    "q21_lateral_topk" -> q21LateralTopk _)
+    "q21_lateral_topk" -> q21LateralTopk _,
+    "q22_skew_salted" -> q22SkewSalted _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -599,5 +658,6 @@ object RelationalQueries {
     // deliberately the SAME oracle text: the driver's hash compare is the
     // proof that the level-wise rewrite equals the recursive formulation
     "q20b_level_rollup" -> q20Sql,
-    "q21_lateral_topk" -> q21Sql)
+    "q21_lateral_topk" -> q21Sql,
+    "q22_skew_salted" -> q22Sql)
 }

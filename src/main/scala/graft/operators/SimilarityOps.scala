@@ -165,13 +165,43 @@ object SimilarityOps {
   private[graft] def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
     array_max(array(cellScores(v, centroids): _*)).getField("i")
 
+  /** Corpus-derived quantizer sizing — SCALING.md's "grow k with the
+    * corpus (k ~ √N)" lever, made the DEFAULT after the round-6 10×
+    * scale run caught the fixed k=16 quantizer under-partitioning a
+    * 20k-vector corpus: s4's mean recall came in at 0.584 (bound 0.6)
+    * where k=√N measured 0.730 at the same nprobe/k = 1/4 probe cost —
+    * and s2 went from 2-of-20 zero-hit queries to full recall. ceil(√N)
+    * keeps cell population ~√N, so candidate volume per query stays
+    * ~N/4 · (probe ratio) instead of degrading as the corpus grows past
+    * the cell count. The floor (16) preserves fixture-scale behavior and
+    * the driver-oracle plans; the cap (256) bounds [[cellScores]]'s
+    * expression tree — k centroid literals inline in one projection.
+    * Past the cap the same math should move to a broadcast join against
+    * a centroid RELATION (score-and-argmax over a 256+-row table) — the
+    * documented next step for 10⁹-vector corpora, deliberately not coded
+    * against a 10⁴-vector fixture. */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** nprobe = k/4: probe cost stays a fixed quarter of the cells at any
+    * derived k, matching the measured recall/cost trade in SCALING.md. */
+  private[graft] def ivfNprobe(k: Int): Int = math.max(4, (k + 3) / 4)
+
+  /** [[s2AnnIvf]] with quantizer sized to the corpus ([[ivfK]]) — the
+    * registered default; the explicit-(k, nprobe) overload remains for
+    * measurements and specs. The count is parquet-metadata-only. */
+  def s2AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfK(Tables.embeddings(s, dir).count())
+    s2AnnIvf(s, dir, k, ivfNprobe(k))
+  }
+
   /** s2: IVF approximate top-k — same output shape as s1. Corpus is
     * bucketed once by nearest centroid; each query probes its `nprobe`
     * nearest cells, so the candidate join is an equi-join on `cell` (never
     * all-pairs) touching ~nprobe/k of the corpus. At 100 TB the bucketed
     * corpus is what you'd persist (partitioned by cell) and the probe
     * becomes partition pruning. */
-  def s2AnnIvf(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+  def s2AnnIvf(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val centroids = kmeans(emb, k, iters = 3)
@@ -284,8 +314,13 @@ object SimilarityOps {
     * reads ~nprobe/k of the corpus, no job-side filtering needed.
     * Output shape and recall contract mirror [[s2AnnIvfChecked]],
     * restricted to the single query. */
+  def s3AnnCellPruned(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfK(Tables.embeddings(s, dir).count())
+    s3AnnCellPruned(s, dir, k, ivfNprobe(k))
+  }
+
   def s3AnnCellPruned(s: SparkSession, dir: String,
-      k: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val centroids = kmeans(emb, k, iters = 3)
@@ -341,7 +376,12 @@ object SimilarityOps {
     * instead of all of it, which is what makes a kNN graph buildable at
     * 100 TB (all-pairs is N² and never viable). Exact cosine + per-query
     * top-K window on the candidates only. */
-  def s4KnnJoin(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+  def s4KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfK(Tables.embeddings(s, dir).count())
+    s4KnnJoin(s, dir, k, ivfNprobe(k))
+  }
+
+  def s4KnnJoin(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val centroids = kmeans(emb, k, iters = 3)

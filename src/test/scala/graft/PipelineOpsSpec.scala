@@ -32,6 +32,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.exists(_._1) && got.values.exists(!_._1))
   }
 
+  test("e1: composition holds on random synthetic corpora, not just the fixture") {
+    // Same equivalence as above, but over generated corpora with planted
+    // exact dups, near-dups, repetitive docs and junk — so every branch of
+    // the disposition (dedup drop, quality drop, repetition drop, keep) is
+    // exercised by data the fixture didn't choose for us.
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia", "kilo", "lima", "mike", "nova")
+    for (seed <- Seq(7L, 1234L, 987654L)) {
+      val rnd = new scala.util.Random(seed)
+      def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (0 until 200).map { i =>
+        val text = rnd.nextInt(5) match {
+          case 0 => sentence(3 + rnd.nextInt(5))              // short/junk
+          case 1 => (sentence(6) + " ") * 8                   // repetitive
+          case 2 => sentence(40 + rnd.nextInt(40))            // normal
+          case 3 if i > 0 => null                             // dup of i-1 (filled below)
+          case _ => sentence(40 + rnd.nextInt(40)) + ". " + sentence(10) + "."
+        }
+        (i.toLong, text)
+      }
+      val filled = docs.zipWithIndex.map { case ((id, t), i) =>
+        val text = if (t == null) docs(i - 1)._2 match {
+          case null => sentence(20)
+          case prev => prev // exact dup cluster with the previous doc
+        } else t
+        (id, text, "en", s"src${id % 3}", text.length.toLong)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"e1prop$seed").toString
+      spark.createDataFrame(filled)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = PipelineOps.e1Pipeline(spark, dir)
+        .as[(Long, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val dedup = DedupOps.d6DedupKeep(spark, dir).as[(Long, Boolean)].collect().toMap
+      val quality = TextOps.t3QualityScore(spark, dir)
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      val rep = TextOps.t7Repetition(spark, dir)
+        .select($"doc_id", $"repetitive").as[(Long, Boolean)].collect().toMap
+      assert(got.keySet === filled.map(_._1).toSet, s"seed $seed")
+      filled.foreach { case (id, _, _, _, _) =>
+        val expectKeep = dedup(id) && quality(id) && !rep(id)
+        assert(got(id)._1 === expectKeep, s"seed $seed doc $id keep")
+        assert(if (expectKeep) Set("train", "val", "test")(got(id)._2)
+               else got(id)._2 == "dropped", s"seed $seed doc $id split")
+      }
+      // each corpus must exercise both outcomes, and the dedup stage must
+      // have actually dropped something (planted exact dups guarantee it)
+      assert(got.values.exists(_._1) && got.values.exists(!_._1), s"seed $seed")
+      assert(dedup.values.exists(!_), s"seed $seed planted dups missing")
+    }
+  }
+
   test("e1: kept docs land in the same split t6 assigns their id") {
     val byId = PipelineOps.e1Pipeline(spark, sf)
       .where($"keep")

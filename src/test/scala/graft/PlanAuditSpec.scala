@@ -105,6 +105,17 @@ class PlanAuditSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("q22: salted agg — first exchange spreads (hot_key, salt), second recombines on hot_key") {
+    val p = plan("q22_skew_salted")
+    assert(shuffles(p) === 2, p)
+    val keys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(keys.exists(k => k.contains("hot_key") && k.contains("salt")),
+      s"stage-1 exchange must carry the salt:\n$p")
+    assert(keys.exists(k => k.contains("hot_key") && !k.contains("salt")),
+      s"stage-2 exchange must recombine on the bare key:\n$p")
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,

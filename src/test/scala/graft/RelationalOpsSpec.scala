@@ -170,4 +170,27 @@ class RelationalOpsSpec extends SparkSpec {
       .as[(String, Long, String)].collect().toSet
     assert(shuffled === rows.toSet)
   }
+
+  test("q22: salted aggregation equals the direct GROUP BY, and the hot key actually spreads") {
+    val salted = RelationalQueries.q22SkewSalted(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val direct = Tables.orders(spark, sf)
+      .groupBy(when($"o_custkey" % 10 =!= 0, 0L).otherwise($"o_custkey").as("hot_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.sources.Det.dsum($"o_totalprice").as("total_price"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(salted === direct)
+    // the key must be genuinely pathological, and stage 1 must spread it:
+    // the hot key's rows land in all 16 salt groups at this corpus size
+    val orders = Tables.orders(spark, sf)
+    val hotShare = orders.where($"o_custkey" % 10 =!= 0).count().toDouble / orders.count()
+    assert(hotShare > 0.8, s"hot key owns only $hotShare of the table")
+    val spread = orders.where($"o_custkey" % 10 =!= 0)
+      .select(pmod(xxhash64($"o_orderkey"), lit(RelationalQueries.SkewSalts)).as("salt"))
+      .distinct().count()
+    assert(spread === RelationalQueries.SkewSalts.toLong,
+      s"expected all ${RelationalQueries.SkewSalts} salt buckets hit, got $spread")
+  }
 }
