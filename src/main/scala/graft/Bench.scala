@@ -37,7 +37,13 @@ object Bench {
       // stage. Clear so every timing covers the full operator, cold-cache.
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      // noop write, not count(): under count() ColumnPruning strips every
+      // output column the action doesn't reference, so narrow-map queries
+      // timed as bare scans and k1's aggregation-state blowup was
+      // invisible (found by ScaleBench round 6). The noop sink evaluates
+      // every output column end-to-end with zero driver transfer.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -80,19 +80,18 @@ object ScaleBench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, out)
+        // Timed action = noop write, same as Bench: evaluates every output
+        // column end-to-end (count() would let ColumnPruning strip the
+        // computed columns — it hid k1's per-distinct-user HLL buffers).
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Contract booleans + row count checked UNTIMED afterwards.
         val contracts = df.schema.fields
           .filter(f => f.dataType == BooleanType && ContractCols(f.name))
           .map(f => min(col(f.name)).as(f.name)) // min(bool): false iff any false
-        if (contracts.isEmpty) {
-          val n = df.count()
-          ((System.nanoTime() - t0) / 1e9, n, true)
-        } else {
-          // count + contract-ands in ONE action so the timed work matches
-          // Bench's single count() action shape.
-          val row = df.agg(count(lit(1)).as("n"), contracts.toSeq: _*).head()
-          val ok = (1 until row.length).forall(i => !row.isNullAt(i) && row.getBoolean(i))
-          ((System.nanoTime() - t0) / 1e9, row.getLong(0), ok)
-        }
+        val row = df.agg(count(lit(1)).as("n"), contracts.toSeq: _*).head()
+        val ok = (1 until row.length).forall(i => !row.isNullAt(i) && row.getBoolean(i))
+        (sec, row.getLong(0), ok)
       } catch {
         case e: Throwable =>
           System.err.println(s"FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

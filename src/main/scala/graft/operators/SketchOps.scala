@@ -15,17 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
-  /** k1: distinct users per event type — `approx_count_distinct` (HLL++,
-    * default rsd 5%) vs exact. The HLL buffer is mergeable map-side state:
-    * at 100 TB the shuffle carries one ~1.5 KB sketch per (group ×
-    * partition) instead of every distinct user_id, which is the entire
-    * point vs q11's exact countDistinct expand. */
+  /** k1: distinct users per event type — `approx_count_distinct` (HLL++)
+    * vs exact. The production form of this query is the sketch ALONE: one
+    * mergeable ~KB buffer per (group × partition) crosses the shuffle
+    * instead of every distinct user_id. The registered form must also
+    * produce the exact count for the oracle, and the obvious spelling —
+    * `agg(countDistinct(u), approx_count_distinct(u))` — is a scale trap:
+    * mixing a distinct aggregate with a non-distinct ImperativeAggregate
+    * makes RewriteDistinctAggregates evaluate the HLL in the FIRST
+    * aggregate, whose grouping is (group, user_id) — one multi-KB HLL
+    * buffer PER DISTINCT USER. At 10× sf0.1 that is ~1.5M buffers (tens
+    * of GB of aggregation state): caught OOMing by the ScaleBench run,
+    * invisible at sf0.1. Dedupe-first instead: HLL register updates are
+    * idempotent, so the sketch over the distinct (type, user) pairs is
+    * value-identical to the sketch over the raw stream, the exact count
+    * is a plain count(*), and HLL buffers exist only per (group ×
+    * partition). */
   def k1HllDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        countDistinct($"user_id").as("exact_users"),
+        count(lit(1)).as("exact_users"),
         // rsd 0.01: the asserted 5% bound is then ~5 standard errors out —
         // the default rsd 0.05 is ONE standard error, which real data
         // exceeded at sf0.1 (the bound must hold at every SF, not on
