@@ -57,15 +57,21 @@ object Bench {
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision: full doubles made the line ~2× longer and the
+    // driver's stdout tail-parse has truncated it two rounds running.
+    def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    // Belt and braces for the driver's stdout parse: print the line BEFORE
+    // spark.stop()'s shutdown logging can interleave, and again after it
+    // so it is also the last line of stdout.
+    println(json)
     spark.stop()
-    // Last line of stdout, after Spark's shutdown logging.
     println(json)
   }
 }

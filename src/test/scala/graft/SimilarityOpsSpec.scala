@@ -116,6 +116,45 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.forall(_._3), "kNN-join recall below bound on the real corpus")
   }
 
+  test("k>256: centroid-relation cell assignment and probes equal the inline path") {
+    // 400 synthetic vectors, quantizer forced past InlineCentroidCap so
+    // the broadcast-relation path is the live dispatch; the inline path
+    // (k literals in one projection) still plans at 300, so both can run
+    // on the SAME centroids and must agree exactly — same dot product,
+    // same norm, same higher-cell-id tie break.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val k = 300
+    assert(k > SimilarityOps.InlineCentroidCap)
+    val centroids = SimilarityOps.kmeans(emb, k, iters = 3)
+    assert(centroids.length > SimilarityOps.InlineCentroidCap)
+
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select($"vec_id", $"cell".cast("int")).as[(Long, Int)]
+        .collect().toMap
+    val viaRelation = cellsOf(
+      SimilarityOps.assignCells(emb, "vec_id", "embedding", centroids))
+    val viaInline = cellsOf(emb.select($"vec_id",
+      SimilarityOps.nearestCell($"embedding", centroids).as("cell")))
+    assert(viaRelation.size === 400)
+    assert(viaRelation === viaInline)
+
+    // probe sets: same nprobe cells per query, both paths
+    val nprobe = 7
+    def probesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Int]] =
+      df.select($"vec_id", $"cell".cast("int")).as[(Long, Int)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val pRelation = probesOf(
+      SimilarityOps.probeCells(emb, "vec_id", "embedding", centroids, nprobe))
+    val pInline = probesOf(
+      SimilarityOps.probeCellsInline(emb, "vec_id", "embedding", centroids, nprobe))
+    assert(pRelation.size === 400)
+    assert(pRelation.values.forall(_.size === nprobe))
+    assert(pRelation === pInline)
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
