@@ -185,13 +185,60 @@ object SamplingOps {
        |FROM m""".stripMargin
   }
 
+  /** Token budget per packed training sequence. */
+  private[graft] val PackBudget = 512
+  /** Independent packing shards — the parallelism unit. */
+  private[graft] val PackShards = 32
+
+  /** p4: sequence packing — assign every document to the fixed-budget
+    * training sequence (pack) in which it STARTS, the
+    * concatenate-then-chunk packing of LLM pretraining: within a shard,
+    * documents are concatenated in deterministic order and cut into
+    * [[PackBudget]]-token sequences; pack_id = the chunk holding the
+    * document's first token (floor of the exclusive running token count /
+    * budget).
+    *
+    * Scale shape: packing is inherently sequential, so the corpus is
+    * first split into [[PackShards]] INDEPENDENT shards by salted hash
+    * (a narrow map — shards ≈ training-data shards/files, each packed
+    * alone); the only exchange is the per-shard window, whose shuffled
+    * row is (doc_id, n_tokens, shard) — a few bytes, text pruned at the
+    * scan. At 100 TB you'd raise PackShards to the file count; within-
+    * shard order stays deterministic (doc_id) so the packing is
+    * reproducible run to run, which checkpoint-resume of a training job
+    * depends on. No global sort, no driver state. */
+  def p4PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id",
+      size(split($"text", " ")).as("n_tokens"),
+      pmod(hashRank($"doc_id", "p4:"), lit(PackShards)).cast("int").as("shard"))
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+    docs.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / lit(PackBudget)).cast("int").as("pack_id"))
+  }
+
+  private val p4Sql =
+    s"""SELECT doc_id, shard, n_tokens,
+       |  CAST(floor((cum - n_tokens) / $PackBudget.0) AS INT) AS pack_id
+       |FROM (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |      CAST(${hashRankSql("p4:")} % $PackShards AS INT) AS shard
+       |    FROM documents))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sample_topk" -> p1SampleTopk _,
     "p2_stratified_sample" -> p2StratifiedSample _,
-    "p3_dataset_mix" -> p3DatasetMix _)
+    "p3_dataset_mix" -> p3DatasetMix _,
+    "p4_pack_sequences" -> p4PackSequences _)
 
   val oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
     "p2_stratified_sample" -> p2Sql,
-    "p3_dataset_mix" -> p3Sql)
+    "p3_dataset_mix" -> p3Sql,
+    "p4_pack_sequences" -> p4Sql)
 }

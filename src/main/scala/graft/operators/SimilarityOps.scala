@@ -165,12 +165,21 @@ object SimilarityOps {
   private[graft] def corpusCount(s: SparkSession, dir: String): Long =
     corpusCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
 
+  /** Above this k the quantizer trains DISTRIBUTED ([[kmeansDistributed]])
+    * instead of on the driver: the driver trainer's cost is sample×k
+    * distance kernels per Lloyd iteration (sample = 256·k), i.e. O(k²) —
+    * ~10 s single-core at k=1024 and hours at k=10⁴. */
+  private[graft] val DriverTrainCap = 1024
+
   /** The (dir, k) quantizer: trains on first use per JVM, then reuses.
     * Concurrent first callers serialize through the TrieMap the same way
     * Layouts' write-once helpers do. */
   private[graft] def centroidsFor(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
-    trainedCentroids.getOrElseUpdate((dir, k),
-      kmeans(Tables.embeddings(s, dir), k, iters = 3))
+    trainedCentroids.getOrElseUpdate((dir, k), {
+      val emb = Tables.embeddings(s, dir)
+      if (k <= DriverTrainCap) kmeans(emb, k, iters = 3)
+      else kmeansDistributed(emb, k, iters = 3)
+    })
 
   /** Per-cell score structs (cosine, cell-id) against broadcast centroid
     * literals. Ranking by dot(v,c)/|c| — |v| is constant across cells, so
@@ -190,6 +199,52 @@ object SimilarityOps {
     * vectors) break toward the higher cell id via struct-max ordering. */
   private[graft] def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
     array_max(array(cellScores(v, centroids): _*)).getField("i")
+
+  /** Distributed Lloyd training — the k > [[DriverTrainCap]] path, and
+    * the piece that removes the last driver-side bound from the IVF tier.
+    * Assignment reuses [[assignCells]] (which itself dispatches to the
+    * broadcast centroid-relation join at large k), so each iteration is
+    * one corpus-linear pass; the centroid update is a posexplode to
+    * (cell, pos, x) and a (cell, pos) partial+final aggregation — the
+    * shuffle carries one partial row per (cell × dim × task), and the
+    * driver collects exactly k×dim (sum, count) cells (~16 MB at
+    * k = 32768, dim = 64). No training sample, no driver distance
+    * kernels: the full corpus votes.
+    *
+    * Init mirrors the driver trainer (k lowest-vec_id vectors) so the two
+    * are comparable head-to-head; the spec asserts they converge to the
+    * same centroids (within distributed-summation ulp) and identical cell
+    * assignments on clustered data. Unlike the driver trainer the partial
+    * sums combine in shuffle-arrival order, so results are deterministic
+    * only to ~1e-12 relative — the registered fixture queries stay on the
+    * driver-seeded trainer; this is the coded path past its bound. */
+  private[graft] def kmeansDistributed(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    var centroids: Array[Array[Double]] = emb.orderBy($"vec_id").limit(k)
+      .select($"embedding").as[Seq[Float]]
+      .collect().map(_.map(_.toDouble).toArray)
+    require(centroids.nonEmpty, "kmeansDistributed: embeddings table is empty")
+    val dim = centroids(0).length
+    for (_ <- 0 until iters) {
+      val stats = assignCells(emb.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      stats.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getDouble(2)
+        counts(c) = r.getLong(3)
+      }
+      centroids = Array.tabulate(centroids.length)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
+    }
+    centroids
+  }
 
   // ------------------------------- centroid-relation scoring (k > 256)
 
@@ -286,18 +341,19 @@ object SimilarityOps {
     * keeps cell population ~√N, so candidate volume per query stays
     * ~N/4 · (probe ratio) instead of degrading as the corpus grows past
     * the cell count. The floor (16) preserves fixture-scale behavior and
-    * the driver-oracle plans. The former hard cap at 256 — the planner
-    * bound on [[cellScores]]'s k inline literals — is gone: past
-    * [[InlineCentroidCap]], [[assignCells]]/[[probeCells]] switch to the
-    * broadcast centroid-relation path, which has no expression-tree
-    * growth. The remaining cap (1024, √N for N = 10⁶ corpora per
-    * training replica) is the DRIVER-side Lloyd bound: the training
-    * sample is 256·k vectors and each iteration is sample×k distance
-    * kernels — at k=1024 that's ~10 s on one core; at k=10⁴+ (10⁸+
-    * vectors) the quantizer itself must train distributedly (the
-    * documented next step, not coded against a 10⁴-vector fixture). */
+    * the driver-oracle plans. Both former hard caps are now CODE, not
+    * prose: past [[InlineCentroidCap]] (256, the planner bound on
+    * [[cellScores]]'s k inline literals) scoring switches to the
+    * broadcast centroid-relation path, and past [[DriverTrainCap]]
+    * (1024, the O(k²) driver Lloyd bound) training switches to
+    * [[kmeansDistributed]] — full-corpus assignment passes with a k×dim
+    * driver collect. The remaining cap (32768, √N for a 10⁹-vector
+    * corpus) is the broadcast bound: the centroid relation is k×dim×8 B
+    * ≈ 16 MB there, and past it the quantizer itself should become a
+    * persisted TABLE joined by cell-range rather than a broadcast —
+    * out of scope for any corpus this engine's fixtures can model. */
   private[graft] def ivfK(n: Long): Int =
-    math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.max(16, math.min(32768, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** nprobe = k/4: probe cost stays a fixed quarter of the cells at any
     * derived k, matching the measured recall/cost trade in SCALING.md. */

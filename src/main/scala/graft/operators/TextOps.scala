@@ -484,6 +484,74 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------- t10 decontamination
+
+  /** Word-gram size for the contamination check. Real pipelines use 8–13;
+    * 8 keeps the fixture corpus (planted near-dups share most 8-grams)
+    * producing non-trivial hits. */
+  private[graft] val DecontGram = 8
+  /** Every [[DecontMod]]-th doc_id plays the held-out eval set. */
+  private[graft] val DecontMod = 20
+
+  /** t10: train/eval decontamination — flag every training document that
+    * shares at least one [[DecontGram]]-word n-gram with the held-out
+    * eval slice (doc_id % [[DecontMod]] == 0 stands in for a benchmark
+    * suite). This is the standard n-gram-overlap contamination check run
+    * before LLM training.
+    *
+    * Scale shape: grams ride [[DedupOps.shingles]] (the codegen'd
+    * zip_with fold shared with d2/d4 — no lambda re-eval, no UDF) and are
+    * hashed to 8 bytes BEFORE any exchange, so the corpus-side shuffle —
+    * when one happens at all — moves (doc_id, hash) pairs, never text. A
+    * real eval set is tiny and fixed (a benchmark suite, not a corpus
+    * slice), so its distinct-gram relation broadcasts and the whole check
+    * is a map-side semi-join over one corpus scan; with an outsized eval
+    * slice like the fixture's 5% it degrades gracefully to a shuffled
+    * semi-join on the 8-byte keys. xxhash64 collisions would flag a clean
+    * doc: at ~10¹⁰ corpus grams the expected count is ~10⁻² (birthday on
+    * 2⁶⁴) — acceptable for a KEEP/DROP screen, and the oracle compare
+    * would catch any at fixture scale. */
+  def t10Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select($"doc_id", ($"doc_id" % DecontMod === 0).as("is_eval"),
+      explode(DedupOps.shingles($"text", DecontGram)).as("gram"))
+      .select($"doc_id", $"is_eval", xxhash64($"gram").as("gh"))
+    val evalGrams = grams.where($"is_eval").select($"gh").distinct()
+    val hits = grams.where(!$"is_eval")
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(true))
+    docs.select($"doc_id", ($"doc_id" % DecontMod === 0).as("is_eval"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"is_eval",
+        coalesce($"hit", lit(false)).as("contaminated"))
+  }
+
+  /** DuckDB replays the gram construction on STRINGS (list comprehension
+    * over the split words, whole-text fallback below [[DecontGram]]
+    * words — the exact semantics of [[DedupOps.shingles]]); equal flags
+    * prove the hashed Spark plan faithful. */
+  private val t10Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % $DecontMod = 0 AS is_eval,
+       |         string_split(text, ' ') AS w, text
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_eval, unnest(
+       |    CASE WHEN len(w) >= $DecontGram
+       |         THEN [array_to_string(w[i:i+${DecontGram - 1}], ' ')
+       |               for i in range(1, len(w) - ${DecontGram - 2})]
+       |         ELSE [text] END) AS gram
+       |  FROM base),
+       |ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+       |hits AS (
+       |  SELECT DISTINCT g.doc_id
+       |  FROM grams g JOIN ev ON g.gram = ev.gram
+       |  WHERE NOT g.is_eval)
+       |SELECT b.doc_id, b.is_eval, h.doc_id IS NOT NULL AS contaminated
+       |FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
@@ -493,7 +561,8 @@ object TextOps {
     "t6_hash_split" -> t6HashSplit _,
     "t7_repetition" -> t7Repetition _,
     "t8_bigram_lm" -> t8BigramLm _,
-    "t9_pii_redact" -> t9PiiRedact _)
+    "t9_pii_redact" -> t9PiiRedact _,
+    "t10_decontaminate" -> t10Decontaminate _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
@@ -504,5 +573,6 @@ object TextOps {
     "t6_hash_split" -> t6Sql,
     "t7_repetition" -> t7Sql,
     "t8_bigram_lm" -> t8Sql,
-    "t9_pii_redact" -> t9Sql)
+    "t9_pii_redact" -> t9Sql,
+    "t10_decontaminate" -> t10Sql)
 }

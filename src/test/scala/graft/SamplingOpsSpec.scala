@@ -98,6 +98,28 @@ class SamplingOpsSpec extends SparkSpec {
         s"${corpusLangs -- weighted}")
   }
 
+  test("p4: pack assignment equals a sequential Scala re-pack per shard") {
+    val rows = SamplingOps.p4PackSequences(spark, sf)
+      .select($"doc_id", $"shard", $"n_tokens", $"pack_id")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    // the engine's packing must equal concatenate-then-chunk replayed
+    // sequentially: within a shard, walk docs in doc_id order keeping a
+    // running token offset; a doc's pack is floor(startOffset / budget)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var offset = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, pack) =>
+        assert(pack === (offset / SamplingOps.PackBudget).toInt,
+          s"doc $id: got pack $pack at offset $offset")
+        offset += n
+      }
+    }
+    // shards actually spread (salted hash, not one hot shard)
+    val shards = rows.map(_._2).toSet
+    assert(shards.size > SamplingOps.PackShards / 2)
+    assert(shards.forall(s => s >= 0 && s < SamplingOps.PackShards))
+  }
+
   test("p2: independent of the t6 split and of p1 (different salt channels)") {
     // distinct salts => the p2 sample is not a subset/superset artifact of
     // the p1 ranks: check the two draws disagree on some docs both ways

@@ -155,6 +155,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pRelation === pInline)
   }
 
+  test("distributed k-means converges with the driver trainer on the same data and init") {
+    // clustered(): 400 vectors; the driver trainer's hash-sample keeps all
+    // of them at this size (mod = 1) and both trainers init from the k
+    // lowest vec_ids — same data, same init, same iterations. The only
+    // difference is summation order (sequential vs distributed partials),
+    // so centroids must agree to ulp-scale tolerance and the induced cell
+    // assignments must be identical.
+    val emb = clustered().select($"vec_id", $"embedding")
+    val k = 8
+    val driver = SimilarityOps.kmeans(emb, k, iters = 3)
+    val dist = SimilarityOps.kmeansDistributed(emb, k, iters = 3)
+    assert(dist.length === driver.length)
+    driver.zip(dist).foreach { case (a, b) =>
+      val err = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(err < 1e-9, s"centroid drift $err")
+    }
+    def cellsOf(c: Array[Array[Double]]): Map[Long, Int] =
+      SimilarityOps.assignCells(emb, "vec_id", "embedding", c)
+        .select($"vec_id", $"cell".cast("int")).as[(Long, Int)].collect().toMap
+    assert(cellsOf(driver) === cellsOf(dist))
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.

@@ -142,6 +142,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t10: planted 8-gram overlap is flagged; clean and eval docs are not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t10").toString
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // one full 8-gram
+    val docs = Seq(
+      // doc 0: eval (0 % 20 == 0) — the held-out side of the gram
+      (0L, s"pre $shared post", "en", "s", 0L),
+      // doc 1: training doc carrying the same 8-gram → contaminated
+      (1L, s"other words here $shared trailing", "en", "s", 0L),
+      // doc 2: training doc with 7 of the 8 words — NOT contaminated
+      (2L, "w1 w2 w3 w4 w5 w6 w7 x8 filler filler2", "en", "s", 0L),
+      // doc 3: short doc (< 8 words) — whole-text fallback, no match
+      (3L, "tiny doc", "en", "s", 0L),
+      // doc 20: eval again; eval docs are never flagged
+      (20L, s"a b $shared c d", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t10Decontaminate(spark, dir)
+      .select($"doc_id", $"is_eval", $"contaminated")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) === ((true, false)))
+    assert(got(1L) === ((false, true)))
+    assert(got(2L) === ((false, false)))
+    assert(got(3L) === ((false, false)))
+    assert(got(20L) === ((true, false)))
+    // fixture run: full corpus coverage, eval slice exactly doc_id % 20 == 0
+    val fix = TextOps.t10Decontaminate(spark, sf)
+      .select($"doc_id", $"is_eval").as[(Long, Boolean)].collect()
+    assert(fix.length === graft.sources.Tables.documents(spark, sf).count())
+    fix.foreach { case (id, ev) => assert(ev === (id % 20 == 0)) }
+  }
+
   test("t8: exact integer recount on a generated random corpus") {
     val rng = new scala.util.Random(99L)
     val vocab = Seq("a", "b", "c", "dd", "eee")
