@@ -64,9 +64,49 @@ object PipelineOps {
        |JOIN tr USING (doc_id)
        |JOIN sp USING (doc_id)""".stripMargin
 
+  /** e2: the corpus-to-training-shards capstone — e1's disposition chain
+    * extended by the round-7 operators into the full "what actually ships
+    * to the trainer" pass:
+    *
+    *   survivors = e1.keep                 (dedup ∧ quality ∧ ¬repetitive)
+    *               ∧ ¬t10.is_eval          (held-out docs never train)
+    *               ∧ ¬t10.contaminated     (n-gram overlap with eval)
+    *   output    = survivors packed into fixed-token-budget training
+    *               sequences ([[SamplingOps.packSequences]], own salt).
+    *
+    * Plan shape: e1's and t10's corpus-side relations both reduce to
+    * (doc_id, flag) before joining — the three-way survivor join moves
+    * ids only, the token counts ride the same documents scan that feeds
+    * e1's signals, and the packing adds one per-shard window over
+    * (doc_id, n_tokens). Everything heavy (LSH, gram semi-join) is the
+    * stages' own documented machinery; the composition itself is
+    * id-width. */
+  def e2TrainingShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = e1Pipeline(s, dir).where($"keep").select($"doc_id")
+    val clean = TextOps.t10Decontaminate(s, dir)
+      .where(!$"is_eval" && !$"contaminated").select($"doc_id")
+    val sizes = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+    SamplingOps.packSequences(
+      sizes.join(kept, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi"),
+      "e2:")
+  }
+
+  private val e2Sql = SamplingOps.packSequencesSql(
+    s"""(SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |    FROM documents
+       |    WHERE doc_id IN (SELECT doc_id FROM ($e1Sql) WHERE keep)
+       |      AND doc_id IN (SELECT doc_id FROM (${TextOps.t10Sql})
+       |                     WHERE NOT is_eval AND NOT contaminated))""".stripMargin,
+    "e2:")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e1_pipeline" -> e1Pipeline _)
+    "e1_pipeline" -> e1Pipeline _,
+    "e2_training_shards" -> e2TrainingShards _)
 
   val oracleSql: Map[String, String] = Map(
-    "e1_pipeline" -> e1Sql)
+    "e1_pipeline" -> e1Sql,
+    "e2_training_shards" -> e2Sql)
 }

@@ -209,26 +209,40 @@ object SamplingOps {
     * depends on. No global sort, no driver state. */
   def p4PackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id",
-      size(split($"text", " ")).as("n_tokens"),
-      pmod(hashRank($"doc_id", "p4:"), lit(PackShards)).cast("int").as("shard"))
-    val w = Window.partitionBy($"shard").orderBy($"doc_id")
-    docs.withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"shard", $"n_tokens",
-        floor(($"cum" - $"n_tokens") / lit(PackBudget)).cast("int").as("pack_id"))
+    packSequences(Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).as("n_tokens")), "p4:")
   }
 
-  private val p4Sql =
+  /** The packing kernel over any (doc_id, n_tokens) relation — p4 binds it
+    * to the whole corpus; [[PipelineOps.e2TrainingShards]] to the cleaned
+    * survivor set. A distinct salt per caller keeps the shard draws
+    * independent channels, same rule as p1/p2/t6. */
+  private[operators] def packSequences(docs: DataFrame, salt: String): DataFrame = {
+    val sharded = docs.select(col("doc_id"), col("n_tokens"),
+      pmod(hashRank(col("doc_id"), salt), lit(PackShards)).cast("int").as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    sharded.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("int").as("pack_id"))
+  }
+
+  /** SQL half of [[packSequences]]: pack `fromRelation` (any relation with
+    * doc_id + n_tokens columns) under the same salt. */
+  private[operators] def packSequencesSql(fromRelation: String, salt: String): String =
     s"""SELECT doc_id, shard, n_tokens,
        |  CAST(floor((cum - n_tokens) / $PackBudget.0) AS INT) AS pack_id
        |FROM (
        |  SELECT doc_id, shard, n_tokens,
        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
        |  FROM (
-       |    SELECT doc_id,
-       |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       |      CAST(${hashRankSql("p4:")} % $PackShards AS INT) AS shard
-       |    FROM documents))""".stripMargin
+       |    SELECT doc_id, n_tokens,
+       |      CAST(${hashRankSql(salt)} % $PackShards AS INT) AS shard
+       |    FROM $fromRelation))""".stripMargin
+
+  private val p4Sql = packSequencesSql(
+    s"""(SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |    FROM documents)""".stripMargin, "p4:")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sample_topk" -> p1SampleTopk _,

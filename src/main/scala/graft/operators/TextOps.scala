@@ -532,7 +532,7 @@ object TextOps {
     * over the split words, whole-text fallback below [[DecontGram]]
     * words — the exact semantics of [[DedupOps.shingles]]); equal flags
     * prove the hashed Spark plan faithful. */
-  private val t10Sql =
+  private[operators] val t10Sql =
     s"""WITH base AS (
        |  SELECT doc_id, doc_id % $DecontMod = 0 AS is_eval,
        |         string_split(text, ' ') AS w, text

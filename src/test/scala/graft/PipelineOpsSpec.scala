@@ -86,6 +86,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("e2: packs exactly the e1-kept ∧ clean ∧ non-eval docs, sequentially re-packable") {
+    val packed = PipelineOps.e2TrainingShards(spark, sf)
+      .select($"doc_id", $"shard", $"n_tokens", $"pack_id")
+      .as[(Long, Int, Int, Int)].collect()
+    // membership: exactly the survivor intersection of the component queries
+    val kept = PipelineOps.e1Pipeline(spark, sf).where($"keep")
+      .select($"doc_id").as[Long].collect().toSet
+    val clean = TextOps.t10Decontaminate(spark, sf)
+      .where(!$"is_eval" && !$"contaminated")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(packed.map(_._1).toSet === (kept intersect clean))
+    assert(packed.nonEmpty)
+    // the eval slice is excluded by construction
+    assert(packed.forall(_._1 % TextOps.DecontMod != 0))
+    // pack ids replay as sequential concatenate-then-chunk per shard
+    packed.groupBy(_._2).foreach { case (_, docs) =>
+      var offset = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, pack) =>
+        assert(pack === (offset / graft.operators.SamplingOps.PackBudget).toInt,
+          s"doc $id at offset $offset")
+        offset += n
+      }
+    }
+  }
+
   test("e1: kept docs land in the same split t6 assigns their id") {
     val byId = PipelineOps.e1Pipeline(spark, sf)
       .where($"keep")
