@@ -881,6 +881,102 @@ object DedupOps {
       |FROM canonmap m
       |LEFT JOIN comp c ON m.canon_id = c.node""".stripMargin
 
+  // ------------------------------------------------ d8 incremental ingest
+
+  /** The deterministic "today's ingest" slice: doc_id % [[IngestMod]] ==
+    * [[IngestRem]] plays the incoming batch; the rest is the standing
+    * corpus. */
+  private[graft] val IngestMod = 10
+  private[graft] val IngestRem = 7
+
+  /** Path of the PERSISTED dedup index: the standing corpus's (doc_id,
+    * band, key) MinHash band keys, written once per (dir, JVM),
+    * partitioned by band — the structure a production dedup service
+    * maintains between ingests so each new batch probes an index instead
+    * of re-scanning the corpus. Deterministic content (seeded minhash),
+    * so the write-once reuse mirrors the standing index it stands for. */
+  private[graft] def dedupIndexKeys(s: SparkSession, dir: String): String =
+    graft.sources.Layouts.writeOncePartitioned(
+      "graft_dedup_index_keys", dir, "band") {
+      val corpus = Tables.documents(s, dir)
+        .where(!(col("doc_id") % IngestMod === IngestRem))
+      withShingleHashes(corpus).select(col("doc_id"),
+        posexplode(graft.functions.minhashBandKeys(
+          col("hs"), MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
+    }
+
+  /** d8: incremental-ingest dedup — screen the incoming batch against the
+    * standing corpus WITHOUT re-running corpus×corpus dedup: this is the
+    * shape every production pipeline actually runs daily (d2 is the
+    * one-time backfill; d8 is the steady state). Per batch doc:
+    * `dup_exact` (its digest exists in the corpus) and `dup_near`
+    * (exact-verified Jaccard ≥ 0.8 against some corpus doc; includes
+    * exact dups at j = 1). Within-batch duplicates are deliberately NOT
+    * flagged — that is d1/d2's job run on the batch alone.
+    *
+    * Scale shape: the corpus side is touched only through its PERSISTED
+    * band-key index ([[dedupIndexKeys]]) and the digest set; the batch
+    * (orders of magnitude smaller) computes signatures fresh; candidates
+    * come from the (band, key) equi-join — batch keys vs index keys, so
+    * join volume is batch-sized, never corpus× — and only candidates pay
+    * the exact verify (which re-reads text for candidate IDS only, the
+    * d2 discipline). Exact membership joins 32-byte digests, not text. */
+  def d8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val isBatch = col("doc_id") % IngestMod === IngestRem
+    val batch = docs.where(isBatch)
+
+    val exactHits = batch.select($"doc_id", sha2($"text", 256).as("h"))
+      .join(docs.where(!isBatch).select(sha2($"text", 256).as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select($"doc_id").withColumn("dup_exact", lit(true))
+
+    val indexKeys = s.read.parquet(dedupIndexKeys(s, dir))
+    val batchKeys = withShingleHashes(batch).select($"doc_id",
+      posexplode(graft.functions.minhashBandKeys(
+        $"hs", MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
+    val candidates = batchKeys
+      .join(indexKeys.select($"doc_id".as("doc_b"), $"band", $"key"),
+        Seq("band", "key"))
+      .select($"doc_id".as("doc_a"), $"doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val nearHits = verifyPairs(docs, candidates, 0.8)
+      .select($"doc_a".as("doc_id")).distinct()
+      .withColumn("dup_near", lit(true))
+
+    batch.select($"doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"dup_exact", lit(false)).as("dup_exact"),
+        coalesce($"dup_near", lit(false)).as("dup_near"))
+  }
+
+  /** Oracle: brute-force cross-relation screen — exact via text equality,
+    * near via the shared all-pairs Jaccard relation restricted to
+    * batch×corpus pairs. */
+  private val d8Sql =
+    s"""WITH pairs AS (SELECT * FROM (${jaccardPairsSql(0.8)})),
+       |cross_near AS (
+       |  SELECT DISTINCT CASE WHEN doc_a % $IngestMod = $IngestRem
+       |                       THEN doc_a ELSE doc_b END AS doc_id
+       |  FROM pairs
+       |  WHERE (doc_a % $IngestMod = $IngestRem)
+       |     <> (doc_b % $IngestMod = $IngestRem)),
+       |exact AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM documents b JOIN documents i ON b.text = i.text
+       |  WHERE b.doc_id % $IngestMod = $IngestRem
+       |    AND i.doc_id % $IngestMod <> $IngestRem)
+       |SELECT b.doc_id,
+       |  e.doc_id IS NOT NULL AS dup_exact,
+       |  n.doc_id IS NOT NULL AS dup_near
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id % $IngestMod = $IngestRem) b
+       |LEFT JOIN exact e ON b.doc_id = e.doc_id
+       |LEFT JOIN cross_near n ON b.doc_id = n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
@@ -888,7 +984,8 @@ object DedupOps {
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_embedding_neardup" -> d5EmbeddingNeardup _,
     "d6_dedup_keep" -> d6DedupKeep _,
-    "d7_cc_dedup" -> d7CcDedup _)
+    "d7_cc_dedup" -> d7CcDedup _,
+    "d8_incremental_dedup" -> d8IncrementalDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -897,5 +994,6 @@ object DedupOps {
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),
     "d5_embedding_neardup" -> d5Sql,
     "d6_dedup_keep" -> d6Sql,
-    "d7_cc_dedup" -> d7Sql)
+    "d7_cc_dedup" -> d7Sql,
+    "d8_incremental_dedup" -> d8Sql)
 }

@@ -215,6 +215,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(d7Keep.nonEmpty)
   }
 
+  test("d8: batch docs are screened against the corpus index, not each other") {
+    import spark.implicits._
+    val base = ("w" + (1 to 60).mkString(" w")) // 60 distinct words
+    val nearOfBase = base.split(" ").drop(2).mkString(" ") // j ≈ 0.93 trigram overlap
+    val docs = Seq(
+      (1L, base),                       // corpus
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"), // corpus, unrelated
+      // batch slice: doc_id % 10 == 7
+      (7L, base),                       // exact dup of corpus doc 1
+      (17L, nearOfBase),                // near dup of corpus doc 1
+      (27L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"), // unique
+      (37L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")) // dup of BATCH doc 27 only
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d8").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.d8IncrementalDedup(spark, dir)
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(7L, 17L, 27L, 37L), "exactly the batch slice")
+    assert(got(7L) === ((true, true)), "exact dup: both flags")
+    assert(got(17L) === ((false, true)), "near dup: near only")
+    assert(got(27L) === ((false, false)), "unique")
+    assert(got(37L) === ((false, false)),
+      "within-batch dup must NOT be flagged against the corpus")
+  }
+
   test("d5: sign-LSH recalls planted near-identical embeddings") {
     import DedupOps.SignLsh
     val rng = new scala.util.Random(11L)
