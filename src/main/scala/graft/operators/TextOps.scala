@@ -552,6 +552,50 @@ object TextOps {
        |SELECT b.doc_id, b.is_eval, h.doc_id IS NOT NULL AS contaminated
        |FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
 
+  // --------------------------------------------- t11 perplexity filter
+
+  /** Bottom per-source quantile dropped by [[t11PerplexityFilter]]. */
+  private[graft] val DropQuantile = 0.25
+
+  /** t11: RELATIVE quality filtering — keep each source's top
+    * (1 − [[DropQuantile]]) of documents by LM score, the CCNet-style
+    * perplexity filter. A single global threshold ([[t8BigramLm]]'s
+    * `fluent` bit) systematically biases against whole domains whose
+    * score distribution sits lower (code, tables, non-English); ranking
+    * WITHIN source compares each doc to its own domain. Emits the
+    * percentile so downstream mixes can re-threshold without re-ranking.
+    *
+    * Scale shape: the LM relation is t8's (vocab²-bounded model tables);
+    * the added cost is one exchange on source plus a per-source sort of
+    * (doc_id, avg_p) pairs — ~24 B rows, text long gone. A pathologically
+    * large single source makes that sort the bottleneck; at that point
+    * the exact percent_rank degrades to an approximate threshold from
+    * k2's quantile sketch (same output contract, documented trade) —
+    * fixture scale keeps the exact rank, which is what the oracle can
+    * replay. */
+  def t11PerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lm = t8BigramLm(s, dir).select($"doc_id", $"avg_p")
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    val w = Window.partitionBy($"source").orderBy($"avg_p", $"doc_id")
+    src.join(lm, Seq("doc_id"))
+      .withColumn("src_pctile", round(percent_rank().over(w), 6))
+      .select($"doc_id", $"source", $"avg_p", $"src_pctile",
+        ($"src_pctile" >= DropQuantile).as("keep"))
+  }
+
+  private[operators] val t11Sql =
+    s"""WITH lm AS (SELECT doc_id, avg_p FROM ($t8Sql)),
+       |ranked AS (
+       |  SELECT d.doc_id, d.source, lm.avg_p,
+       |    round(percent_rank() OVER (PARTITION BY d.source
+       |          ORDER BY lm.avg_p, d.doc_id), 6) AS src_pctile
+       |  FROM documents d JOIN lm ON d.doc_id = lm.doc_id)
+       |SELECT doc_id, source, avg_p, src_pctile,
+       |  src_pctile >= $DropQuantile AS keep
+       |FROM ranked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
@@ -562,7 +606,8 @@ object TextOps {
     "t7_repetition" -> t7Repetition _,
     "t8_bigram_lm" -> t8BigramLm _,
     "t9_pii_redact" -> t9PiiRedact _,
-    "t10_decontaminate" -> t10Decontaminate _)
+    "t10_decontaminate" -> t10Decontaminate _,
+    "t11_perplexity_filter" -> t11PerplexityFilter _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
@@ -574,5 +619,6 @@ object TextOps {
     "t7_repetition" -> t7Sql,
     "t8_bigram_lm" -> t8Sql,
     "t9_pii_redact" -> t9Sql,
-    "t10_decontaminate" -> t10Sql)
+    "t10_decontaminate" -> t10Sql,
+    "t11_perplexity_filter" -> t11Sql)
 }

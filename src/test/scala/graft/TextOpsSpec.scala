@@ -173,6 +173,29 @@ class TextOpsSpec extends SparkSpec {
     fix.foreach { case (id, ev) => assert(ev === (id % 20 == 0)) }
   }
 
+  test("t11: per-source percentile equals a Scala re-rank; bottom quartile dropped") {
+    val rows = TextOps.t11PerplexityFilter(spark, sf)
+      .select($"doc_id", $"source", $"avg_p", $"src_pctile", $"keep")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      // recompute percent_rank: (rank - 1) / (n - 1) over (avg_p, doc_id)
+      val ordered = docs.sortBy(d => (d._3, d._1))
+      val n = ordered.length
+      ordered.zipWithIndex.foreach { case ((id, _, _, pct, keep), i) =>
+        val expect = if (n == 1) 0.0
+          else math.rint(i.toDouble / (n - 1) * 1e6) / 1e6
+        assert(pct === expect, s"doc $id pctile")
+        assert(keep === (pct >= TextOps.DropQuantile), s"doc $id keep")
+      }
+      // the filter actually cuts: lowest-ranked doc dropped, highest kept
+      if (n > 4) {
+        assert(!ordered.head._5, "per-source minimum must be dropped")
+        assert(ordered.last._5, "per-source maximum must be kept")
+      }
+    }
+  }
+
   test("t8: exact integer recount on a generated random corpus") {
     val rng = new scala.util.Random(99L)
     val vocab = Seq("a", "b", "c", "dd", "eee")
