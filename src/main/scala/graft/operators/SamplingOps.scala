@@ -185,6 +185,49 @@ object SamplingOps {
        |FROM m""".stripMargin
   }
 
+  /** p5: mix MATERIALIZATION — p3 plans the mixture (per-language repeat
+    * factors); p5 turns the plan into the per-document sample that
+    * actually feeds training: every doc in a weighted language gets
+    * `n_copies` = ⌊rf⌋ whole epochs plus one more iff its salted hash
+    * fraction falls under rf's fractional part — a deterministic
+    * Bernoulli draw whose expected token total per language equals the
+    * plan's `need_tokens`. Same hash-threshold device as p2 (integer
+    * micro-unit threshold so both engines compare exact integers), its
+    * own salt channel.
+    *
+    * Scale shape: the plan is a ≤|languages|-row relation — broadcast —
+    * so materialization is a narrow map over a (doc_id, lang) scan: no
+    * shuffle at any corpus size. Docs drawn 0 times stay in the output
+    * with n_copies = 0 so the draw is auditable (and the p2 pattern of
+    * emitting the evidence holds). */
+  def p5MixMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val plan = p3DatasetMix(s, dir).select($"lang", $"repeat_factor")
+    Tables.documents(s, dir)
+      .where($"lang".isInCollection(MixWeights.map(_._1)))
+      .select($"doc_id", $"lang")
+      .join(broadcast(plan), Seq("lang"))
+      .select($"doc_id", $"lang",
+        (floor($"repeat_factor").cast("long") +
+          when(pmod(hashRank($"doc_id", "p5:"), lit(1000000L)) <
+            floor(($"repeat_factor" - floor($"repeat_factor")) * 1000000)
+              .cast("long"), 1L)
+          .otherwise(0L)).as("n_copies"))
+  }
+
+  private val p5Sql = {
+    val langs = MixWeights.map { case (l, _) => s"'$l'" }.mkString(", ")
+    s"""WITH plan AS (SELECT lang, repeat_factor FROM ($p3Sql))
+       |SELECT d.doc_id, d.lang,
+       |  CAST(floor(p.repeat_factor) AS BIGINT) +
+       |  CASE WHEN ${hashRankSql("p5:")} % 1000000 <
+       |       CAST(floor((p.repeat_factor - floor(p.repeat_factor))
+       |            * 1000000) AS BIGINT)
+       |       THEN 1 ELSE 0 END AS n_copies
+       |FROM documents d JOIN plan p ON d.lang = p.lang
+       |WHERE d.lang IN ($langs)""".stripMargin
+  }
+
   /** Token budget per packed training sequence. */
   private[graft] val PackBudget = 512
   /** Independent packing shards — the parallelism unit. */
@@ -248,11 +291,13 @@ object SamplingOps {
     "p1_sample_topk" -> p1SampleTopk _,
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_dataset_mix" -> p3DatasetMix _,
-    "p4_pack_sequences" -> p4PackSequences _)
+    "p4_pack_sequences" -> p4PackSequences _,
+    "p5_mix_materialize" -> p5MixMaterialize _)
 
   val oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
     "p2_stratified_sample" -> p2Sql,
     "p3_dataset_mix" -> p3Sql,
-    "p4_pack_sequences" -> p4Sql)
+    "p4_pack_sequences" -> p4Sql,
+    "p5_mix_materialize" -> p5Sql)
 }

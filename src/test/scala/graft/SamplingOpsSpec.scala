@@ -120,6 +120,38 @@ class SamplingOpsSpec extends SparkSpec {
     assert(shards.forall(s => s >= 0 && s < SamplingOps.PackShards))
   }
 
+  test("p5: copies realize p3's plan — floor/ceil of the repeat factor, expected tokens on target") {
+    val plan = SamplingOps.p3DatasetMix(spark, sf)
+      .select($"lang", $"tokens", $"need_tokens", $"repeat_factor")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val rows = SamplingOps.p5MixMaterialize(spark, sf)
+      .select($"doc_id", $"lang", $"n_copies")
+      .as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // every weighted-language doc present exactly once
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+      .filter(r => plan.contains(r._2))
+    assert(rows.map(_._1).sorted.toSeq === corpus.map(_._1).sorted.toSeq)
+    rows.foreach { case (id, lang, copies) =>
+      val rf = plan(lang)._3
+      assert(copies == rf.toLong || copies == rf.toLong + 1,
+        s"doc $id: $copies copies for rf $rf")
+    }
+    // realized tokens per language track the plan's need_tokens: the draw
+    // is Bernoulli per doc, so allow a generous sampling tolerance
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("t"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val realized = docs.map(d => toks(d._1) * d._3).sum.toDouble
+      val need = plan(lang)._2
+      assert(math.abs(realized - need) / need < 0.25,
+        s"$lang: realized $realized vs need $need")
+    }
+  }
+
   test("p2: independent of the t6 split and of p1 (different salt channels)") {
     // distinct salts => the p2 sample is not a subset/superset artifact of
     // the p1 ranks: check the two draws disagree on some docs both ways
