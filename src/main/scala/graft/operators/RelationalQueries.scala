@@ -47,8 +47,11 @@ object RelationalQueries {
 
   /** q6: the fact-side multi-join — lineitem ⋈ orders ⋈ customer, revenue
     * by market segment over recent orders. The o_orderdate filter is pushed
-    * to the parquet scan; lineitem⋈orders shuffles once on orderkey
-    * (sort-merge); orders⋈customer on custkey. Revenue is computed in
+    * to the parquet scan; at 100 TB both joins are shuffle sort-merge on
+    * their keys (the shape the name records), while at fixture scale AQE
+    * correctly flips both to broadcast (the filtered orders side and
+    * customer are small — plan verified in the round-7 q6 diagnosis,
+    * SCALING.md). Revenue is computed in
     * DECIMAL so the sum is exact and order-insensitive — at 1000 executors
     * a double sum would differ run to run. */
   def q6JoinSortMerge(s: SparkSession, dir: String): DataFrame = {

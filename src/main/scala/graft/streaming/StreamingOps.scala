@@ -228,13 +228,54 @@ object StreamingOps {
   // lossless roundtrip: the sink table holds exactly st1's rows
   private val st6Sql = st1Sql
 
+  /** The ingest screen, written once for both modes (the tier's standing
+    * discipline): incoming docs — a batch relation or a STREAM of new
+    * documents — left-joined against the standing corpus's distinct
+    * digest set. Stateless stream-static join: no watermark, no state
+    * store; on a stream each micro-batch probes the static digest
+    * relation as it arrives, which is exactly how an ingest gate runs in
+    * front of a training-data lake ([[graft.operators.DedupOps
+    * .d8IncrementalDedup]] is the batch superset with the near-dup
+    * index probe; this is its always-on front door). The digest relation
+    * joins 32-byte hashes, never text, and broadcasts while it fits. */
+  def ingestScreen(docs: DataFrame, corpusDigests: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpusDigests.withColumn("dup_exact", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"))
+
+  /** st7: the screen in batch mode over d8's deterministic ingest slice —
+    * what the oracle checks; StreamingOpsSpec proves the same transform
+    * over a MemoryStream emits identical flags. */
+  def st7StreamIngestScreen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    ingestScreen(docs.where(isBatch),
+      docs.where(!isBatch).select(sha2(col("text"), 256).as("h")).distinct())
+  }
+
+  private val st7Sql = {
+    val m = graft.operators.DedupOps.IngestMod
+    val r = graft.operators.DedupOps.IngestRem
+    s"""WITH exact AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM documents b JOIN documents i ON b.text = i.text
+       |  WHERE b.doc_id % $m = $r AND i.doc_id % $m <> $r)
+       |SELECT b.doc_id, e.doc_id IS NOT NULL AS dup_exact
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $m = $r) b
+       |LEFT JOIN exact e ON b.doc_id = e.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
     "st2_sessionize" -> st2Sessionize _,
     "st3_stream_dedup" -> st3StreamDedup _,
     "st4_interval_join" -> st4IntervalJoin _,
     "st5_stream_static_join" -> st5StreamStaticJoin _,
-    "st6_stream_sink" -> st6StreamSink _)
+    "st6_stream_sink" -> st6StreamSink _,
+    "st7_stream_ingest_screen" -> st7StreamIngestScreen _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -242,5 +283,6 @@ object StreamingOps {
     "st3_stream_dedup" -> st3Sql,
     "st4_interval_join" -> st4Sql,
     "st5_stream_static_join" -> st5Sql,
-    "st6_stream_sink" -> st6Sql)
+    "st6_stream_sink" -> st6Sql,
+    "st7_stream_ingest_screen" -> st7Sql)
 }

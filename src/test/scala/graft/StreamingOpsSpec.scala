@@ -11,6 +11,33 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
 
+  test("st7: streaming and batch modes of the ingest screen agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "standing corpus doc one"), (2L, "another corpus doc"))
+    val incoming = Seq(
+      (7L, "standing corpus doc one"),  // exact dup of corpus doc 1
+      (17L, "a brand new document"),    // clean
+      (27L, "another corpus doc"))      // exact dup of corpus doc 2
+    val digests = corpus.toDF("doc_id", "text")
+      .select(sha2($"text", 256).as("h")).distinct()
+
+    val want = StreamingOps.ingestScreen(
+        incoming.toDF("doc_id", "text"), digests)
+      .as[(Long, Boolean)].collect().toMap
+    assert(want === Map(7L -> true, 17L -> false, 27L -> true))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming)
+    val q = StreamingOps.ingestScreen(
+        stream.toDF.toDF("doc_id", "text"), digests)
+      .writeStream.format("memory").queryName("st7_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st7_test")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === want)
+  }
+
   test("st1: streaming and batch modes of hourlyTypeCounts agree") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
