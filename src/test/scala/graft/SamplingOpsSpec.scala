@@ -152,6 +152,27 @@ class SamplingOpsSpec extends SparkSpec {
     }
   }
 
+  test("p4/p5 plan audits: packing shuffles once on shard; materialization never shuffles") {
+    // p4: the ONLY exchange is the per-shard window — one hashpartitioning
+    // on shard; text must not reach it (pruned at the scan)
+    val p4Plan = SamplingOps.p4PackSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p4Plan).length === 1,
+      s"expected exactly one shard exchange in:\n$p4Plan")
+    // the plan prints top-down: everything ABOVE the Exchange token is a
+    // parent consuming its output — none of it may reference text, which
+    // proves the shuffled row is (doc_id, n_tokens, shard) only
+    assert(!p4Plan.split("Exchange")(0).contains("text#"),
+      "text column must not cross the shard exchange")
+    // p5: plan join broadcasts; the doc-side map is exchange-free (the
+    // only exchanges allowed are inside the tiny plan-side aggregate)
+    val p5 = SamplingOps.p5MixMaterialize(spark, sf)
+    p5.write.format("noop").mode("overwrite").save()
+    val p5Plan = p5.queryExecution.executedPlan.toString
+    assert(p5Plan.contains("BroadcastHashJoin") || p5Plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast plan join in:\n$p5Plan")
+  }
+
   test("p2: independent of the t6 split and of p1 (different salt channels)") {
     // distinct salts => the p2 sample is not a subset/superset artifact of
     // the p1 ranks: check the two draws disagree on some docs both ways
