@@ -39,6 +39,17 @@ object Layouts {
       out
     })
 
+  /** Unpartitioned write-once layout — same contract as
+    * [[writeOncePartitioned]] for tables with no routing column (e.g. the
+    * PQ code table, keyed only by vec_id). */
+  def writeOnce(name: String, dir: String)(df: => DataFrame): String =
+    written.getOrElseUpdate(s"$name#$dir", {
+      val out = java.nio.file.Paths.get("target",
+        name + "_" + dirTag(dir)).toAbsolutePath.toString
+      df.write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** 64-bit md5-prefix tag of a source dir for on-disk layout names.
     * Distinct dirs colliding is possible in principle (any finite tag) but
     * at 2^-64 per pair it is ignorable; the point of md5 over

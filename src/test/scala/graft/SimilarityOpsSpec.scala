@@ -177,6 +177,53 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(cellsOf(driver) === cellsOf(dist))
   }
 
+  test("s5: PQ shortlist+rerank recalls >= 0.8 vs brute force on clustered data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topk(SimilarityOps.s1CosineTopk(spark, dir))
+    val approx = topk(SimilarityOps.s5PqRerank(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+    // rerank exactness: every emitted cos_sim must equal the true cosine
+    // (the PQ approximation may only pick WHO gets scored, never the score)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    SimilarityOps.s5PqRerank(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().foreach { case (q, n, s5cos) =>
+        assert(math.abs(s5cos - cos(emb(q), emb(n))) < 1e-6, s"($q,$n) score")
+      }
+  }
+
+  test("s5: codes are in range and the stored norm is the true norm") {
+    val emb = clustered().select($"vec_id", $"embedding")
+    val books = SimilarityOps.pqCodebooks(emb)
+    assert(books.length === SimilarityOps.PqM)
+    books.foreach(b => assert(b.length === SimilarityOps.PqK))
+    val enc = SimilarityOps.pqEncode(emb, books)
+      .select($"vec_id", $"codes", $"vnorm")
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(enc.length === 400)
+    val truth = emb.as[(Long, Seq[Float])].collect().toMap
+    enc.foreach { case (id, codes, vnorm) =>
+      assert(codes.length === SimilarityOps.PqM)
+      assert(codes.forall(c => c >= 0 && c < SimilarityOps.PqK), s"doc $id codes")
+      val want = math.sqrt(truth(id).map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(vnorm - want) < 1e-9, s"doc $id norm")
+    }
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
