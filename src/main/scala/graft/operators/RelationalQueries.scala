@@ -620,6 +620,80 @@ object RelationalQueries {
       |  MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** q23: CDC merge — fold a change batch (updates + deletes) into a base
+    * snapshot and emit the latest surviving row per key; the compaction
+    * every periodically-refreshed corpus snapshot needs (the relational
+    * complement of [[graft.operators.DedupOps.d8IncrementalDedup]]'s
+    * screen-then-append).
+    *
+    * The change batch is manufactured deterministically from `orders` so
+    * the DuckDB oracle can rebuild it bit-for-bit: the md5-hash slice
+    * (graft.sources.Hash60 — the engine-portable uniform hash) sends 20%
+    * of keys an update (status 'U', price doubled — an exact double op)
+    * and a disjoint 10% a delete tombstone.
+    *
+    * Scale shape: latest-per-key is `max_by(struct(payload), version)` —
+    * ONE hash aggregation with map-side partial merge, so per-task state
+    * is one candidate row per distinct key seen and the hot path stays in
+    * whole-stage codegen. The window alternative (`row_number() OVER
+    * (PARTITION BY key ORDER BY version DESC)` = 1, the oracle's
+    * spelling) must instead shuffle AND fully sort every replica of every
+    * key before discarding all but one — at a 100 TB snapshot plus a 1%
+    * change batch that is a full-corpus sort versus an agg that never
+    * materializes more than the winners. Tombstones ride the same
+    * aggregate (op='d' wins its key's max_by, then one filter drops it)
+    * so delete propagation costs no extra pass. */
+  def q23MergeLatest(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val slice = pmod(graft.sources.Hash60.col60(col("o_orderkey").cast("string")),
+      lit(10))
+    val base = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"),
+      lit(1L).as("version"), lit("i").as("op"))
+    val updates = o.where(slice < 2).select(col("o_orderkey"), col("o_custkey"),
+      lit("U").as("o_orderstatus"),
+      (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderpriority"),
+      lit(2L).as("version"), lit("u").as("op"))
+    val deletes = o.where(slice === 2).select(col("o_orderkey"),
+      lit(null).cast("bigint").as("o_custkey"),
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(null).cast("string").as("o_orderpriority"),
+      lit(2L).as("version"), lit("d").as("op"))
+    base.unionByName(updates).unionByName(deletes)
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"), col("op")),
+        col("version")).as("r"))
+      .where(col("r.op") =!= "d")
+      .select(col("o_orderkey"), col("r.o_custkey").as("o_custkey"),
+        col("r.o_orderstatus").as("o_orderstatus"),
+        col("r.o_totalprice").as("o_totalprice"),
+        col("r.o_orderpriority").as("o_orderpriority"))
+  }
+
+  private val q23Sql = {
+    val h = graft.sources.Hash60.sql60("CAST(o_orderkey AS VARCHAR)")
+    s"""WITH v AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderpriority, 1 AS version, 'i' AS op
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2,
+       |         o_orderpriority, 2, 'u'
+       |  FROM orders WHERE $h % 10 < 2
+       |  UNION ALL
+       |  SELECT o_orderkey, NULL, NULL, NULL, NULL, 2, 'd'
+       |  FROM orders WHERE $h % 10 = 2
+       |), latest AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+       |  FROM v)
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       o_orderpriority
+       |FROM latest WHERE rn = 1 AND op <> 'd'""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -639,7 +713,8 @@ object RelationalQueries {
     "q20_recursive_cte" -> q20RecursiveCte _,
     "q20b_level_rollup" -> q20LevelRollup _,
     "q21_lateral_topk" -> q21LateralTopk _,
-    "q22_skew_salted" -> q22SkewSalted _)
+    "q22_skew_salted" -> q22SkewSalted _,
+    "q23_merge_latest" -> q23MergeLatest _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -662,5 +737,6 @@ object RelationalQueries {
     // proof that the level-wise rewrite equals the recursive formulation
     "q20b_level_rollup" -> q20Sql,
     "q21_lateral_topk" -> q21Sql,
-    "q22_skew_salted" -> q22Sql)
+    "q22_skew_salted" -> q22Sql,
+    "q23_merge_latest" -> q23Sql)
 }

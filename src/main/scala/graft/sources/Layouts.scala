@@ -147,11 +147,138 @@ object Layouts {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- src3
+
+  /** Bits per dimension of the z-order grid: 3+3 bits -> an 8x8 grid ->
+    * 64 z-buckets. The bucket COUNT is the layout's free parameter — at
+    * 100 TB you size it to a healthy files-per-bucket budget and it stays
+    * fixed as more dimensions join the key (take the top bits of the
+    * longer z-value), where nested `partitionBy(dimA)(dimB)(...)` would
+    * multiply directory counts per dimension. */
+  private[sources] val ZBits = 3
+  private[sources] val ZCells = 1 << ZBits // per dimension
+
+  /** Grid geometry of the (user, time) z-order layout for one source dir:
+    * the layout path plus the exact integer mapping from raw values to
+    * grid cells. Memoized per dir so prune-time bucket enumeration uses
+    * the SAME arithmetic that wrote the layout. */
+  final case class ZGrid(path: String, uMin: Long, uSpan: Long, uWidth: Long,
+                         tMin: Long, tSpan: Long, tWidth: Long) {
+    def ubOf(u: Long): Long = (u - uMin) / uWidth
+    def tbOf(t: Long): Long = (t - tMin) / tWidth
+  }
+
+  private val zgrids = scala.collection.concurrent.TrieMap.empty[String, ZGrid]
+
+  /** Bit-interleave two `ZBits`-wide cell coordinates into one z-value
+    * (driver-side twin of the codegen'd column form in
+    * [[zorderedEvents]]; Morton order: u supplies even bits, t odd). */
+  private[graft] def zInterleave(ub: Long, tb: Long): Long =
+    (ub & 1L) | ((tb & 1L) << 1) | ((ub & 2L) << 1) |
+      ((tb & 2L) << 2) | ((ub & 4L) << 2) | ((tb & 4L) << 3)
+
+  /** Write-once z-ordered copy of `events`, clustered on the interleaved
+    * (user grid-cell, time grid-cell) z-value and partitioned by it.
+    *
+    * WHY z-order instead of partitioning on either column: a layout
+    * partitioned on time alone cannot prune a user-range predicate and
+    * vice versa; z-interleaving the two coordinates makes ONE clustering
+    * column under which any 2-D box maps to a small set of buckets, so
+    * both predicates prune the scan. Grid bounds come from one min/max
+    * aggregate over the corpus (a 1-row collect, like the IVF trainer's
+    * bounded sample); cell widths are ceil(span/cells) so every raw value
+    * lands in [0, ZCells). Rows inside each bucket are additionally
+    * sorted by (user_id, ts), so parquet row-group min/max statistics
+    * prune WITHIN the touched buckets too. */
+  def zorderedEvents(s: SparkSession, dir: String): ZGrid =
+    zgrids.getOrElseUpdate(dir, {
+      val b = Tables.events(s, dir)
+        .agg(min(col("user_id")), max(col("user_id")),
+          min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head() // 1 row: the grid's four corner scalars
+      val (uMin, uMax, tMin, tMax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (uSpan, tSpan) = (uMax - uMin + 1, tMax - tMin + 1)
+      val uW = math.max(1L, (uSpan + ZCells - 1) / ZCells)
+      val tW = math.max(1L, (tSpan + ZCells - 1) / ZCells)
+      val path = writeOncePartitioned("graft_events_zorder", dir, "zb") {
+        val ub = expr(s"(user_id - ${uMin}L) div ${uW}L")
+        val tb = expr(s"(unix_micros(ts) - ${tMin}L) div ${tW}L")
+        // codegen'd twin of zInterleave: u bits at even, t bits at odd
+        val zb = ub.bitwiseAND(lit(1L))
+          .bitwiseOR(shiftleft(tb.bitwiseAND(lit(1L)), 1))
+          .bitwiseOR(shiftleft(ub.bitwiseAND(lit(2L)), 1))
+          .bitwiseOR(shiftleft(tb.bitwiseAND(lit(2L)), 2))
+          .bitwiseOR(shiftleft(ub.bitwiseAND(lit(4L)), 2))
+          .bitwiseOR(shiftleft(tb.bitwiseAND(lit(4L)), 3))
+        Tables.events(s, dir).withColumn("zb", zb.cast("int"))
+          .repartition(col("zb"))
+          .sortWithinPartitions(col("user_id"), col("ts"))
+      }
+      ZGrid(path, uMin, uSpan, uW, tMin, tSpan, tW)
+    })
+
+  /** src3: a 2-D box query (user range x time range) answered off the
+    * z-ordered layout. The box's corner cells bound a rectangle of grid
+    * cells; enumerating their z-values (a driver-side loop over at most
+    * ZCells^2 = 64 ints — grid-bounded, not data-bounded) yields a
+    * `zb IN (...)` predicate the scan applies as a PartitionFilter, so
+    * only the buckets the box can touch are listed and read (LayoutsSpec
+    * asserts the touched-file set). The exact box predicate then runs as
+    * a residual filter inside those buckets. At 100 TB this is the
+    * multi-dimensional analogue of src1: neither a user-partitioned nor a
+    * time-partitioned layout can serve BOTH predicates; the z-layout
+    * serves any box on either or both.
+    *
+    * The box is the middle [1/4, 1/2) of each dimension, derived from the
+    * same corpus min/max the oracle recomputes with scalar subqueries —
+    * identical integer arithmetic on both sides. */
+  def src3ZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val g = zorderedEvents(s, dir)
+    val (u1, u2) = (g.uMin + g.uSpan / 4, g.uMin + g.uSpan / 2) // [u1, u2)
+    val (t1, t2) = (g.tMin + g.tSpan / 4, g.tMin + g.tSpan / 2) // [t1, t2)
+    val cands = for {
+      ub <- g.ubOf(u1) to g.ubOf(u2 - 1)
+      tb <- g.tbOf(t1) to g.tbOf(t2 - 1)
+    } yield zInterleave(ub, tb).toInt
+    s.read.parquet(g.path)
+      .where(col("zb").isInCollection(cands) &&
+        col("user_id") >= u1 && col("user_id") < u2 &&
+        unix_micros(col("ts")) >= t1 && unix_micros(col("ts")) < t2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        // integer cents, not SUM(double): order-insensitive, hash-stable
+        sum(floor(col("value") * lit(100))).as("value_cents"))
+  }
+
+  private val src3Sql =
+    """WITH b AS (
+      |  SELECT min(user_id) AS umin, max(user_id) - min(user_id) + 1 AS uspan,
+      |         min(epoch_us(ts)) AS tmin,
+      |         max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS tspan
+      |  FROM events)
+      |SELECT event_type,
+      |  COUNT(*) AS events,
+      |  COUNT(DISTINCT user_id) AS users,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events, b
+      |WHERE user_id >= umin + uspan // 4 AND user_id < umin + uspan // 2
+      |  AND epoch_us(ts) >= tmin + tspan // 4
+      |  AND epoch_us(ts) < tmin + tspan // 2
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_partition_prune" -> src1PartitionPrune _,
-    "src2_bucketed_join" -> src2BucketedJoin _)
+    "src2_bucketed_join" -> src2BucketedJoin _,
+    "src3_zorder_prune" -> src3ZorderPrune _)
 
   val oracleSql: Map[String, String] = Map(
     "src1_partition_prune" -> src1Sql,
-    "src2_bucketed_join" -> src2Sql)
+    "src2_bucketed_join" -> src2Sql,
+    "src3_zorder_prune" -> src3Sql)
 }

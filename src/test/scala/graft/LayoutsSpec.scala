@@ -39,6 +39,51 @@ class LayoutsSpec extends SparkSpec {
     assert(got.size === 2)
   }
 
+  test("src3: z-order layout prunes a 2-D box to its candidate buckets") {
+    val q = Layouts.src3ZorderPrune(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected partition filters in:\n$plan")
+
+    val g = Layouts.zorderedEvents(spark, sf)
+    val (u1, u2) = (g.uMin + g.uSpan / 4, g.uMin + g.uSpan / 2)
+    val (t1, t2) = (g.tMin + g.tSpan / 4, g.tMin + g.tSpan / 2)
+    val cands = (for {
+      ub <- g.ubOf(u1) to g.ubOf(u2 - 1)
+      tb <- g.tbOf(t1) to g.tbOf(t2 - 1)
+    } yield Layouts.zInterleave(ub, tb).toInt).toSet
+
+    // a quarter-by-quarter box must map to a small fraction of the grid
+    val onDisk = new java.io.File(g.path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("zb=")).toSet
+    assert(cands.size < onDisk.size,
+      s"box covers ${cands.size} of ${onDisk.size} buckets — no pruning")
+
+    // execution touches files only from candidate bucket directories
+    val touched = spark.read.parquet(g.path)
+      .where($"zb".isInCollection(cands) &&
+        $"user_id" >= u1 && $"user_id" < u2 &&
+        unix_micros($"ts") >= t1 && unix_micros($"ts") < t2)
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(touched.nonEmpty)
+    assert(touched.forall(f => cands.exists(c => f.contains(s"zb=$c/"))),
+      s"files read outside candidate buckets: ${touched.filterNot(f =>
+        cands.exists(c => f.contains(s"zb=$c/"))).toSeq}")
+
+    // pruned result equals the same box computed on the flat table
+    val want = Tables.events(spark, sf)
+      .where($"user_id" >= u1 && $"user_id" < u2 &&
+        unix_micros($"ts") >= t1 && unix_micros($"ts") < t2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("events"), countDistinct($"user_id").as("users"),
+        min($"value").as("min_value"), max($"value").as("max_value"),
+        sum(floor($"value" * lit(100))).as("value_cents"))
+      .as[(String, Long, Long, Double, Double, Long)].collect().toSet
+    val got = q.as[(String, Long, Long, Double, Double, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("src2: co-bucketed join runs with no exchange on either side") {
     val q = Layouts.src2BucketedJoin(spark, sf)
     val plan = q.queryExecution.executedPlan.toString

@@ -171,6 +171,51 @@ class RelationalOpsSpec extends SparkSpec {
     assert(shuffled === rows.toSet)
   }
 
+  test("q23: max_by merge equals the window formulation, applies updates, drops tombstones") {
+    val merged = RelationalQueries.q23MergeLatest(spark, sf)
+
+    // the agg path must not pay a window sort: no Window operator, and the
+    // whole merge is ONE hash-partitioned exchange (the groupBy)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"merge must not use a window sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"merge should shuffle exactly once:\n$plan")
+
+    val got = merged
+      .as[(Long, Long, String, Double, String)].collect().toSet
+
+    // oracle-shaped alternative: window row_number over the same union
+    val o = Tables.orders(spark, sf)
+    val slice = pmod(graft.sources.Hash60.col60($"o_orderkey".cast("string")), lit(10))
+    val v = o.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderpriority", lit(1L).as("version"), lit("i").as("op"))
+      .unionByName(o.where(slice < 2).select($"o_orderkey", $"o_custkey",
+        lit("U").as("o_orderstatus"), ($"o_totalprice" * 2).as("o_totalprice"),
+        $"o_orderpriority", lit(2L).as("version"), lit("u").as("op")))
+      .unionByName(o.where(slice === 2).select($"o_orderkey",
+        lit(null).cast("bigint").as("o_custkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("string").as("o_orderpriority"),
+        lit(2L).as("version"), lit("d").as("op")))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderkey").orderBy($"version".desc)
+    val want = v.withColumn("rn", row_number().over(byKey))
+      .where($"rn" === 1 && $"op" =!= "d")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority")
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    assert(got === want)
+
+    // the change batch genuinely landed: deletes gone, updates applied
+    val total = o.count()
+    val deleted = o.where(slice === 2).count()
+    val updated = o.where(slice < 2).count()
+    assert(deleted > 0 && updated > 0, s"degenerate slices: $deleted/$updated")
+    assert(got.size === (total - deleted))
+    assert(got.count(_._3 == "U") === updated)
+  }
+
   test("q22: salted aggregation equals the direct GROUP BY, and the hot key actually spreads") {
     val salted = RelationalQueries.q22SkewSalted(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toSet
