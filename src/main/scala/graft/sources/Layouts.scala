@@ -155,8 +155,8 @@ object Layouts {
     * fixed as more dimensions join the key (take the top bits of the
     * longer z-value), where nested `partitionBy(dimA)(dimB)(...)` would
     * multiply directory counts per dimension. */
-  private[sources] val ZBits = 3
-  private[sources] val ZCells = 1 << ZBits // per dimension
+  private[graft] val ZBits = 3
+  private[graft] val ZCells = 1 << ZBits // per dimension
 
   /** Grid geometry of the (user, time) z-order layout for one source dir:
     * the layout path plus the exact integer mapping from raw values to
@@ -176,6 +176,18 @@ object Layouts {
   private[graft] def zInterleave(ub: Long, tb: Long): Long =
     (ub & 1L) | ((tb & 1L) << 1) | ((ub & 2L) << 1) |
       ((tb & 2L) << 2) | ((ub & 4L) << 2) | ((tb & 4L) << 3)
+
+  /** Codegen'd column twin of [[zInterleave]] (LayoutsSpec proves the two
+    * agree on the full grid, so prune-time enumeration and write-time
+    * assignment can never drift). */
+  private[graft] def zInterleaveCol(ub: org.apache.spark.sql.Column,
+                                    tb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ub.bitwiseAND(lit(1L))
+      .bitwiseOR(shiftleft(tb.bitwiseAND(lit(1L)), 1))
+      .bitwiseOR(shiftleft(ub.bitwiseAND(lit(2L)), 1))
+      .bitwiseOR(shiftleft(tb.bitwiseAND(lit(2L)), 2))
+      .bitwiseOR(shiftleft(ub.bitwiseAND(lit(4L)), 2))
+      .bitwiseOR(shiftleft(tb.bitwiseAND(lit(4L)), 3))
 
   /** Write-once z-ordered copy of `events`, clustered on the interleaved
     * (user grid-cell, time grid-cell) z-value and partitioned by it.
@@ -204,14 +216,8 @@ object Layouts {
       val path = writeOncePartitioned("graft_events_zorder", dir, "zb") {
         val ub = expr(s"(user_id - ${uMin}L) div ${uW}L")
         val tb = expr(s"(unix_micros(ts) - ${tMin}L) div ${tW}L")
-        // codegen'd twin of zInterleave: u bits at even, t bits at odd
-        val zb = ub.bitwiseAND(lit(1L))
-          .bitwiseOR(shiftleft(tb.bitwiseAND(lit(1L)), 1))
-          .bitwiseOR(shiftleft(ub.bitwiseAND(lit(2L)), 1))
-          .bitwiseOR(shiftleft(tb.bitwiseAND(lit(2L)), 2))
-          .bitwiseOR(shiftleft(ub.bitwiseAND(lit(4L)), 2))
-          .bitwiseOR(shiftleft(tb.bitwiseAND(lit(4L)), 3))
-        Tables.events(s, dir).withColumn("zb", zb.cast("int"))
+        Tables.events(s, dir)
+          .withColumn("zb", zInterleaveCol(ub, tb).cast("int"))
           .repartition(col("zb"))
           .sortWithinPartitions(col("user_id"), col("ts"))
       }

@@ -39,6 +39,21 @@ class LayoutsSpec extends SparkSpec {
     assert(got.size === 2)
   }
 
+  test("src3: column z-interleave agrees with the scalar twin on the full grid") {
+    val grid = for {
+      ub <- 0 until Layouts.ZCells; tb <- 0 until Layouts.ZCells
+    } yield (ub.toLong, tb.toLong)
+    val got = grid.toDF("ub", "tb")
+      .select($"ub", $"tb", Layouts.zInterleaveCol($"ub", $"tb").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (ub, tb, z) =>
+      assert(z === Layouts.zInterleave(ub, tb), s"mismatch at ($ub, $tb)")
+    }
+    // and the mapping is a bijection onto [0, cells^2)
+    assert(got.map(_._3).toSet === (0L until
+      (Layouts.ZCells.toLong * Layouts.ZCells)).toSet)
+  }
+
   test("src3: z-order layout prunes a 2-D box to its candidate buckets") {
     val q = Layouts.src3ZorderPrune(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
