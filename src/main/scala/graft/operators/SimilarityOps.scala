@@ -784,17 +784,107 @@ object SimilarityOps {
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
        |FROM ($s1Sql)""".stripMargin
 
+  // ----------------------------------- centroid outlier screen (s6)
+
+  /** Micro-unit quantization scale shared by [[s6CentroidOutlier]] and
+    * its oracle: embedding elements are floored to integer micro-units
+    * BEFORE any aggregation, so every sum in the screen is exact BIGINT
+    * arithmetic — order-insensitive and engine-portable (the float-sum
+    * ulp drift that forces `Det` onto money columns simply cannot occur).
+    * |element| ≤ 0.58 on this corpus → |qv| ≤ 5.8e5, and Σqv² over dim 64
+    * stays ~1e13, far inside BIGINT. */
+  private[graft] val CentroidMicro = 1000000L
+
+  /** Outlier threshold on the ROUNDED cosine-to-centroid. Measured on the
+    * real corpus: cos-to-centroid spans ≈ [-0.40, 0.41] with the 5th
+    * percentile near -0.16 at both sf0.01 and sf0.1, so τ = -0.15 flags
+    * ~5% — vectors pointing away from the corpus's mean direction. A
+    * production deployment calibrates τ on a held-out sample; the
+    * CONTRACT here is the screen's shape, not the constant. */
+  private[graft] val OutlierTau = -0.15
+
+  /** Corpus centroid in integer micro-units: per-dimension exact BIGINT
+    * sum of floored elements, divided (truncating, = DuckDB `//`) by the
+    * corpus count. One posexplode + (pos)-grouped aggregation — the
+    * shuffle carries dim × tasks partial rows — then a dim-bounded
+    * driver collect (64 rows, the [[kmeans]] bound argument). */
+  private[graft] def quantizedCentroid(emb: DataFrame): Array[Long] = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("v").cast("double") * lit(CentroidMicro.toDouble))).as("q"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pos"))
+      .collect()
+    rows.map(r => r.getLong(1) / r.getLong(2))
+  }
+
+  /** s6: embedding sanity screen — cosine of every vector against the
+    * corpus centroid, flagging vectors anti-aligned with the corpus's
+    * mean direction beyond [[OutlierTau]] (corrupt encodes, wrong-source
+    * rows, truncated payloads: the cheap first filter an embedding
+    * pipeline runs before any ANN index build). Two passes, both
+    * corpus-linear: the centroid aggregation above, then one narrow
+    * codegen'd map (zip_with/aggregate folds over the quantized elements
+    * against the centroid literal — no UDF, no shuffle, no join).
+    *
+    * The whole computation is exact integer arithmetic until one final
+    * float division per row, so the DuckDB oracle reproduces it
+    * BIT-EXACTLY — unlike s2–s5, whose quantizer state forces the
+    * anchor+boolean pattern, this screen's full output is hash-compared.
+    * At 100 TB nothing here is data-bounded on the driver: the collect is
+    * dim rows. The in-distribution refinement (per-IVF-cell distance, for
+    * outliers that point in a POPULAR direction but sit far from their
+    * cell) composes from [[centroidsFor]] + [[assignCells]] and the same
+    * quantized-fold kernel. */
+  def s6CentroidOutlier(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cq = quantizedCentroid(emb)
+    val sqrtNb = math.sqrt(cq.map(x => x * x).sum.toDouble)
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(CentroidMicro.toDouble)))
+    val dot = aggregate(zip_with(qv, array(cq.map(lit): _*), (p, q) => p * q),
+      lit(0L), (acc, x) => acc + x)
+    val na2 = aggregate(qv, lit(0L), (acc, x) => acc + x * x)
+    val cos = round(dot.cast("double") / (sqrt(na2.cast("double")) * lit(sqrtNb)), 6)
+    emb.select(col("vec_id"), cos.as("cos_center"))
+      .withColumn("is_outlier", col("cos_center") < lit(OutlierTau))
+  }
+
+  private val s6Sql =
+    s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
+       |u0 AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |         unnest(range(1, len(embedding)+1)) AS pos
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, CAST(FLOOR(v * $CentroidMicro) AS BIGINT) AS qv, pos
+       |      FROM u0),
+       |m AS (SELECT pos, SUM(qv) // (SELECT c FROM cnt) AS cq FROM u GROUP BY pos),
+       |nb AS (SELECT SUM(cq * cq) AS nb2 FROM m),
+       |d AS (SELECT u.vec_id, SUM(u.qv * m.cq) AS dot, SUM(u.qv * u.qv) AS na2
+       |      FROM u JOIN m USING (pos) GROUP BY u.vec_id),
+       |scored AS (
+       |  SELECT vec_id,
+       |    round(CAST(dot AS DOUBLE) /
+       |          (sqrt(CAST(na2 AS DOUBLE)) *
+       |           sqrt(CAST((SELECT nb2 FROM nb) AS DOUBLE))), 6) AS cos_center
+       |  FROM d)
+       |SELECT vec_id, cos_center, cos_center < $OutlierTau AS is_outlier
+       |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopk _,
     "s2_ann_ivf" -> s2AnnIvfChecked _,
     "s3_ann_cell_pruned" -> ((s, d) => s3AnnCellPruned(s, d)),
     "s4_knn_join" -> s4KnnJoinChecked _,
-    "s5_pq_rerank" -> s5PqRerankChecked _)
+    "s5_pq_rerank" -> s5PqRerankChecked _,
+    "s6_centroid_outlier" -> s6CentroidOutlier _)
 
   val oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_ivf" -> s2Sql,
     "s3_ann_cell_pruned" -> s3Sql,
     "s4_knn_join" -> s4Sql,
-    "s5_pq_rerank" -> s5Sql)
+    "s5_pq_rerank" -> s5Sql,
+    "s6_centroid_outlier" -> s6Sql)
 }

@@ -234,4 +234,50 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(flags.nonEmpty)
     assert(flags.forall(_ == false))
   }
+
+  test("s6: quantized centroid matches a brute-force recount") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val got = SimilarityOps.quantizedCentroid(emb)
+    val vecs = emb.select($"embedding").as[Seq[Float]].collect()
+    val micro = SimilarityOps.CentroidMicro
+    val dim = vecs(0).length
+    val want = Array.tabulate(dim) { i =>
+      vecs.map(v => math.floor(v(i).toDouble * micro).toLong).sum / vecs.length
+    }
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === dim)
+  }
+
+  test("s6: flags a planted anti-centroid vector and passes aligned ones") {
+    // corpus = one dominant direction + noise, so the centroid IS that
+    // direction; one planted vector points the opposite way
+    val rng = new scala.util.Random(11L)
+    val d0 = Array.fill(64)(rng.nextGaussian())
+    val rows = (0 until 200).map { id =>
+      (id.toLong, d0.map(x => (x + 0.1 * rng.nextGaussian()).toFloat).toSeq, 0)
+    } :+ ((999L, d0.map(x => (-x).toFloat).toSeq, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s6").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = SimilarityOps.s6CentroidOutlier(spark, dir)
+      .as[(Long, Double, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 201)
+    assert(byId(999L)._3, s"anti-centroid vector not flagged: ${byId(999L)}")
+    assert(byId(999L)._2 < -0.9)
+    val aligned = out.filter(_._1 != 999L)
+    assert(aligned.forall(!_._3),
+      s"aligned vectors flagged: ${aligned.filter(_._3).take(5).toSeq}")
+  }
+
+  test("s6: real-corpus outlier rate is nonzero and small") {
+    val out = SimilarityOps.s6CentroidOutlier(spark, sf)
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.length > 0)
+    val rate = out.count(_._3).toDouble / out.length
+    assert(rate > 0.0 && rate < 0.2, s"outlier rate $rate")
+    // scores are genuine cosines
+    assert(out.forall(r => r._2 >= -1.0 && r._2 <= 1.0))
+  }
 }
