@@ -694,6 +694,103 @@ object RelationalQueries {
        |FROM latest WHERE rn = 1 AND op <> 'd'""".stripMargin
   }
 
+  /** q24: strict 3-step funnel (view → click → purchase, each step
+    * strictly after the previous user's FIRST qualifying event) computed
+    * in ONE user-partitioned pass. The naive formulation is three
+    * sequential join+aggregate rounds (first view, then first click
+    * after it, then first purchase after that) — three shuffles of the
+    * event log. Here running conditional minima over the per-user
+    * time-ordered window carry each stage's frontier to every row, so
+    * the whole funnel needs ONE exchange on user_id: `fv_run` = earliest
+    * view so far; a click strictly after it is a qualifying click whose
+    * running min is `fc_run`; a purchase strictly after THAT qualifies.
+    * Both window steps share the same partitioning+sort (one Sort, two
+    * Window operators, no second exchange — spec-asserted), and the
+    * default RANGE frame makes running minima deterministic even under
+    * timestamp ties (membership is by ts VALUE; the strict < gates
+    * already exclude same-instant steps). The oracle uses the naive
+    * 3-CTE SQL, so the driver's hash compare proves the single-pass
+    * rewrite equal. RelationalOpsSpec additionally pins equality against
+    * the 3-aggregation DataFrame formulation. */
+  def q24Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val staged = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("fv_run", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("cav",
+        when($"event_type" === "click" && $"fv_run" < $"ts", $"ts"))
+      .withColumn("fc_run", min($"cav").over(w))
+      .withColumn("pac",
+        when($"event_type" === "purchase" && $"fc_run" < $"ts", $"ts"))
+    val perUser = staged.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts")).as("fv"),
+        min($"cav").as("fc"), min($"pac").as("fp"))
+    perUser.agg(
+      count($"fv").as("users_view"),
+      count($"fc").as("users_click"),
+      count($"fp").as("users_purchase"),
+      round(count($"fp").cast("double") / count($"fv").cast("double"), 6)
+        .as("view_to_purchase"))
+  }
+
+  private val q24Sql =
+    """WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |fc AS (SELECT e.user_id, min(e.ts) AS fc
+      |       FROM events e JOIN fv USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > fv.fv GROUP BY 1),
+      |fp AS (SELECT e.user_id, min(e.ts) AS fp
+      |       FROM events e JOIN fc USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > fc.fc GROUP BY 1)
+      |SELECT (SELECT count(*) FROM fv) AS users_view,
+      |       (SELECT count(*) FROM fc) AS users_click,
+      |       (SELECT count(*) FROM fp) AS users_purchase,
+      |       round(CAST((SELECT count(*) FROM fp) AS DOUBLE) /
+      |             CAST((SELECT count(*) FROM fv) AS DOUBLE), 6)
+      |         AS view_to_purchase""".stripMargin
+
+  /** Microseconds per week and the 2024-01-01T00:00Z epoch base shared by
+    * [[q25RetentionCohort]] and its oracle — week indices are pure
+    * integer arithmetic on micros (no engine week-truncation semantics
+    * to align). */
+  private[graft] val WeekUs = 7L * 24 * 3600 * 1000000L
+  private[graft] val CohortEpochUs = 1704067200000000L
+
+  /** q25: retention cohort grid — users bucketed by first-seen week,
+    * counted distinct in every subsequent activity week offset; the
+    * activation/retention triangle behind every "week-N retention"
+    * metric. Scale shape: the first-seen aggregation and the events⋈
+    * first-seen join share ONE key (user_id), so the log shuffles once
+    * and the join is co-partitioned (at fixture scale AQE broadcasts the
+    * per-user relation instead — both are the right call at their size);
+    * the final distinct-count aggregation works on (cohort, offset,
+    * user) triples, orders of magnitude smaller than the log. Week
+    * indices are integer micros arithmetic against a fixed epoch base,
+    * identical in both engines (no date_trunc('week') semantics
+    * dependence). */
+  def q25RetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val first = ev.groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("f0"))
+    ev.join(first, Seq("user_id"))
+      .select($"user_id",
+        expr(s"(f0 - ${CohortEpochUs}L) div ${WeekUs}L").as("cohort_week"),
+        expr(s"(unix_micros(ts) - f0) div ${WeekUs}L").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("active_users"))
+  }
+
+  private val q25Sql =
+    s"""WITH f AS (SELECT user_id, min(epoch_us(ts)) AS f0
+       |           FROM events GROUP BY 1)
+       |SELECT (f.f0 - $CohortEpochUs) // $WeekUs AS cohort_week,
+       |       (epoch_us(e.ts) - f.f0) // $WeekUs AS week_offset,
+       |       count(DISTINCT e.user_id) AS active_users
+       |FROM events e JOIN f USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_join_broadcast" -> q5JoinBroadcast _,
     "q6_join_sortmerge" -> q6JoinSortMerge _,
@@ -714,7 +811,9 @@ object RelationalQueries {
     "q20b_level_rollup" -> q20LevelRollup _,
     "q21_lateral_topk" -> q21LateralTopk _,
     "q22_skew_salted" -> q22SkewSalted _,
-    "q23_merge_latest" -> q23MergeLatest _)
+    "q23_merge_latest" -> q23MergeLatest _,
+    "q24_funnel" -> q24Funnel _,
+    "q25_retention_cohort" -> q25RetentionCohort _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -738,5 +837,7 @@ object RelationalQueries {
     "q20b_level_rollup" -> q20Sql,
     "q21_lateral_topk" -> q21Sql,
     "q22_skew_salted" -> q22Sql,
-    "q23_merge_latest" -> q23Sql)
+    "q23_merge_latest" -> q23Sql,
+    "q24_funnel" -> q24Sql,
+    "q25_retention_cohort" -> q25Sql)
 }

