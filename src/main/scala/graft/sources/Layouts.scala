@@ -278,13 +278,91 @@ object Layouts {
       |  AND epoch_us(ts) < tmin + tspan // 2
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- src4
+
+  /** Compaction target file size. 32 MB here (the fixture is small); a
+    * production deployment targets 128–1024 MB — big enough that scan
+    * tasks amortize file-open and footer-read overhead, small enough for
+    * task-level parallelism and retry granularity. */
+  private[graft] val CompactTargetBytes = 32L * 1024 * 1024
+
+  /** How many tiny files the fragmented fixture simulates — the shape a
+    * streaming sink or per-batch incremental append leaves behind (one
+    * file per trigger per partition). */
+  private[graft] val FragmentFiles = 200
+
+  /** Total on-disk bytes of a layout's parquet files. Driver-side file
+    * listing — at fixture scale a bounded walk; at 100 TB this number
+    * comes from the table manifest/catalog, not a filesystem walk (the
+    * walk IS the small-files tax this operator exists to remove). */
+  private[graft] def layoutBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    finally s.close()
+  }
+
+  /** The fragmented ingest layout: events deliberately written as
+    * [[FragmentFiles]] tiny files. */
+  private[graft] def fragmentedEvents(s: SparkSession, dir: String): String =
+    writeOnce("graft_events_fragmented", dir) {
+      Tables.events(s, dir).repartition(FragmentFiles)
+    }
+
+  /** Write-once compacted copy: the file count is sized from the REAL
+    * byte total (ceil(bytes / target)), and the rewrite is `coalesce`,
+    * not `repartition` — a narrow, zero-shuffle plan (each output task
+    * drains a set of input files; LayoutsSpec asserts no Exchange).
+    * Compaction that must also re-cluster (z-order, bucketing) pays the
+    * shuffle instead — that path is src2/src3; THIS operator is the
+    * steady-state small-files janitor, and at 100 TB zero-shuffle is the
+    * difference between rewriting bytes once and moving them across the
+    * cluster twice. */
+  private[graft] def compactedEvents(s: SparkSession, dir: String): String = {
+    val frag = fragmentedEvents(s, dir)
+    val parts = math.max(1,
+      math.ceil(layoutBytes(frag).toDouble / CompactTargetBytes).toInt)
+    writeOnce("graft_events_compacted", dir) {
+      s.read.parquet(frag).coalesce(parts)
+    }
+  }
+
+  /** src4: small-file compaction, end-to-end. The registered output is a
+    * content fingerprint of the COMPACTED table (per-type counts, exact
+    * integer value cents, distinct users, micros time bounds) checked
+    * against the raw events oracle — proving the rewrite preserved every
+    * row while the spec asserts the operational half (file count drops
+    * from [[FragmentFiles]] to the size-derived target; no shuffle in
+    * the rewrite plan). */
+  def src4Compaction(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(compactedEvents(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("users"),
+        sum(floor(col("value") * lit(100))).as("value_cents"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
+  private val src4Sql =
+    """SELECT event_type,
+      |  COUNT(*) AS events,
+      |  COUNT(DISTINCT user_id) AS users,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  min(epoch_us(ts)) AS first_us,
+      |  max(epoch_us(ts)) AS last_us
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_partition_prune" -> src1PartitionPrune _,
     "src2_bucketed_join" -> src2BucketedJoin _,
-    "src3_zorder_prune" -> src3ZorderPrune _)
+    "src3_zorder_prune" -> src3ZorderPrune _,
+    "src4_compaction" -> src4Compaction _)
 
   val oracleSql: Map[String, String] = Map(
     "src1_partition_prune" -> src1Sql,
     "src2_bucketed_join" -> src2Sql,
-    "src3_zorder_prune" -> src3Sql)
+    "src3_zorder_prune" -> src3Sql,
+    "src4_compaction" -> src4Sql)
 }

@@ -99,6 +99,49 @@ class LayoutsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("src4: compaction collapses the file count with a zero-shuffle plan") {
+    def parquetFiles(path: String) = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).size
+      } finally s.close()
+    }
+    val frag = Layouts.fragmentedEvents(spark, sf)
+    val comp = Layouts.compactedEvents(spark, sf)
+    val nFrag = parquetFiles(frag)
+    val nComp = parquetFiles(comp)
+    assert(nFrag === Layouts.FragmentFiles, s"fragmented files: $nFrag")
+    val expected = math.max(1, math.ceil(
+      Layouts.layoutBytes(frag).toDouble / Layouts.CompactTargetBytes).toInt)
+    assert(nComp === expected, s"compacted files: $nComp, expected $expected")
+    assert(nComp < nFrag / 10, s"no real compaction: $nFrag -> $nComp")
+
+    // the rewrite plan is narrow: coalesce, never an exchange
+    val rewritePlan = spark.read.parquet(frag)
+      .coalesce(expected).queryExecution.executedPlan.toString
+    assert(!rewritePlan.contains("Exchange"),
+      s"compaction must not shuffle:\n$rewritePlan")
+
+    // content preserved row-for-row (sorted multiset compare on ids)
+    val a = spark.read.parquet(frag).select($"event_id").as[Long].collect().sorted
+    val b = spark.read.parquet(comp).select($"event_id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+
+    // and the registered fingerprint matches the raw table
+    val got = Layouts.src4Compaction(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val want = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("events"), countDistinct($"user_id").as("users"),
+        sum(floor($"value" * lit(100))).as("value_cents"),
+        min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("src2: co-bucketed join runs with no exchange on either side") {
     val q = Layouts.src2BucketedJoin(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
