@@ -837,9 +837,15 @@ object SimilarityOps {
     * outliers that point in a POPULAR direction but sit far from their
     * cell) composes from [[centroidsFor]] + [[assignCells]] and the same
     * quantized-fold kernel. */
+  /** Per-dir centroid memo — deterministic per corpus (exact integer
+    * aggregation), so this is pure caching of a one-time statistic, the
+    * same role [[centroidsFor]] plays for the quantizer. */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+
   def s6CentroidOutlier(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cq = quantizedCentroid(emb)
+    val cq = centroidMemo.getOrElseUpdate(dir, quantizedCentroid(emb))
     val sqrtNb = math.sqrt(cq.map(x => x * x).sum.toDouble)
     val qv = transform(col("embedding"),
       x => floor(x.cast("double") * lit(CentroidMicro.toDouble)))
