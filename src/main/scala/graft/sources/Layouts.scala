@@ -216,10 +216,14 @@ object Layouts {
       val path = writeOncePartitioned("graft_events_zorder", dir, "zb") {
         val ub = expr(s"(user_id - ${uMin}L) div ${uW}L")
         val tb = expr(s"(unix_micros(ts) - ${tMin}L) div ${tW}L")
+        // the sort MUST lead with zb: FileFormatWriter requires its
+        // partition column first in the task ordering and would otherwise
+        // inject its own zb-only (unstable) sort, destroying the
+        // (user_id, ts) run order the row-group-skipping claim rests on
         Tables.events(s, dir)
           .withColumn("zb", zInterleaveCol(ub, tb).cast("int"))
           .repartition(col("zb"))
-          .sortWithinPartitions(col("user_id"), col("ts"))
+          .sortWithinPartitions(col("zb"), col("user_id"), col("ts"))
       }
       ZGrid(path, uMin, uSpan, uW, tMin, tSpan, tW)
     })
@@ -247,10 +251,14 @@ object Layouts {
       ub <- g.ubOf(u1) to g.ubOf(u2 - 1)
       tb <- g.tbOf(t1) to g.tbOf(t2 - 1)
     } yield zInterleave(ub, tb).toInt
+    // bare-column comparisons (timestamp literals, not unix_micros(ts))
+    // so BOTH residual predicates reach the parquet reader as
+    // PushedFilters and row-group stats actually skip
     s.read.parquet(g.path)
       .where(col("zb").isInCollection(cands) &&
         col("user_id") >= u1 && col("user_id") < u2 &&
-        unix_micros(col("ts")) >= t1 && unix_micros(col("ts")) < t2)
+        col("ts") >= timestamp_micros(lit(t1)) &&
+        col("ts") < timestamp_micros(lit(t2)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("events"),
         countDistinct(col("user_id")).as("users"),

@@ -59,6 +59,15 @@ class LayoutsSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["),
       s"expected partition filters in:\n$plan")
+    // BOTH residual predicates must reach the parquet reader as bare
+    // columns (the PushedFilters list truncates in toString, so the ts
+    // range is checked via its IsNotNull pushdown + the Filter node's
+    // bare-column comparison — a unix_micros-wrapped ts would produce
+    // neither)
+    assert(plan.contains("GreaterThanOrEqual(user_id") &&
+      plan.contains("IsNotNull(ts)") &&
+      "ts#\\d+ >= ".r.findFirstIn(plan).isDefined,
+      s"box predicates not pushed to the scan:\n$plan")
 
     val g = Layouts.zorderedEvents(spark, sf)
     val (u1, u2) = (g.uMin + g.uSpan / 4, g.uMin + g.uSpan / 2)
@@ -84,6 +93,17 @@ class LayoutsSpec extends SparkSpec {
     assert(touched.forall(f => cands.exists(c => f.contains(s"zb=$c/"))),
       s"files read outside candidate buckets: ${touched.filterNot(f =>
         cands.exists(c => f.contains(s"zb=$c/"))).toSeq}")
+
+    // rows inside each bucket file really are (user_id, ts)-sorted —
+    // the order the row-group-skipping claim rests on (the writer would
+    // destroy it if the write sort didn't lead with zb)
+    val fileOrders = spark.read.parquet(g.path)
+      .select(input_file_name().as("f"), $"user_id", unix_micros($"ts").as("us"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    fileOrders.foreach { case (f, rows) =>
+      val keys = rows.map(r => (r._2, r._3)).toSeq
+      assert(keys === keys.sorted, s"unsorted bucket file $f")
+    }
 
     // pruned result equals the same box computed on the flat table
     val want = Tables.events(spark, sf)
