@@ -660,17 +660,23 @@ object RelationalQueries {
       lit(null).cast("double").as("o_totalprice"),
       lit(null).cast("string").as("o_orderpriority"),
       lit(2L).as("version"), lit("d").as("op"))
-    base.unionByName(updates).unionByName(deletes)
-      .groupBy(col("o_orderkey"))
-      .agg(max_by(struct(col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_orderpriority"), col("op")),
-        col("version")).as("r"))
-      .where(col("r.op") =!= "d")
-      .select(col("o_orderkey"), col("r.o_custkey").as("o_custkey"),
-        col("r.o_orderstatus").as("o_orderstatus"),
-        col("r.o_totalprice").as("o_totalprice"),
-        col("r.o_orderpriority").as("o_orderpriority"))
+    mergeLatest(base.unionByName(updates).unionByName(deletes), "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
   }
+
+  /** The merge kernel of [[q23MergeLatest]], generic over key and payload
+    * columns so the property spec can drive it with random multi-version
+    * logs (the registered query's manufactured batch has exactly two
+    * versions per key; real CDC logs carry arbitrarily many). `log` must
+    * have a numeric `version` (distinct per key — CDC versions are
+    * monotone) and an `op` column where 'd' marks a tombstone. */
+  private[graft] def mergeLatest(log: DataFrame, key: String,
+      payload: Seq[String]): DataFrame =
+    log.groupBy(col(key))
+      .agg(max_by(struct((payload :+ "op").map(col): _*), col("version"))
+        .as("r"))
+      .where(col("r.op") =!= "d")
+      .select(col(key) +: payload.map(p => col(s"r.$p").as(p)): _*)
 
   private val q23Sql = {
     val h = graft.sources.Hash60.sql60("CAST(o_orderkey AS VARCHAR)")

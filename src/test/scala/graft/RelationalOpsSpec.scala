@@ -267,6 +267,31 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.keys.exists(_._2 == 0L))
   }
 
+  test("q23 kernel: random multi-version logs merge to the Scala replay") {
+    // the registered query exercises exactly two versions per key; real
+    // CDC logs carry arbitrarily many — drive the kernel with a seeded
+    // random log (1..5 distinct versions per key, random ops) and replay
+    // the latest-surviving-row rule in plain Scala
+    val rng = new scala.util.Random(42L)
+    val log = (0 until 100).flatMap { k =>
+      val nv = 1 + rng.nextInt(5)
+      rng.shuffle((1 to 9).toList).take(nv).map { v =>
+        val op = Seq("i", "u", "d")(rng.nextInt(3))
+        (k.toLong, s"payload_${k}_$v", v.toLong, op)
+      }
+    }
+    val df = log.toDF("k", "pay", "version", "op")
+    val got = RelationalQueries.mergeLatest(df, "k", Seq("pay"))
+      .as[(Long, String)].collect().toSet
+    val want = log.groupBy(_._1).flatMap { case (k, rows) =>
+      val latest = rows.maxBy(_._3)
+      if (latest._4 == "d") None else Some((k, latest._2))
+    }.toSet
+    assert(got === want)
+    assert(want.nonEmpty && want.size < 100,
+      s"degenerate case: ${want.size} survivors of 100 keys")
+  }
+
   test("q22: salted aggregation equals the direct GROUP BY, and the hot key actually spreads") {
     val salted = RelationalQueries.q22SkewSalted(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toSet
