@@ -643,11 +643,21 @@ object RelationalQueries {
     * materializes more than the winners. Tombstones ride the same
     * aggregate (op='d' wins its key's max_by, then one filter drops it)
     * so delete propagation costs no extra pass. */
-  def q23MergeLatest(s: SparkSession, dir: String): DataFrame = {
+  def q23MergeLatest(s: SparkSession, dir: String): DataFrame =
+    mergeLatest(cdcBatches(s, dir).reduce(_ unionByName _), "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+
+  /** The manufactured CDC stream shared by [[q23MergeLatest]] (which
+    * folds it in one shot) and the streaming upsert sink
+    * [[graft.streaming.StreamingOps.st8UpsertSink]] (which applies it
+    * batch by batch): the initial snapshot (version 1), then the update
+    * slice (version 2), then the delete slice (version 3) — arrival
+    * order, disjoint hash slices. */
+  private[graft] def cdcBatches(s: SparkSession, dir: String): Seq[DataFrame] = {
     val o = Tables.orders(s, dir)
     val slice = pmod(graft.sources.Hash60.col60(col("o_orderkey").cast("string")),
       lit(10))
-    val base = o.select(col("o_orderkey"), col("o_custkey"),
+    val snapshot = o.select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"),
       lit(1L).as("version"), lit("i").as("op"))
     val updates = o.where(slice < 2).select(col("o_orderkey"), col("o_custkey"),
@@ -659,9 +669,8 @@ object RelationalQueries {
       lit(null).cast("string").as("o_orderstatus"),
       lit(null).cast("double").as("o_totalprice"),
       lit(null).cast("string").as("o_orderpriority"),
-      lit(2L).as("version"), lit("d").as("op"))
-    mergeLatest(base.unionByName(updates).unionByName(deletes), "o_orderkey",
-      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      lit(3L).as("version"), lit("d").as("op"))
+    Seq(snapshot, updates, deletes)
   }
 
   /** The merge kernel of [[q23MergeLatest]], generic over key and payload
@@ -678,7 +687,7 @@ object RelationalQueries {
       .where(col("r.op") =!= "d")
       .select(col(key) +: payload.map(p => col(s"r.$p").as(p)): _*)
 
-  private val q23Sql = {
+  private[graft] val q23Sql = {
     val h = graft.sources.Hash60.sql60("CAST(o_orderkey AS VARCHAR)")
     s"""WITH v AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -689,7 +698,7 @@ object RelationalQueries {
        |         o_orderpriority, 2, 'u'
        |  FROM orders WHERE $h % 10 < 2
        |  UNION ALL
-       |  SELECT o_orderkey, NULL, NULL, NULL, NULL, 2, 'd'
+       |  SELECT o_orderkey, NULL, NULL, NULL, NULL, 3, 'd'
        |  FROM orders WHERE $h % 10 = 2
        |), latest AS (
        |  SELECT *, row_number() OVER

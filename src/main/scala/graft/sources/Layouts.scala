@@ -55,7 +55,7 @@ object Layouts {
     * at 2^-64 per pair it is ignorable; the point of md5 over
     * String.hashCode is distribution quality — hashCode's 32 bits over
     * similar path strings collide in practice. */
-  private[sources] def dirTag(dir: String): String =
+  private[graft] def dirTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
 

@@ -268,6 +268,107 @@ object StreamingOps {
        |LEFT JOIN exact e ON b.doc_id = e.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- st8
+
+  /** Key-bucket count of the upsert store's layout: each batch's write
+    * volume is its bucket footprint, not the store size. Production
+    * sizes this so one bucket's live state is a few healthy files. */
+  private[graft] val UpsertBuckets = 16L
+
+  private def kbOf(key: org.apache.spark.sql.Column) =
+    pmod(key, lit(UpsertBuckets))
+
+  /** Fold ONE change batch into the keyed store at `path` — the
+    * foreachBatch body of a streaming CDC sink, and the streaming twin
+    * of [[graft.operators.RelationalQueries.q23MergeLatest]]:
+    *
+    *  1. bucket the batch by key; collect its distinct buckets (bounded
+    *     by [[UpsertBuckets]], never by data);
+    *  2. read ONLY those bucket partitions of the store, tag live rows
+    *     op='i' at their stored version;
+    *  3. merge latest-wins with tombstone drop (the shared
+    *     [[graft.operators.RelationalQueries.mergeLatest]] kernel);
+    *  4. rewrite exactly the touched partitions (dynamic partition
+    *     overwrite; `localCheckpoint` first — Spark refuses to overwrite
+    *     a path it is still reading, and the checkpoint also truncates
+    *     the read-modify-write lineage the way d7 truncates its
+    *     iteration).
+    *
+    * Idempotent per batch: re-delivery after a failure re-reads the same
+    * store partitions and rewrites the same files (spec-asserted), which
+    * is exactly the guarantee foreachBatch needs since it is
+    * at-least-once. Write volume scales with the batch's bucket
+    * footprint; at 100 TB the store stays partitioned, only touched
+    * buckets are rewritten, and the merge join is co-partitioned by key
+    * inside each bucket's data. */
+  private[graft] def upsertBatch(s: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    import graft.operators.RelationalQueries.mergeLatest
+    val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority", "version")
+    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+    val touched = batch.select(kbOf(col("o_orderkey")).as("kb"))
+      .distinct().collect().map(_.getLong(0)).toSeq // <= UpsertBuckets
+    val log =
+      if (!exists) batch
+      else s.read.parquet(path)
+        .where(col("kb").isInCollection(touched)).drop("kb")
+        .withColumn("op", lit("i"))
+        .unionByName(batch)
+    val merged = mergeLatest(log, "o_orderkey", payload)
+      .withColumn("kb", kbOf(col("o_orderkey")))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(path)
+    // dynamic overwrite only replaces partitions PRESENT in the output —
+    // a batch whose tombstones empty a bucket writes nothing there and
+    // would leave the stale partition behind. Remove touched buckets the
+    // merge emptied (driver loop bounded by UpsertBuckets).
+    if (exists) {
+      val survivors = merged.select(col("kb")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(survivors).foreach(b =>
+        deleteRecursively(s"$path/kb=$b"))
+    }
+  }
+
+  private val upsertStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** st8: the upsert SINK — q23's manufactured CDC stream applied batch
+    * by batch (snapshot, updates, deletes) into the partitioned keyed
+    * store, then the store read back. Registered with q23's IDENTICAL
+    * oracle SQL, so the driver's hash compare proves the incremental
+    * fold CONVERGES to the one-shot merge — the q20/q20b same-oracle
+    * device applied to streaming state. StreamingOpsSpec drives the same
+    * [[upsertBatch]] body through a MemoryStream's foreachBatch and
+    * proves mode equality plus re-delivery idempotence. */
+  def st8UpsertSink(s: SparkSession, dir: String): DataFrame = {
+    val path = upsertStores.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get("target",
+        "graft_st8_store_" + graft.sources.Layouts.dirTag(dir))
+        .toAbsolutePath.toString
+      deleteRecursively(p) // a fresh fold IS the operator; stale stores
+                           // from prior JVMs would resurrect tombstones
+      graft.operators.RelationalQueries.cdcBatches(s, dir)
+        .foreach(b => upsertBatch(s, p, b))
+      p
+    })
+    s.read.parquet(path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1StreamWindow _,
     "st2_sessionize" -> st2Sessionize _,
@@ -275,7 +376,8 @@ object StreamingOps {
     "st4_interval_join" -> st4IntervalJoin _,
     "st5_stream_static_join" -> st5StreamStaticJoin _,
     "st6_stream_sink" -> st6StreamSink _,
-    "st7_stream_ingest_screen" -> st7StreamIngestScreen _)
+    "st7_stream_ingest_screen" -> st7StreamIngestScreen _,
+    "st8_upsert_sink" -> st8UpsertSink _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -284,5 +386,8 @@ object StreamingOps {
     "st4_interval_join" -> st4Sql,
     "st5_stream_static_join" -> st5Sql,
     "st6_stream_sink" -> st6Sql,
-    "st7_stream_ingest_screen" -> st7Sql)
+    "st7_stream_ingest_screen" -> st7Sql,
+    // deliberately q23's oracle text: the hash compare proves the
+    // batch-by-batch upsert fold converges to the one-shot merge
+    "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql)
 }

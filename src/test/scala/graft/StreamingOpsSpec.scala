@@ -11,6 +11,60 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
 
+  test("st8: batch-by-batch upsert fold equals the one-shot merge") {
+    val store = StreamingOps.st8UpsertSink(spark, sf)
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    val oneShot = graft.operators.RelationalQueries.q23MergeLatest(spark, sf)
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    assert(store === oneShot)
+    assert(store.nonEmpty)
+  }
+
+  test("st8: re-delivered batch reproduces the identical store (idempotence)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_st8_replay").toString + "/store"
+    val batches = graft.operators.RelationalQueries.cdcBatches(spark, sf)
+    batches.foreach(b => StreamingOps.upsertBatch(spark, path, b))
+    val before = spark.read.parquet(path)
+      .as[(Long, Long, String, Double, String, Long, Long)].collect().toSet
+    // at-least-once delivery: the LAST batch arrives again
+    StreamingOps.upsertBatch(spark, path, batches.last)
+    val after = spark.read.parquet(path)
+      .as[(Long, Long, String, Double, String, Long, Long)].collect().toSet
+    assert(after === before)
+  }
+
+  test("st8: the same upsert body through a MemoryStream foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_st8_stream").toString + "/store"
+    // a miniature CDC stream: snapshot, then an update, then a delete
+    val stream = MemoryStream[(Long, Long, String, Double, String, Long, String)]
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority", "version", "op")
+    val q = stream.toDF.toDF(cols: _*)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.upsertBatch(spark, path, batch)
+      }
+      .start()
+    try {
+      stream.addData(Seq(
+        (1L, 10L, "O", 100.0, "1-URGENT", 1L, "i"),
+        (2L, 20L, "O", 200.0, "2-HIGH", 1L, "i"),
+        (3L, 30L, "O", 300.0, "3-MEDIUM", 1L, "i")))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, 20L, "U", 400.0, "2-HIGH", 2L, "u")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, 30L, "X", 0.0, "x", 3L, "d")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(path)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got === Set((1L, 10L, "O", 100.0), (2L, 20L, "U", 400.0)))
+  }
+
   test("st7: streaming and batch modes of the ingest screen agree") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "standing corpus doc one"), (2L, "another corpus doc"))
