@@ -687,19 +687,25 @@ object RelationalQueries {
       .where(col("r.op") =!= "d")
       .select(col(key) +: payload.map(p => col(s"r.$p").as(p)): _*)
 
-  private[graft] val q23Sql = {
+  /** SQL twin of [[cdcBatches]]' union — shared by the q23, st8 and q26
+    * oracles so the three spellings of the log cannot drift. */
+  private[graft] val cdcLogSql = {
     val h = graft.sources.Hash60.sql60("CAST(o_orderkey AS VARCHAR)")
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       o_orderpriority, 1 AS version, 'i' AS op
+       |FROM orders
+       |UNION ALL
+       |SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2,
+       |       o_orderpriority, 2, 'u'
+       |FROM orders WHERE $h % 10 < 2
+       |UNION ALL
+       |SELECT o_orderkey, NULL, NULL, NULL, NULL, 3, 'd'
+       |FROM orders WHERE $h % 10 = 2""".stripMargin
+  }
+
+  private[graft] val q23Sql =
     s"""WITH v AS (
-       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-       |         o_orderpriority, 1 AS version, 'i' AS op
-       |  FROM orders
-       |  UNION ALL
-       |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2,
-       |         o_orderpriority, 2, 'u'
-       |  FROM orders WHERE $h % 10 < 2
-       |  UNION ALL
-       |  SELECT o_orderkey, NULL, NULL, NULL, NULL, 3, 'd'
-       |  FROM orders WHERE $h % 10 = 2
+       |$cdcLogSql
        |), latest AS (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
@@ -707,7 +713,40 @@ object RelationalQueries {
        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        |       o_orderpriority
        |FROM latest WHERE rn = 1 AND op <> 'd'""".stripMargin
+
+  /** q26: the SCD2 (history-keeping) view of the SAME change log q23
+    * compacts — every version of every key kept, with its validity
+    * interval closed by the NEXT version (`lead`) and an `is_current`
+    * flag (open interval, not a tombstone). Where q23's latest-state
+    * compaction is an aggregate precisely so it never sorts dead
+    * versions, SCD2 must emit every version — nothing to prune — so here
+    * the full per-key window sort IS the right tool: one exchange on the
+    * key, one sort, `lead` closes each interval. At 100 TB the history
+    * table this produces is append-heavy and time-ordered per key — the
+    * natural downstream layout is src3's clustering, and the natural
+    * maintenance is src4's compaction. */
+  def q26Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
+    cdcBatches(s, dir).reduce(_ unionByName _)
+      .withColumn("next_version", lead(col("version"), 1).over(byKey))
+      .select(col("o_orderkey"), col("version"), col("op"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"), col("next_version"),
+        (col("next_version").isNull && col("op") =!= "d").as("is_current"))
   }
+
+  private val q26Sql =
+    s"""WITH v AS (
+       |$cdcLogSql
+       |), h AS (
+       |  SELECT *, lead(version) OVER
+       |    (PARTITION BY o_orderkey ORDER BY version) AS next_version
+       |  FROM v)
+       |SELECT o_orderkey, CAST(version AS BIGINT) AS version, op,
+       |       o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+       |       CAST(next_version AS BIGINT) AS next_version,
+       |       (next_version IS NULL AND op <> 'd') AS is_current
+       |FROM h""".stripMargin
 
   /** q24: strict 3-step funnel (view → click → purchase, each step
     * strictly after the previous user's FIRST qualifying event) computed
@@ -828,7 +867,8 @@ object RelationalQueries {
     "q22_skew_salted" -> q22SkewSalted _,
     "q23_merge_latest" -> q23MergeLatest _,
     "q24_funnel" -> q24Funnel _,
-    "q25_retention_cohort" -> q25RetentionCohort _)
+    "q25_retention_cohort" -> q25RetentionCohort _,
+    "q26_scd2_history" -> q26Scd2History _)
 
   val oracleSql: Map[String, String] = Map(
     "q5_join_broadcast" -> q5Sql,
@@ -854,5 +894,6 @@ object RelationalQueries {
     "q22_skew_salted" -> q22Sql,
     "q23_merge_latest" -> q23Sql,
     "q24_funnel" -> q24Sql,
-    "q25_retention_cohort" -> q25Sql)
+    "q25_retention_cohort" -> q25Sql,
+    "q26_scd2_history" -> q26Sql)
 }

@@ -292,6 +292,36 @@ class RelationalOpsSpec extends SparkSpec {
       s"degenerate case: ${want.size} survivors of 100 keys")
   }
 
+  test("q26: SCD2 intervals chain per key and current rows equal the q23 merge") {
+    val hist = RelationalQueries.q26Scd2History(spark, sf)
+      .select($"o_orderkey", $"version", $"op", $"next_version", $"is_current")
+      .as[(Long, Long, String, Option[Long], Boolean)].collect()
+
+    // every key's intervals chain: versions sorted, each next_version is
+    // the following row's version, exactly the last row open
+    hist.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === Some(b._2), s"broken chain at key $k")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, s"open interval not last for key $k")
+      val current = rows.filter(_._5)
+      assert(current.length === (if (sorted.last._3 == "d") 0 else 1),
+        s"current-count wrong for key $k: $rows")
+    }
+
+    // the current rows ARE q23's merged state (same keys)
+    val currentKeys = hist.filter(_._5).map(_._1).toSet
+    val mergedKeys = RelationalQueries.q23MergeLatest(spark, sf)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(currentKeys === mergedKeys)
+
+    // history keeps what compaction discards
+    assert(hist.length > mergedKeys.size)
+  }
+
   test("q22: salted aggregation equals the direct GROUP BY, and the hot key actually spreads") {
     val salted = RelationalQueries.q22SkewSalted(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toSet
