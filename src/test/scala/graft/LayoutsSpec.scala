@@ -54,6 +54,39 @@ class LayoutsSpec extends SparkSpec {
       (Layouts.ZCells.toLong * Layouts.ZCells)).toSet)
   }
 
+  test("src3: box-to-bucket enumeration is a superset for random boxes and grids") {
+    // the correctness core of the pruning: for ANY box, every point
+    // inside it must land in an enumerated candidate bucket — driven
+    // over seeded random grids and boxes, pure arithmetic (no Spark)
+    val rng = new scala.util.Random(19L)
+    for (_ <- 0 until 200) {
+      val uMin = rng.nextLong(1000000) - 500000
+      val tMin = rng.nextLong(1000000) - 500000
+      val uSpan = 1 + rng.nextLong(100000)
+      val tSpan = 1 + rng.nextLong(100000)
+      val uW = math.max(1L, (uSpan + Layouts.ZCells - 1) / Layouts.ZCells)
+      val tW = math.max(1L, (tSpan + Layouts.ZCells - 1) / Layouts.ZCells)
+      val g = Layouts.ZGrid("", uMin, uSpan, uW, tMin, tSpan, tW)
+      // random half-open box inside the domain
+      val u1 = uMin + rng.nextLong(uSpan)
+      val u2 = u1 + 1 + rng.nextLong(uSpan - (u1 - uMin))
+      val t1 = tMin + rng.nextLong(tSpan)
+      val t2 = t1 + 1 + rng.nextLong(tSpan - (t1 - tMin))
+      val cands = (for {
+        ub <- g.ubOf(u1) to g.ubOf(u2 - 1)
+        tb <- g.tbOf(t1) to g.tbOf(t2 - 1)
+      } yield Layouts.zInterleave(ub, tb)).toSet
+      // sample points inside the box: all must map into the candidates
+      for (_ <- 0 until 20) {
+        val u = u1 + rng.nextLong(u2 - u1)
+        val t = t1 + rng.nextLong(t2 - t1)
+        val z = Layouts.zInterleave(g.ubOf(u), g.tbOf(t))
+        assert(cands.contains(z),
+          s"point ($u,$t) escapes candidates for box [$u1,$u2)x[$t1,$t2)")
+      }
+    }
+  }
+
   test("src3: z-order layout prunes a 2-D box to its candidate buckets") {
     val q = Layouts.src3ZorderPrune(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
