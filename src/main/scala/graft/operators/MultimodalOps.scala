@@ -309,15 +309,127 @@ object MultimodalOps {
        |      END) AS resized_md5
        |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- m5
+
+  /** Audio decode interface — the PCM sibling of [[BlobCodec]]: a
+    * payload decodes to mono sample amplitudes. [[BytePcm]] is the
+    * DuckDB-expressible stub (payload bytes ARE the 8-bit samples);
+    * [[WavPcm]] is the real JDK `javax.sound` WAV decoder behind the
+    * same interface, spec-driven through the identical batch path
+    * (the ImageIoCodec device, applied to audio). */
+  private[graft] trait PcmCodec extends Serializable {
+    def samples(bytes: Array[Byte]): Array[Int]
+  }
+
+  private[graft] object BytePcm extends PcmCodec {
+    def samples(bytes: Array[Byte]): Array[Int] = bytes.map(_ & 0xff)
+  }
+
+  /** Real decoder: mono 8-bit PCM WAV via `javax.sound.sampled`
+    * (JDK-builtin — no new dependency). PCM_UNSIGNED 8-bit frames are
+    * one byte per sample, so the decoded stream maps 1:1 to amplitudes. */
+  private[graft] object WavPcm extends PcmCodec {
+    def samples(bytes: Array[Byte]): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+        s"mono 8-bit PCM expected, got $fmt")
+      try in.readAllBytes().map(_ & 0xff) finally in.close()
+    }
+  }
+
+  /** Samples per RMS window. 32 keeps even the shortest corpus doc
+    * (48 bytes) at >= 1 full window, so no output column is ever null
+    * (nullable BIGINTs drift to float64 in the driver's pandas compare). */
+  private[graft] val AudioWindow = 32
+  /** Quiet-window bound in micro-RMS (RMS < 50 of the 0–255 range). */
+  private[graft] val QuietMicro = 50000000L
+
+  /** m5: windowed audio energy — the silence/clipping screen an audio
+    * corpus runs before transcription or training (drop dead-air clips,
+    * flag truncated recordings). Per payload: full [[AudioWindow]]-sample
+    * windows, each reduced to an integer micro-RMS
+    * (floor(sqrt(Σs²/W)·1e6) — one sqrt on an exact integer sum, so the
+    * value is bit-identical in DuckDB), then per-doc count / truncating
+    * mean / max / quiet-count, all BIGINT (the s6 micro-unit device, so
+    * the full output hash-compares with no float-order caveat). Plumbing
+    * is the m2 iterator-per-partition batch path via [[audioEnergyVia]]:
+    * the registered query runs [[BytePcm]]; MultimodalOpsSpec drives
+    * [[WavPcm]] over real generated WAV bytes through the identical
+    * path. This corpus plants no silence (letters RMS ≈ 100), so
+    * `n_quiet` is 0 on real docs — the quiet path is spec-proven on
+    * synthetic dead air, the d5/t9 pattern. */
+  def m5AudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioEnergyVia(BytePcm)(
+      withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** Codec-generic core of m5 — only the decoder changes, never the plan. */
+  private[graft] def audioEnergyVia(codec: PcmCodec)(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init would live here (decoder handles, buffers)
+      it.map { case (id, bytes) =>
+        val s = codec.samples(bytes)
+        val n = s.length / AudioWindow
+        var sumQ = 0L; var maxQ = 0L; var quiet = 0L
+        var w = 0
+        while (w < n) {
+          var i = w * AudioWindow
+          val end = i + AudioWindow
+          var acc = 0L
+          while (i < end) { acc += s(i).toLong * s(i); i += 1 }
+          val q = math.floor(math.sqrt(acc / AudioWindow.toDouble) * 1e6).toLong
+          sumQ += q
+          if (q > maxQ) maxQ = q
+          if (q < QuietMicro) quiet += 1
+          w += 1
+        }
+        (id, n.toLong, if (n > 0) sumQ / n else 0L, maxQ, quiet)
+      }
+    }.toDF("doc_id", "n_windows", "mean_rms_micro", "max_rms_micro", "n_quiet")
+  }
+
+  private val m5Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, (i - 1) // $AudioWindow AS win,
+       |         ascii(substr(text, i, 1)) AS s
+       |  FROM documents,
+       |       UNNEST(generate_series(1, (length(text) // $AudioWindow)
+       |                                 * $AudioWindow)) AS t(i)),
+       |r AS (
+       |  SELECT doc_id, win,
+       |    CAST(FLOOR(sqrt(CAST(SUM(s * s) AS DOUBLE) / $AudioWindow.0)
+       |               * 1000000) AS BIGINT) AS rq
+       |  FROM w GROUP BY 1, 2),
+       |a AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |         CAST(SUM(rq) // COUNT(*) AS BIGINT) AS mean_rms_micro,
+       |         MAX(rq) AS max_rms_micro,
+       |         CAST(SUM(CASE WHEN rq < $QuietMicro THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_quiet
+       |  FROM r GROUP BY 1)
+       |SELECT d.doc_id,
+       |       COALESCE(a.n_windows, 0) AS n_windows,
+       |       COALESCE(a.mean_rms_micro, 0) AS mean_rms_micro,
+       |       COALESCE(a.max_rms_micro, 0) AS max_rms_micro,
+       |       COALESCE(a.n_quiet, 0) AS n_quiet
+       |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_image_features" -> m2ImageFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
-    "m4_resize" -> m4Resize _)
+    "m4_resize" -> m4Resize _,
+    "m5_audio_energy" -> m5AudioEnergy _)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_image_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
-    "m4_resize" -> m4Sql)
+    "m4_resize" -> m4Sql,
+    "m5_audio_energy" -> m5Sql)
 }

@@ -127,4 +127,58 @@ class MultimodalOpsSpec extends SparkSpec {
       .select($"doc_id", ceil(length($"text") / lit(32.0)).as("n"))
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
+
+  /** Mono 8-bit PCM_UNSIGNED WAV bytes for the given samples. */
+  private def wavBytes(samples: Array[Int]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val data = samples.map(_.toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("m5: real WAV codec through the identical path equals the byte stub") {
+    val rng = new scala.util.Random(23L)
+    val clips = (0 until 5).map(i =>
+      (i.toLong, Array.fill(64 + rng.nextInt(200))(rng.nextInt(256))))
+    // WavPcm decodes real WAV containers of the samples; BytePcm reads
+    // the same samples as raw bytes — identical energies must fall out
+    val viaWav = MultimodalOps.audioEnergyVia(MultimodalOps.WavPcm)(
+      clips.map { case (id, s) => (id, wavBytes(s)) }.toDS())
+      .collect().map(_.toSeq).toSet
+    val viaBytes = MultimodalOps.audioEnergyVia(MultimodalOps.BytePcm)(
+      clips.map { case (id, s) => (id, s.map(_.toByte)) }.toDS())
+      .collect().map(_.toSeq).toSet
+    assert(viaWav === viaBytes)
+    assert(viaWav.nonEmpty)
+  }
+
+  test("m5: dead air is flagged quiet, full-scale is not, shorts have no window") {
+    val clips = Seq(
+      (1L, Array.fill(64)(0)),             // silence: 2 windows, both quiet
+      (2L, Array.fill(64)(200)),           // loud: 2 windows, none quiet
+      (3L, Array.fill(10)(100)))           // shorter than one window
+    val out = MultimodalOps.audioEnergyVia(MultimodalOps.BytePcm)(
+      clips.map { case (id, s) => (id, s.map(_.toByte)) }.toDS())
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 0L, 0L, 2L)))
+    // RMS of constant 200 = 200 exactly -> 200e6 micro-units
+    assert(out(2L) === ((2L, 2L, 200000000L, 200000000L, 0L)))
+    assert(out(3L) === ((3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("m5: real-corpus energies are sane letter-range values") {
+    val out = MultimodalOps.m5AudioEnergy(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 1), "every doc should have >= 1 full window")
+    // lowercase-word streams sit around RMS 90-110
+    assert(out.forall(r => r._3 > 80000000L && r._3 < 120000000L))
+    assert(out.forall(_._5 === 0L), "corpus plants no silence")
+  }
 }
