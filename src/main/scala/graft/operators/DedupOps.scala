@@ -895,15 +895,61 @@ object DedupOps {
     * maintains between ingests so each new batch probes an index instead
     * of re-scanning the corpus. Deterministic content (seeded minhash),
     * so the write-once reuse mirrors the standing index it stands for. */
+  /** (doc_id, band, key) MinHash band keys of `docs` — the rows the
+    * persisted index stores and an incoming batch computes fresh. */
+  private[graft] def bandKeysOf(docs: DataFrame): DataFrame =
+    withShingleHashes(docs).select(col("doc_id"),
+      posexplode(graft.functions.minhashBandKeys(
+        col("hs"), MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
+
   private[graft] def dedupIndexKeys(s: SparkSession, dir: String): String =
     graft.sources.Layouts.writeOncePartitioned(
       "graft_dedup_index_keys", dir, "band") {
-      val corpus = Tables.documents(s, dir)
-        .where(!(col("doc_id") % IngestMod === IngestRem))
-      withShingleHashes(corpus).select(col("doc_id"),
-        posexplode(graft.functions.minhashBandKeys(
-          col("hs"), MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
+      bandKeysOf(Tables.documents(s, dir)
+        .where(!(col("doc_id") % IngestMod === IngestRem)))
     }
+
+  /** Fold a screened batch's band keys into the PERSISTED index at
+    * `path` — the st8 upsert device applied to the band-key store,
+    * closing d8's maintenance loop (before this the index was built once
+    * and never grew; a daily pipeline must fold each accepted batch back
+    * in so tomorrow's batch screens against today's corpus):
+    *
+    *  1. collect the batch's distinct touched bands (bounded by the band
+    *     count, [[MinHash.Bands]] = 32 — a layout constant, never data);
+    *  2. read ONLY those band partitions of the store and drop stale keys
+    *     of re-ingested doc_ids (latest wins, the q23 discipline — a
+    *     re-screened doc REPLACES its signature);
+    *  3. union the batch keys, `localCheckpoint` (Spark refuses to
+    *     overwrite a path it is still reading), dynamic-partition
+    *     overwrite the touched bands only.
+    *
+    * Idempotent per batch: re-folding the same keys rewrites identical
+    * content (spec-asserted), the at-least-once guarantee the streaming
+    * front door (st7/st9) needs. Every doc emits one key per band, so a
+    * non-degenerate batch touches all 32 bands — the point of the
+    * partition bound is the DELETE-side bound: each band rewrite carries
+    * that band's slice of the store, 1/32 of the index per file. */
+  private[graft] def indexUpsert(s: SparkSession, path: String,
+      batchKeys: DataFrame): Unit = {
+    val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+    if (!exists) {
+      batchKeys.write.mode("overwrite").partitionBy("band").parquet(path)
+    } else {
+      val touched = batchKeys.select(col("band")).distinct()
+        .collect().map(_.getInt(0)).toSeq // <= MinHash.Bands
+      val survivors = s.read.parquet(path)
+        .where(col("band").isInCollection(touched))
+        .join(batchKeys.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      survivors.select(col("doc_id"), col("band"), col("key"))
+        .unionByName(batchKeys.select(col("doc_id"), col("band"), col("key")))
+        .localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band").parquet(path)
+    }
+  }
 
   /** d8: incremental-ingest dedup — screen the incoming batch against the
     * standing corpus WITHOUT re-running corpus×corpus dedup: this is the
@@ -922,35 +968,40 @@ object DedupOps {
     * the exact verify (which re-reads text for candidate IDS only, the
     * d2 discipline). Exact membership joins 32-byte digests, not text. */
   def d8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
     val isBatch = col("doc_id") % IngestMod === IngestRem
-    val batch = docs.where(isBatch)
+    screenBatch(docs, docs.where(isBatch),
+      docs.where(!isBatch).select(sha2(col("text"), 256).as("h")).distinct(),
+      s.read.parquet(dedupIndexKeys(s, dir)))
+  }
 
-    val exactHits = batch.select($"doc_id", sha2($"text", 256).as("h"))
-      .join(docs.where(!isBatch).select(sha2($"text", 256).as("h")).distinct(),
-        Seq("h"), "left_semi")
-      .select($"doc_id").withColumn("dup_exact", lit(true))
+  /** d8's screen core against an EXPLICIT index — factored out so the
+    * maintenance loop can be proven: the spec screens a second batch
+    * against an [[indexUpsert]]-updated index and against a rebuilt-from-
+    * scratch one and asserts identical flags. `docs` must carry text for
+    * every id the verify step may read (batch and corpus);
+    * `corpusDigests` is the standing digest set (column `h`). */
+  private[graft] def screenBatch(docs: DataFrame, batch: DataFrame,
+      corpusDigests: DataFrame, indexKeys: DataFrame): DataFrame = {
+    val exactHits = batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpusDigests, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("dup_exact", lit(true))
 
-    val indexKeys = s.read.parquet(dedupIndexKeys(s, dir))
-    val batchKeys = withShingleHashes(batch).select($"doc_id",
-      posexplode(graft.functions.minhashBandKeys(
-        $"hs", MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
-    val candidates = batchKeys
-      .join(indexKeys.select($"doc_id".as("doc_b"), $"band", $"key"),
+    val candidates = bandKeysOf(batch)
+      .join(indexKeys.select(col("doc_id").as("doc_b"), col("band"), col("key")),
         Seq("band", "key"))
-      .select($"doc_id".as("doc_a"), $"doc_b")
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val nearHits = verifyPairs(docs, candidates, 0.8)
-      .select($"doc_a".as("doc_id")).distinct()
+      .select(col("doc_a").as("doc_id")).distinct()
       .withColumn("dup_near", lit(true))
 
-    batch.select($"doc_id")
+    batch.select(col("doc_id"))
       .join(exactHits, Seq("doc_id"), "left")
       .join(nearHits, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"dup_exact", lit(false)).as("dup_exact"),
-        coalesce($"dup_near", lit(false)).as("dup_near"))
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
   }
 
   /** Oracle: brute-force cross-relation screen — exact via text equality,

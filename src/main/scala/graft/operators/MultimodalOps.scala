@@ -333,8 +333,12 @@ object MultimodalOps {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
-        s"mono 8-bit PCM expected, got $fmt")
+      // The encoding check matters: an 8-bit mono ULAW/ALAW/PCM_SIGNED WAV
+      // would pass a size/channel-only guard and its bytes would be read as
+      // unsigned amplitudes — silently wrong energies instead of a failure.
+      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"mono 8-bit unsigned PCM expected, got $fmt")
       try in.readAllBytes().map(_ & 0xff) finally in.close()
     }
   }
@@ -393,6 +397,12 @@ object MultimodalOps {
     }.toDF("doc_id", "n_windows", "mean_rms_micro", "max_rms_micro", "n_quiet")
   }
 
+  // Like m1, this oracle depends on the corpus-wide ASCII invariant: it
+  // reads character codepoints via ascii(substr(text, ...)) while the
+  // Spark side decodes UTF-8 blob bytes — identical only because every
+  // codepoint is single-byte (verified at m1: octet_length(encode(text))
+  // == length(text) corpus-wide). A non-ASCII corpus would need the
+  // oracle to sample encode(text) bytes instead.
   private val m5Sql =
     s"""WITH w AS (
        |  SELECT doc_id, (i - 1) // $AudioWindow AS win,
@@ -419,17 +429,126 @@ object MultimodalOps {
        |       COALESCE(a.n_quiet, 0) AS n_quiet
        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
 
+  // ---------------------------------- real-codec gate queries (m2r/m5r)
+
+  /** PNG bytes of a 1×len grayscale strip whose pixel i is byte i of the
+    * payload. The device that puts the REAL `javax.imageio` decoder inside
+    * the driver's oracle gate: PNG is lossless and gray pixels decode to
+    * luminance EXACTLY equal to the byte ((299v+587v+114v)/1000 = v in
+    * integer arithmetic), so the decoded histogram/meta of the strip is
+    * reproducible in DuckDB from `documents.text` alone — no boolean
+    * contract needed, the full output hash-compares. */
+  private[graft] def pngStrip(bytes: Array[Byte]): Array[Byte] = {
+    val w = math.max(1, bytes.length)
+    val img = new java.awt.image.BufferedImage(
+      w, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      img.setRGB(i, 0, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mono 8-bit PCM_UNSIGNED WAV container of the payload bytes as
+    * samples — the audio leg of the same device: [[WavPcm]] decodes the
+    * container back to exactly these bytes, so the real decoder's output
+    * is byte-for-byte the stub's and m5's EXISTING oracle applies
+    * verbatim (the same-oracle proof device, q20b/st8 pattern). */
+  private[graft] def wavContainer(samples: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Write-once REAL media fixtures: every doc's text bytes re-encoded as
+    * an actual PNG / WAV container (the encoders are the same JDK codecs
+    * the queries then decode with). One corpus pass each, per (dir, JVM),
+    * like every other one-time layout build. */
+  private def pngBlobs(s: SparkSession, dir: String): String =
+    graft.sources.Layouts.writeOnce("graft_png_blobs", dir) {
+      import s.implicits._
+      withBlob(s, dir).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) => (id, pngStrip(b)) })
+        .toDF("doc_id", "blob")
+    }
+
+  private def wavBlobs(s: SparkSession, dir: String): String =
+    graft.sources.Layouts.writeOnce("graft_wav_blobs", dir) {
+      import s.implicits._
+      withBlob(s, dir).select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) => (id, wavContainer(b)) })
+        .toDF("doc_id", "blob")
+    }
+
+  /** m2r: [[m2ImageFeatures]]'s batch path with the REAL [[ImageIoCodec]]
+    * over real PNG payloads — `javax.imageio` runs inside the driver's
+    * correctness gate, full output hash-compared (see [[pngStrip]]). */
+  def m2rImageFeaturesReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    imageFeaturesVia(ImageIoCodec)(
+      s.read.parquet(pngBlobs(s, dir))
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])])
+  }
+
+  // The strip's decoded geometry is (len, 1, 3) and its luminance
+  // histogram is the text's high-nibble byte histogram — m2's hist CTE
+  // with the real decoder's meta. ASCII invariant as m1.
+  private val m2rSql = {
+    val bins = (0 until 16).map(i =>
+      s"round(COALESCE(h.c$i, 0) / greatest(1, length(d.text)), 6) AS f$i")
+      .mkString(",\n  ")
+    val counts = (0 until 16).map(i =>
+      s"CAST(SUM(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS DOUBLE) AS c$i")
+      .mkString(",\n    ")
+    s"""WITH hist AS (
+       |  SELECT doc_id,
+       |    $counts
+       |  FROM (SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin
+       |        FROM documents, UNNEST(generate_series(1, length(text))) AS t(i))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(greatest(1, length(d.text)) AS INT) AS width,
+       |  CAST(1 AS INT) AS height,
+       |  CAST(3 AS INT) AS channels,
+       |  $bins
+       |FROM documents d LEFT JOIN hist h USING (doc_id)""".stripMargin
+  }
+
+  /** m5r: [[m5AudioEnergy]]'s batch path with the REAL [[WavPcm]] decoder
+    * over real WAV containers — registered under m5's IDENTICAL oracle,
+    * so the driver's hash compare proves real-WAV decode ≡ byte stub. */
+  def m5rAudioEnergyReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioEnergyVia(WavPcm)(
+      s.read.parquet(wavBlobs(s, dir))
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])])
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_image_features" -> m2ImageFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
     "m4_resize" -> m4Resize _,
-    "m5_audio_energy" -> m5AudioEnergy _)
+    "m5_audio_energy" -> m5AudioEnergy _,
+    "m2r_image_features_real" -> m2rImageFeaturesReal _,
+    "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_image_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
     "m4_resize" -> m4Sql,
-    "m5_audio_energy" -> m5Sql)
+    "m5_audio_energy" -> m5Sql,
+    "m2r_image_features_real" -> m2rSql,
+    // the same-oracle proof: real WAV decode must hash-equal the stub
+    "m5r_audio_energy_real" -> m5Sql)
 }

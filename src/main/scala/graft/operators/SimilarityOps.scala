@@ -707,13 +707,16 @@ object SimilarityOps {
       lit(0.0), (acc, x) => acc + x))
 
   /** Corpus → (vec_id, codes[M], vnorm): the narrow one-pass encode. At
-    * 100 TB this projection IS the serving table you persist. */
-  private[graft] def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    * 100 TB this projection IS the serving table you persist. `keep`
+    * carries extra routing columns through unchanged (s7 keeps the IVF
+    * `cell` so the code table can be cell-partitioned). */
+  private[graft] def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]],
+      keep: Seq[String] = Nil): DataFrame = {
     val sub = books(0)(0).length
-    emb.select(col("vec_id"),
+    emb.select(col("vec_id") +: keep.map(col) :+
       array((0 until PqM).map(m =>
-        pqCode(col("embedding"), books(m), m * sub)): _*).as("codes"),
-      norm2(col("embedding")).as("vnorm"))
+        pqCode(col("embedding"), books(m), m * sub)): _*).as("codes") :+
+      norm2(col("embedding")).as("vnorm"): _*)
   }
 
   /** Per-query ADC lookup table: lut[m][c] = dot(q_m, books[m][c]) — an
@@ -748,7 +751,6 @@ object SimilarityOps {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val books = pqCodebooksFor(s, dir)
-    val shortN = pqShortlist(corpusCount(s, dir))
     val queries = emb.where($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
       .withColumn("lut", pqLut($"q_emb", books))
@@ -756,24 +758,40 @@ object SimilarityOps {
     val approx = s.read.parquet(pqCodesTable(s, dir))
       .select($"vec_id".as("neighbor_id"), $"codes", $"vnorm")
       .join(broadcast(queries), $"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"neighbor_id", $"q_emb",
-        (aggregate(zip_with($"codes", $"lut", (c, l) => element_at(l, c + 1)),
-          lit(0.0), (acc, x) => acc + x) / ($"qnorm" * $"vnorm")).as("approx_cos"))
-    val wA = Window.partitionBy($"query_id")
-      .orderBy($"approx_cos".desc, $"neighbor_id".asc)
+      .select($"query_id", $"neighbor_id", $"q_emb", adcCos.as("approx_cos"))
+    shortlistRerank(approx, emb, pqShortlist(corpusCount(s, dir)))
+  }
+
+  /** The ADC score expression shared by s5 and s7: Σ_m lut[m][code_m]
+    * (each subquantizer's dot contribution from the per-query lookup
+    * table) normalized by ‖q‖ and the TRUE stored ‖x‖. Expects `codes`,
+    * `lut`, `qnorm`, `vnorm` in scope. */
+  private def adcCos: Column =
+    aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x) / (col("qnorm") * col("vnorm"))
+
+  /** Shortlist + exact-rerank tail shared by s5 and s7: per-query top
+    * `shortN` on the approximate score, then exact cosine on the
+    * shortlist only (an id equi-join against the raw vectors) and the
+    * final top-K window. Both windows run on bounded relations — the
+    * shortlist is queries × shortN rows. */
+  private def shortlistRerank(approx: DataFrame, emb: DataFrame,
+      shortN: Int): DataFrame = {
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("srnk", row_number().over(wA))
-      .where($"srnk" <= shortN)
-      .select($"query_id", $"neighbor_id", $"q_emb")
+      .where(col("srnk") <= shortN)
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"))
     val reranked = shortlist
-      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")),
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         Seq("neighbor_id"))
-      .select($"query_id", $"neighbor_id",
-        round(cosineCol($"q_emb", $"c_emb"), 6).as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineCol(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     reranked.withColumn("rnk", row_number().over(w))
-      .where($"rnk" <= K)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cos_sim")
+      .where(col("rnk") <= K)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
 
   /** s5 registered: exact anchor + recall booleans, the s2 pattern. */
@@ -781,6 +799,84 @@ object SimilarityOps {
     recallChecked(s1CosineTopk(s, dir), s5PqRerank(s, dir))
 
   private val s5Sql =
+    s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
+       |FROM ($s1Sql)""".stripMargin
+
+  // --------------------------------------------------- IVF × PQ (s7)
+
+  /** Write-once IVF×PQ serving table — the FAISS-IVFPQ shape: the PQ
+    * code table of s5 bucketed by s2's coarse quantizer and persisted
+    * `partitionBy(cell)`, so a probe reads only its nprobe cell
+    * directories AND each candidate row is ~12 B of codes instead of
+    * 256 B of floats. One corpus pass builds it: assign cell, encode
+    * codes, keep the true norm. k is part of the layout name because the
+    * directory routing depends on the quantizer size. */
+  private[graft] def ivfPqTable(s: SparkSession, dir: String, k: Int): String =
+    graft.sources.Layouts.writeOncePartitioned(s"graft_ivfpq_codes_k$k", dir, "cell") {
+      pqEncode(
+        assignCells(Tables.embeddings(s, dir), "vec_id", "embedding",
+          centroidsFor(s, dir, k)),
+        pqCodebooksFor(s, dir), keep = Seq("cell"))
+    }
+
+  /** [[s7IvfPq]] with corpus-derived sizing, mirroring s2. */
+  def s7IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfK(corpusCount(s, dir))
+    s7IvfPq(s, dir, k, ivfNprobe(k))
+  }
+
+  /** s7: IVF × PQ — the composed serving index every 10⁹-vector
+    * deployment runs (FAISS `IVFPQ`): IVF cuts how much of the corpus a
+    * query TOUCHES (probe nprobe of k cells → ~nprobe/k of the rows),
+    * PQ cuts the bytes per touched candidate (M 6-bit codes + a norm vs
+    * dim floats), and the exact rerank of the shortlist restores
+    * precision on whatever the two approximations let through. The
+    * candidate generator is the cell equi-join of s2 against the
+    * cell-partitioned CODE table of s5; ADC scoring runs only on in-cell
+    * candidates, so the scan volume is s5's × nprobe/k. The per-query
+    * LUT is computed once per query row (before the probe explode) and
+    * rides the broadcast. Recall ≈ min(IVF recall, PQ recall): the
+    * shortlist (5% of the corpus ≈ 20% of the probed candidates at
+    * nprobe/k = 1/4) is generous enough that the binding term is cell
+    * assignment, same as s2 — measured in SimilarityOpsSpec. */
+  def s7IvfPq(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = centroidsFor(s, dir, k)
+    val books = pqCodebooksFor(s, dir)
+    val queries = emb.where($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .withColumn("lut", pqLut($"q_emb", books))
+      .withColumn("qnorm", norm2($"q_emb"))
+    // probe cells carry only (query_id, cell); the LUT joins back on
+    // query_id so the M×K dot products are evaluated once per query,
+    // not once per (query, probe) row
+    val probes = probeCells(
+      emb.where($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      "query_id", "q_emb", centroids, nprobe)
+      .select($"query_id", $"cell")
+    val probedQueries = queries.join(probes, Seq("query_id"))
+    val approx = s7Candidates(s, dir, k, probedQueries)
+      .select($"query_id", $"neighbor_id", $"q_emb", adcCos.as("approx_cos"))
+    shortlistRerank(approx, emb, pqShortlist(corpusCount(s, dir)))
+  }
+
+  /** The in-cell ADC candidate relation — factored out so the spec can
+    * count scanned candidate rows and assert the nprobe/k scan-volume
+    * contract directly against s5's full-table scan. */
+  private[graft] def s7Candidates(s: SparkSession, dir: String, k: Int,
+      probedQueries: DataFrame): DataFrame =
+    s.read.parquet(ivfPqTable(s, dir, k))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("vnorm"), col("cell"))
+      .join(broadcast(probedQueries), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+
+  /** s7 registered: exact anchor + recall booleans, the s2 pattern. */
+  def s7IvfPqChecked(s: SparkSession, dir: String): DataFrame =
+    recallChecked(s1CosineTopk(s, dir), s7IvfPq(s, dir))
+
+  private val s7Sql =
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
        |FROM ($s1Sql)""".stripMargin
 
@@ -805,9 +901,12 @@ object SimilarityOps {
 
   /** Corpus centroid in integer micro-units: per-dimension exact BIGINT
     * sum of floored elements, divided (truncating, = DuckDB `//`) by the
-    * corpus count. One posexplode + (pos)-grouped aggregation — the
-    * shuffle carries dim × tasks partial rows — then a dim-bounded
-    * driver collect (64 rows, the [[kmeans]] bound argument). */
+    * PER-POSITION count — identical to the corpus count whenever every
+    * vector has the same length, but also well-defined (and matching the
+    * oracle, which likewise divides per pos) on a ragged corpus. One
+    * posexplode + (pos)-grouped aggregation — the shuffle carries
+    * dim × tasks partial rows — then a dim-bounded driver collect
+    * (64 rows, the [[kmeans]] bound argument). */
   private[graft] def quantizedCentroid(emb: DataFrame): Array[Long] = {
     val rows = emb
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -858,14 +957,13 @@ object SimilarityOps {
   }
 
   private val s6Sql =
-    s"""WITH cnt AS (SELECT count(*) AS c FROM embeddings),
-       |u0 AS (
+    s"""WITH u0 AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |         unnest(range(1, len(embedding)+1)) AS pos
        |  FROM embeddings),
        |u AS (SELECT vec_id, CAST(FLOOR(v * $CentroidMicro) AS BIGINT) AS qv, pos
        |      FROM u0),
-       |m AS (SELECT pos, SUM(qv) // (SELECT c FROM cnt) AS cq FROM u GROUP BY pos),
+       |m AS (SELECT pos, SUM(qv) // COUNT(*) AS cq FROM u GROUP BY pos),
        |nb AS (SELECT SUM(cq * cq) AS nb2 FROM m),
        |d AS (SELECT u.vec_id, SUM(u.qv * m.cq) AS dot, SUM(u.qv * u.qv) AS na2
        |      FROM u JOIN m USING (pos) GROUP BY u.vec_id),
@@ -884,7 +982,8 @@ object SimilarityOps {
     "s3_ann_cell_pruned" -> ((s, d) => s3AnnCellPruned(s, d)),
     "s4_knn_join" -> s4KnnJoinChecked _,
     "s5_pq_rerank" -> s5PqRerankChecked _,
-    "s6_centroid_outlier" -> s6CentroidOutlier _)
+    "s6_centroid_outlier" -> s6CentroidOutlier _,
+    "s7_ivfpq" -> s7IvfPqChecked _)
 
   val oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
@@ -892,5 +991,6 @@ object SimilarityOps {
     "s3_ann_cell_pruned" -> s3Sql,
     "s4_knn_join" -> s4Sql,
     "s5_pq_rerank" -> s5Sql,
-    "s6_centroid_outlier" -> s6Sql)
+    "s6_centroid_outlier" -> s6Sql,
+    "s7_ivfpq" -> s7Sql)
 }

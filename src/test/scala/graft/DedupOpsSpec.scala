@@ -242,6 +242,57 @@ class DedupOpsSpec extends SparkSpec {
       "within-batch dup must NOT be flagged against the corpus")
   }
 
+  test("indexUpsert: folded index equals rebuilt index; second batch screens against it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sha2
+    val base = ("w" + (1 to 60).mkString(" w"))
+    val nearOfBase = base.split(" ").drop(2).mkString(" ")
+    val b1text = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+    val nearOfB1 = b1text.split(" ").drop(1).mkString(" ")
+    val standing = Seq((1L, base), (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((7L, b1text)).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (8L, nearOfB1),   // near dup of the FOLDED batch1 doc — only the
+                        // updated index can catch it
+      (18L, nearOfBase),                         // near dup of standing
+      (28L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")) // unique
+      .toDF("doc_id", "text")
+
+    val path = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/index"
+    DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(standing))
+    DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(batch1))
+    def content() = spark.read.parquet(path)
+      .select($"doc_id", $"band".cast("int"), $"key")
+      .as[(Long, Int, Long)].collect().toSet
+    val rebuilt = DedupOps.bandKeysOf(standing.unionByName(batch1))
+    val rebuiltSet = rebuilt.select($"doc_id", $"band", $"key")
+      .as[(Long, Int, Long)].collect().toSet
+    val folded = content()
+    assert(folded === rebuiltSet, "index ∪ batch-keys must equal a rebuild")
+
+    // at-least-once safety: re-folding the same batch changes nothing
+    DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(batch1))
+    assert(content() === folded, "re-delivery must be a no-op")
+
+    // the second day's screen, against the UPDATED standing corpus
+    val docsAll = standing.unionByName(batch1).unionByName(batch2)
+    val digests = standing.unionByName(batch1)
+      .select(sha2($"text", 256).as("h")).distinct()
+    def flagsVia(index: org.apache.spark.sql.DataFrame) =
+      DedupOps.screenBatch(docsAll, batch2, digests, index)
+        .as[(Long, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = flagsVia(spark.read.parquet(path))
+    assert(got.keySet === Set(8L, 18L, 28L))
+    assert(got(8L) === ((false, true)),
+      "near dup of the folded batch1 doc must be caught by the updated index")
+    assert(got(18L) === ((false, true)), "near dup of standing corpus")
+    assert(got(28L) === ((false, false)), "unique doc")
+    assert(got === flagsVia(rebuilt),
+      "screen via folded index must equal screen via rebuilt index")
+  }
+
   test("d5: sign-LSH recalls planted near-identical embeddings") {
     import DedupOps.SignLsh
     val rng = new scala.util.Random(11L)

@@ -172,6 +172,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(3L) === ((3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("m2r: registered real-PNG decode matches the strip geometry and text histogram") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = MultimodalOps.m2rImageFeaturesReal(spark, sf)
+      .join(docs.select($"doc_id", length($"text").as("len")), "doc_id")
+      .collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      // real javax.imageio decode of the 1×len strip
+      assert(r.getAs[Int]("width") === r.getAs[Int]("len"))
+      assert(r.getAs[Int]("height") === 1)
+      assert(r.getAs[Int]("channels") === 3)
+      val l1 = (0 until 16).map(i => r.getAs[Double](s"f$i")).sum
+      assert(math.abs(l1 - 1.0) < 16 * 5e-7, s"L1 after rounding = $l1")
+    }
+    // gray pixels decode to luminance == byte: the decoded histogram IS the
+    // stub codec's byte histogram, bin for bin
+    val viaReal = MultimodalOps.m2rImageFeaturesReal(spark, sf)
+      .select(($"doc_id" +: (0 until 16).map(i => col(s"f$i"))): _*)
+      .collect().map(_.toSeq).toSet
+    val viaStub = MultimodalOps.m2ImageFeatures(spark, sf)
+      .select(($"doc_id" +: (0 until 16).map(i => col(s"f$i"))): _*)
+      .collect().map(_.toSeq).toSet
+    assert(viaReal === viaStub)
+  }
+
+  test("m5r: registered real-WAV decode hash-equals the byte stub (same-oracle proof)") {
+    val viaReal = MultimodalOps.m5rAudioEnergyReal(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaStub = MultimodalOps.m5AudioEnergy(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaReal.nonEmpty)
+    assert(viaReal === viaStub)
+  }
+
   test("m5: real-corpus energies are sane letter-range values") {
     val out = MultimodalOps.m5AudioEnergy(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()

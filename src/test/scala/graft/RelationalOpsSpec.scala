@@ -197,7 +197,7 @@ class RelationalOpsSpec extends SparkSpec {
         lit(null).cast("string").as("o_orderstatus"),
         lit(null).cast("double").as("o_totalprice"),
         lit(null).cast("string").as("o_orderpriority"),
-        lit(2L).as("version"), lit("d").as("op")))
+        lit(3L).as("version"), lit("d").as("op")))
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy($"o_orderkey").orderBy($"version".desc)
     val want = v.withColumn("rn", row_number().over(byKey))

@@ -224,6 +224,84 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("s7: IVF×PQ recall >= 0.8 vs brute force on clustered data; scores exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topk(SimilarityOps.s1CosineTopk(spark, dir))
+    val approx = topk(SimilarityOps.s7IvfPq(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+    // rerank exactness (the s5 contract): every emitted cos_sim is the
+    // true cosine — the two approximations only pick WHO gets scored
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    SimilarityOps.s7IvfPq(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().foreach { case (q, n, got) =>
+        assert(math.abs(got - cos(emb(q), emb(n))) < 1e-6, s"($q,$n) score")
+      }
+  }
+
+  test("s7: ADC scan volume is ~nprobe/k of s5's full-table scan") {
+    // The point of the composition: s5 ADC-scores every query against the
+    // ENTIRE code table (NQueries × (N-1) candidate rows); s7 only against
+    // in-cell candidates. With nprobe = ceil(k/4) cells probed per query,
+    // candidates must come in well under half the full volume even with
+    // uneven cell populations (clustered data is the UNEVEN case).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_vol").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val k = SimilarityOps.ivfK(n)
+    val nprobe = SimilarityOps.ivfNprobe(k)
+    val centroids = SimilarityOps.centroidsFor(spark, dir, k)
+    val probes = SimilarityOps.probeCells(
+      emb.where($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      "query_id", "q_emb", centroids, nprobe)
+      .select($"query_id", $"cell")
+    val scanned = SimilarityOps.s7Candidates(spark, dir, k, probes).count()
+    val full = 20L * (n - 1) // s5's candidate volume for the same queries
+    val ratio = scanned.toDouble / full
+    assert(scanned > 0)
+    assert(ratio < 0.5,
+      s"s7 scanned $scanned of $full candidate rows (ratio $ratio, nprobe/k = ${nprobe.toDouble / k})")
+    // and the layout is genuinely cell-partitioned with each query
+    // probing only nprobe of the cell directories (the union across all
+    // 20 queries may well cover every cell — pruning is per-query)
+    val probedCells = probes.select($"cell".cast("int")).distinct().as[Int].collect().toSet
+    val layout = SimilarityOps.ivfPqTable(spark, dir, k)
+    val allCells = new java.io.File(layout).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toInt).toSet
+    assert(probedCells.subsetOf(allCells))
+    val perQuery = probes.select($"query_id", $"cell".cast("int")).as[(Long, Int)]
+      .collect().groupBy(_._1).map { case (_, a) => a.map(_._2).toSet }
+    assert(perQuery.forall(_.size === nprobe))
+    assert(nprobe < allCells.size,
+      s"degenerate sizing: nprobe $nprobe covers all ${allCells.size} cells")
+  }
+
+  test("s7 checked: exact top-k rows, recall_ok true on the real corpus") {
+    val rows = SimilarityOps.s7IvfPqChecked(spark, sf)
+      .select($"query_id", $"rnk", $"recall_ok")
+      .as[(Long, Int, Boolean)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach(r => assert(r.length === SimilarityOps.K))
+    assert(rows.forall(_._3), "IVF×PQ recall below bound on the real corpus")
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
