@@ -67,11 +67,20 @@ object Bench {
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    // Belt and braces for the driver's stdout parse: print the line BEFORE
-    // spark.stop()'s shutdown logging can interleave, and again after it
-    // so it is also the last line of stdout.
+    // The driver's stdout capture keeps only the last ~2 KB; the full
+    // per-query line (~2.4 KB at 85+ queries) overflows it, which is
+    // exactly how rounds 6 and 7 ended with a mid-value fragment and
+    // `parsed: null`. So: print the FULL line before spark.stop()'s
+    // shutdown noise (for humans and head-anchored parsers; the complete
+    // artifact of record is target/bench.json), and make the FINAL
+    // stdout line a COMPACT variant — same schema, `queries` limited to
+    // the reference headline tier — that always fits the tail window.
     println(json)
     spark.stop()
-    println(json)
+    val headline = Seq("q1_agg", "q2_prime_sum", "q3_matrix_inverse",
+      "q4_wordcount")
+    val hqs = headline.flatMap(n => results.get(n).map(v => "\"" + n + "\":" + ms3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$hqs,"sf":"$sfDir","n_queries":${results.size},"full":"target/bench.json"}""")
   }
 }

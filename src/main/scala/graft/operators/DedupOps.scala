@@ -229,7 +229,7 @@ object DedupOps {
   /** Shared oracle for the verified near-dup family: exact shingle-join
     * Jaccard over all pairs (the oracle may brute-force; the engine must
     * not). */
-  private def jaccardPairsSql(threshold: Double): String =
+  private[graft] def jaccardPairsSql(threshold: Double): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM toks,
@@ -949,6 +949,46 @@ object DedupOps {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("band").parquet(path)
     }
+  }
+
+  /** Path of the PERSISTED corpus shingle sets (doc_id, hs) — the verify
+    * side of the standing index: candidates found via [[dedupIndexKeys]]
+    * pay the exact-Jaccard check against these stored sets instead of
+    * re-shingling corpus text. Same write-once discipline as the keys. */
+  private[graft] def dedupIndexShingles(s: SparkSession, dir: String): String =
+    graft.sources.Layouts.writeOnce("graft_dedup_index_shingles", dir) {
+      withShingleHashes(Tables.documents(s, dir)
+        .where(!(col("doc_id") % IngestMod === IngestRem)))
+        .select(col("doc_id"), col("hs"))
+    }
+
+  /** Verified near-dup HITS of `batch` (doc_id, text) against the
+    * persisted index: band keys computed per row, candidates from the
+    * (band, key) equi-join, exact Jaccard against the STORED corpus
+    * shingle sets, threshold filter. Every step is a narrow per-row map
+    * or an equi-join against a static relation — no aggregation, no
+    * window — so the IDENTICAL plan runs in append-mode Structured
+    * Streaming with NO state store and no watermark (the st9 front
+    * door). May emit the same (doc_id, doc_b) pair once per colliding
+    * band: collapsing in-stream would need exactly the stateful
+    * aggregation this screen exists to avoid, so batch callers
+    * `dropDuplicates` after (identical jaccard on every copy) and the
+    * stream spec compares sets. */
+  private[graft] def nearDupHits(batch: DataFrame, indexKeys: DataFrame,
+      corpusShingles: DataFrame, threshold: Double): DataFrame = {
+    val keyed = withShingleHashes(batch).select(col("doc_id"), col("hs"),
+      posexplode(graft.functions.minhashBandKeys(
+        col("hs"), MinHash.NumHashes, MinHash.Rows)).as(Seq("band", "key")))
+    val inter = size(array_intersect(col("hs"), col("hs_b")))
+    keyed
+      .join(indexKeys.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .join(corpusShingles.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("hs")) + size(col("hs_b")) - inter))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("doc_b"), col("jaccard"))
   }
 
   /** d8: incremental-ingest dedup — screen the incoming batch against the

@@ -358,8 +358,25 @@ object SimilarityOps {
     * ≈ 16 MB there, and past it the quantizer itself should become a
     * persisted TABLE joined by cell-range rather than a broadcast —
     * out of scope for any corpus this engine's fixtures can model. */
+  /** Hard pin on the quantizer size: k = min(⌈√N⌉, cap) — the production
+    * fix for the ONE measured superlinear term in the suite. Quantizer
+    * scoring costs N·k distance kernels, so k = ⌈√N⌉ makes assignment
+    * O(N^1.5) (fitted exponent 0.78 at {1,10,20,40}×, SCALING.md); a
+    * deployment instead pins k to a memory/latency budget per index
+    * shard (FAISS practice), which restores linear scoring at the price
+    * of cell population growing with N — recall at the FIXED nprobe/k
+    * probe ratio is the measured trade, not a free lunch. Default is the
+    * 32768 broadcast bound (≈ √N for a 10⁹-vector corpus — i.e. the cap
+    * binds only where it should); `SPARK_GRAFT_IVF_K_CAP` lets the scale
+    * suite re-fit exponents with a binding cap. Whenever the pinned
+    * budget exceeds [[InlineCentroidCap]] (256 — any serious production
+    * budget), scoring dispatches through the broadcast centroid-relation
+    * path; the uncapped 40× run (k = 283) already exercises it live. */
+  private[graft] def ivfKCap: Int =
+    sys.env.get("SPARK_GRAFT_IVF_K_CAP").map(_.toInt).getOrElse(32768)
+
   private[graft] def ivfK(n: Long): Int =
-    math.max(16, math.min(32768, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.max(16, math.min(ivfKCap, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** nprobe = k/4: probe cost stays a fixed quarter of the cells at any
     * derived k, matching the measured recall/cost trade in SCALING.md. */

@@ -359,6 +359,43 @@ object StreamingOps {
       col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
   }
 
+  // --------------------------------------------------------------- st9
+
+  /** st9: the NEAR-DUP streaming front door — st7 screens exact digests;
+    * this screens incoming docs against the persisted MinHash band index
+    * ([[graft.operators.DedupOps.dedupIndexKeys]]) and stored corpus
+    * shingle sets, emitting one verified hit row per (incoming doc,
+    * corpus near-dup). The whole probe is stateless: per-row signatures
+    * plus stream-static equi-joins, so append-mode streaming runs the
+    * identical plan with no state store and no watermark —
+    * StreamingOpsSpec proves batch/stream set equality over a
+    * MemoryStream. Registered in batch mode over d8's deterministic
+    * ingest slice with the band-collision copies collapsed (same
+    * jaccard on every copy; the stream leaves them to its consumer,
+    * see [[graft.operators.DedupOps.nearDupHits]]). */
+  def st9StreamNearDupScreen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    DedupOps.nearDupHits(docs.where(isBatch),
+        s.read.parquet(DedupOps.dedupIndexKeys(s, dir)),
+        s.read.parquet(DedupOps.dedupIndexShingles(s, dir)), 0.8)
+      .dropDuplicates("doc_id", "doc_b")
+  }
+
+  private val st9Sql = {
+    val m = graft.operators.DedupOps.IngestMod
+    val r = graft.operators.DedupOps.IngestRem
+    s"""WITH pairs AS (
+       |  SELECT * FROM (${graft.operators.DedupOps.jaccardPairsSql(0.8)}))
+       |SELECT CASE WHEN doc_a % $m = $r THEN doc_a ELSE doc_b END AS doc_id,
+       |       CASE WHEN doc_a % $m = $r THEN doc_b ELSE doc_a END AS doc_b,
+       |       jaccard
+       |FROM pairs
+       |WHERE (doc_a % $m = $r) <> (doc_b % $m = $r)""".stripMargin
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -377,7 +414,8 @@ object StreamingOps {
     "st5_stream_static_join" -> st5StreamStaticJoin _,
     "st6_stream_sink" -> st6StreamSink _,
     "st7_stream_ingest_screen" -> st7StreamIngestScreen _,
-    "st8_upsert_sink" -> st8UpsertSink _)
+    "st8_upsert_sink" -> st8UpsertSink _,
+    "st9_stream_neardup_screen" -> st9StreamNearDupScreen _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -389,5 +427,6 @@ object StreamingOps {
     "st7_stream_ingest_screen" -> st7Sql,
     // deliberately q23's oracle text: the hash compare proves the
     // batch-by-batch upsert fold converges to the one-shot merge
-    "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql)
+    "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql,
+    "st9_stream_neardup_screen" -> st9Sql)
 }

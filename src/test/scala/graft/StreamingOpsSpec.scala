@@ -92,6 +92,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("st9: streaming and batch modes of the near-dup screen agree") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val base = ("w" + (1 to 60).mkString(" w"))
+    val nearOfBase = base.split(" ").drop(2).mkString(" ")
+    val docs = Seq(
+      (1L, base),                              // corpus
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"), // corpus, unrelated
+      (7L, base),                              // batch: exact dup of doc 1
+      (17L, nearOfBase),                       // batch: near dup of doc 1
+      (27L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")) // batch: unique
+    val dir = java.nio.file.Files.createTempDirectory("graft_st9").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = StreamingOps.st9StreamNearDupScreen(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.map(t => (t._1, t._2)) === Set((7L, 1L), (17L, 1L)),
+      s"batch screen hits: $want")
+    assert(want.forall(_._3 >= 0.8))
+
+    // the IDENTICAL core over a MemoryStream: stateless stream-static
+    // probe — band-collision copies may repeat rows, so compare SETS
+    val indexKeys = spark.read.parquet(DedupOps.dedupIndexKeys(spark, dir))
+    val shingles = spark.read.parquet(DedupOps.dedupIndexShingles(spark, dir))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.filter(_._1 % 10 == 7))
+    val q = DedupOps.nearDupHits(
+        stream.toDF.toDF("doc_id", "text"), indexKeys, shingles, 0.8)
+      .writeStream.format("memory").queryName("st9_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st9_test")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // and the stream plan kept no state: a stateless screen must not
+    // allocate a state store
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${q.lastProgress.stateOperators}")
+  }
+
   test("st1: streaming and batch modes of hourlyTypeCounts agree") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
