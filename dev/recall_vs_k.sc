@@ -13,9 +13,12 @@
 // alone, not a probe-budget change.
 import org.apache.spark.sql.functions._
 
+// NOTE: single-line vals — the REPL's -I mode treats a leading-dot line
+// as a continuation of the PREVIOUS RESULT, so a split chain on its own
+// line would leave `ks` bound to the raw string (and a for over a String
+// iterates chars — k = 44..57 char codes, 20 silent nonsense runs).
 val dir = sys.env.getOrElse("RECALL_DIR", "target/scale40x")
-val ks = sys.env.getOrElse("RECALL_KS", "64,96,142,200,283")
-  .split(",").map(_.trim.toInt).toSeq
+val ks: Seq[Int] = sys.env.getOrElse("RECALL_KS", "64,96,142,200,283").split(",").map(_.trim.toInt).toSeq
 
 def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
   import df.sparkSession.implicits._
