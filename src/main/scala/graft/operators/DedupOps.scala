@@ -589,6 +589,49 @@ object DedupOps {
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9""".stripMargin
 
+  /** d9: embedding-CLUSTER dedup — the SemDeDup shape (semantic dedup a
+    * training pipeline runs where text dedup cannot see the duplication:
+    * re-encodes, paraphrases, format shifts). d5's verified cosine ≥ 0.9
+    * pairs become edges, [[connectedComponents]] labels each semantic
+    * cluster with its min vec_id, and exactly the cluster root is kept —
+    * the embedding-space twin of d7 (same transitive-keep semantics: A~B,
+    * B~C drops BOTH B and C even when A~C was never observed). Candidate
+    * generation stays sign-LSH-bucketed, verify candidates-only, and the
+    * CC iteration moves (id, label) pairs — nothing here ever shuffles an
+    * embedding twice. On this corpus d5 finds no pairs, so every vector
+    * is its own kept cluster — the structure is exercised by the oracle
+    * either way, and DedupOpsSpec proves cluster/keep behavior on planted
+    * near-identical vector families (the d5 precedent). */
+  def d9EmbeddingClusterDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val labels = connectedComponents(d5EmbeddingNeardup(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    emb.select(col("vec_id"))
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
+
+  /** Oracle: recursive-CTE closure over the brute-force cosine pair list
+    * (d7's oracle device applied to d5's pair relation). */
+  private val d9Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT * FROM ($d5Sql)),
+       |sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |        UNION SELECT vec_b, vec_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |  WHERE s.b <> r.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS cluster
+       |         FROM reach GROUP BY a)
+       |SELECT e.vec_id,
+       |  COALESCE(c.cluster, e.vec_id) AS cluster_id,
+       |  e.vec_id = COALESCE(c.cluster, e.vec_id) AS keep
+       |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node""".stripMargin
+
   // ------------------------------------------------- end-to-end keep bit
 
   /** d6: the dedup pipeline's end product — one keep/drop bit per
@@ -1076,7 +1119,8 @@ object DedupOps {
     "d5_embedding_neardup" -> d5EmbeddingNeardup _,
     "d6_dedup_keep" -> d6DedupKeep _,
     "d7_cc_dedup" -> d7CcDedup _,
-    "d8_incremental_dedup" -> d8IncrementalDedup _)
+    "d8_incremental_dedup" -> d8IncrementalDedup _,
+    "d9_embedding_cluster_dedup" -> d9EmbeddingClusterDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -1086,5 +1130,6 @@ object DedupOps {
     "d5_embedding_neardup" -> d5Sql,
     "d6_dedup_keep" -> d6Sql,
     "d7_cc_dedup" -> d7Sql,
-    "d8_incremental_dedup" -> d8Sql)
+    "d8_incremental_dedup" -> d8Sql,
+    "d9_embedding_cluster_dedup" -> d9Sql)
 }

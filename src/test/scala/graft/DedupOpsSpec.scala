@@ -303,4 +303,51 @@ class DedupOpsSpec extends SparkSpec {
       .intersect(SignLsh.bandKeys(vNear.toSeq).toSet)
     assert(shared.nonEmpty, "near-identical vectors must share at least one band")
   }
+
+  test("d9: embedding clusters keep exactly the min-id root; transitive chains collapse") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31L)
+    def vec() = Array.fill(64)(rng.nextGaussian())
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // cluster A: an exact-rotation chain in the (a, u) plane — adjacent
+    // members at 18° (cos 0.951 ≥ 0.9), chain ENDS at 36° (cos 0.809 <
+    // 0.9): the ends pair with NO direct edge, so only CC transitivity
+    // can put them in one cluster
+    val aU = unit(vec())
+    val u0 = vec()
+    val proj = u0.zip(aU).map { case (x, ax) => x * ax }.sum
+    val uU = unit(u0.zip(aU).map { case (x, ax) => x - proj * ax })
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      aU.zip(uU).map { case (ax, ux) => math.cos(r) * ax + math.sin(r) * ux }
+    }
+    val b = vec()
+    val bNear = b.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.05 else x }
+    val rows = Seq(
+      10L -> rot(0), 11L -> rot(18), 12L -> rot(36),
+      // cluster B: a simple near-identical pair
+      20L -> b, 21L -> bNear) ++
+      // singletons: independent random vectors
+      (30L to 39L).map(i => i -> vec())
+    val dir = java.nio.file.Files.createTempDirectory("graft_d9").toString
+    rows.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = DedupOps.d9EmbeddingClusterDedup(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size === rows.size, "one row per vector")
+    // cluster A collapses transitively to root 10; only the root keeps
+    assert(got(10L) === ((10L, true)))
+    assert(got(11L) === ((10L, false)))
+    assert(got(12L) === ((10L, false)), "chain end must join via transitivity")
+    // cluster B roots at 20
+    assert(got(20L) === ((20L, true)))
+    assert(got(21L) === ((20L, false)))
+    // singletons each their own kept cluster
+    (30L to 39L).foreach(i => assert(got(i) === ((i, true)), s"singleton $i"))
+  }
 }
