@@ -881,13 +881,25 @@ object SimilarityOps {
 
   /** The in-cell ADC candidate relation — factored out so the spec can
     * count scanned candidate rows and assert the nprobe/k scan-volume
-    * contract directly against s5's full-table scan. */
+    * contract directly against s5's full-table scan. The probed-cell
+    * union rides ahead of the join as a literal IN-list (a driver
+    * collect bounded by queries × nprobe — the registered batch is
+    * 20 × k/4 — never by the corpus), so it reaches the layout scan as
+    * a PartitionFilter: only probed cell directories are listed and
+    * read, the s3 device applied to the code table. At the default
+    * nprobe/k = 1/4 a 20-query batch usually covers every cell and the
+    * pruning is a no-op; a small or focused batch reads only its cells. */
   private[graft] def s7Candidates(s: SparkSession, dir: String, k: Int,
-      probedQueries: DataFrame): DataFrame =
+      probedQueries: DataFrame): DataFrame = {
+    import s.implicits._
+    val cells = probedQueries.select($"cell".cast("int")).distinct()
+      .as[Int].collect().toSeq
     s.read.parquet(ivfPqTable(s, dir, k))
+      .where(col("cell").isInCollection(cells))
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("vnorm"), col("cell"))
       .join(broadcast(probedQueries), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
+  }
 
   /** s7 registered: exact anchor + recall booleans, the s2 pattern. */
   def s7IvfPqChecked(s: SparkSession, dir: String): DataFrame =

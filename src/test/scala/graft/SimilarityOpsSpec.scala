@@ -290,6 +290,12 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(perQuery.forall(_.size === nprobe))
     assert(nprobe < allCells.size,
       s"degenerate sizing: nprobe $nprobe covers all ${allCells.size} cells")
+    // the probed-cell IN-list must reach the layout scan as a PARTITION
+    // filter (directory pruning), the s3 contract applied to the codes
+    val plan = SimilarityOps.s7Candidates(spark, dir, k, probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected cell partition pruning in:\n$plan")
   }
 
   test("s7 checked: exact top-k rows, recall_ok true on the real corpus") {
