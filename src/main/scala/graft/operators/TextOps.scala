@@ -596,6 +596,61 @@ object TextOps {
        |  src_pctile >= $DropQuantile AS keep
        |FROM ranked""".stripMargin
 
+  // ------------------------------------------- t12 boilerplate / novelty
+
+  /** A trigram present in at least this many docs is "common" — the
+    * boilerplate signal (headers, footers, licence blurbs, navigation
+    * chrome repeat VERBATIM across documents, which is exactly what
+    * per-gram document frequency sees and per-doc repetition (t7)
+    * cannot). 5 on a 500-doc fixture ≈ the 1% rule of thumb; production
+    * calibrates per corpus — the CONTRACT is the df machinery. */
+  private[graft] val CommonDf = 5
+
+  /** t12: boilerplate / novelty scoring via shingle document frequency —
+    * the RefinedWeb-style cross-document signal: for each doc, how many
+    * of its distinct trigrams appear in ≥ [[CommonDf]] docs (boilerplate
+    * mass) and how many appear nowhere else (novel mass). Counts stay
+    * BIGINT end-to-end and the flag is integer arithmetic (5·n_common ≥
+    * n_grams, i.e. ratio ≥ 0.2), so the FULL output hash-compares.
+    *
+    * Scale shape: grams ride [[DedupOps.shingles]] (the shared codegen'd
+    * fold, distinct per doc) and are xxhash64'd to 8 bytes before any
+    * exchange — the df aggregation and the join back both move (gh, df)
+    * longs, map-side combined, never gram strings (t8's h60 discipline;
+    * a ~1e-10 collision merges the same counts in both engines). Two
+    * narrow exchanges over 16-byte rows; nothing driver-side. */
+  def t12Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", explode(DedupOps.shingles($"text", 3)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("gh"))
+    val df = sh.groupBy($"gh").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("gh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" >= CommonDf, 1L).otherwise(0L)).as("n_common"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_common", $"n_novel",
+        (lit(5) * $"n_common" >= $"n_grams").as("boilerplate"))
+  }
+
+  private val t12Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  UNNEST(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w)-2),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT sh.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN df.df >= $CommonDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  5 * SUM(CASE WHEN df.df >= $CommonDf THEN 1 ELSE 0 END) >= count(*) AS boilerplate
+       |FROM sh JOIN df USING (s)
+       |GROUP BY sh.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
@@ -607,7 +662,8 @@ object TextOps {
     "t8_bigram_lm" -> t8BigramLm _,
     "t9_pii_redact" -> t9PiiRedact _,
     "t10_decontaminate" -> t10Decontaminate _,
-    "t11_perplexity_filter" -> t11PerplexityFilter _)
+    "t11_perplexity_filter" -> t11PerplexityFilter _,
+    "t12_boilerplate" -> t12Boilerplate _)
 
   val oracleSql: Map[String, String] = Map(
     "t1_text_stats" -> t1Sql,
@@ -620,5 +676,6 @@ object TextOps {
     "t8_bigram_lm" -> t8Sql,
     "t9_pii_redact" -> t9Sql,
     "t10_decontaminate" -> t10Sql,
-    "t11_perplexity_filter" -> t11Sql)
+    "t11_perplexity_filter" -> t11Sql,
+    "t12_boilerplate" -> t12Sql)
 }

@@ -245,4 +245,45 @@ class TextOpsSpec extends SparkSpec {
       assert(fl === (p >= 0.036))
     }
   }
+
+  test("t12: a shared verbatim footer flags boilerplate; unique docs are all-novel") {
+    // 6 docs = unique 20-word body + the SAME 10-word footer; 3 docs
+    // fully unique. Footer-internal trigrams (8 of them) get df = 6 >=
+    // CommonDf = 5; body and boundary trigrams are df = 1.
+    val footer = (1 to 10).map(i => s"f$i").mkString(" ")
+    val docs = (1 to 6).map { d =>
+      (d.toLong, (1 to 20).map(i => s"b${d}w$i").mkString(" ") + " " + footer)
+    } ++ (7 to 9).map { d =>
+      (d.toLong, (1 to 20).map(i => s"u${d}w$i").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_t12").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TextOps.t12Boilerplate(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 9)
+    (1L to 6L).foreach { d =>
+      // 30 words -> 28 distinct trigrams; 8 footer-internal common;
+      // 18 body + 2 boundary novel
+      assert(got(d) === ((d, 28L, 8L, 20L, true)), s"shared-footer doc $d: ${got(d)}")
+    }
+    (7L to 9L).foreach { d =>
+      assert(got(d) === ((d, 18L, 0L, 18L, false)), s"unique doc $d: ${got(d)}")
+    }
+  }
+
+  test("t12: real-corpus output is complete and internally consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = TextOps.t12Boilerplate(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === docs.count())
+    rows.foreach { case (id, n, c, v, fl) =>
+      assert(n >= 1, s"doc $id has no grams")
+      assert(c >= 0 && v >= 0 && c + v <= n, s"doc $id counts: $n/$c/$v")
+      assert(fl === (5 * c >= n), s"doc $id flag")
+    }
+  }
 }
