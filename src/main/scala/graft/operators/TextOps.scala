@@ -618,7 +618,15 @@ object TextOps {
     * exchange — the df aggregation and the join back both move (gh, df)
     * longs, map-side combined, never gram strings (t8's h60 discipline;
     * a ~1e-10 collision merges the same counts in both engines). Two
-    * narrow exchanges over 16-byte rows; nothing driver-side. */
+    * narrow exchanges over 16-byte rows; nothing driver-side. Audited
+    * plan: the (gh, df) relation BROADCASTS while it fits (fixture
+    * plans show BroadcastHashJoin — the doc side never shuffles), and
+    * the shingle fold is deliberately computed on both sides rather
+    * than materialized once: recomputing a codegen'd narrow fold is
+    * cheaper at corpus scale than the alternative — a window count
+    * over gh, which would SORT the entire exploded gram stream. Past
+    * broadcast size the join degrades gracefully to a hash-partitioned
+    * join on the 8-byte key. */
   def t12Boilerplate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
