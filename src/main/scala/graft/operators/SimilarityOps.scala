@@ -177,15 +177,44 @@ object SimilarityOps {
     * ~10 s single-core at k=1024 and hours at k=10⁴. */
   private[graft] val DriverTrainCap = 1024
 
-  /** The (dir, k) quantizer: trains on first use per JVM, then reuses.
-    * Concurrent first callers serialize through the TrieMap the same way
-    * Layouts' write-once helpers do. */
+  /** The (dir, k) quantizer — trained once, PERSISTED, then loaded: the
+    * first use per (dir, k) anywhere trains and writes the centroid
+    * table `(cell_id, c_vec)` under target/; every later JVM loads
+    * k×dim doubles (a bounded collect) instead of re-training. This is
+    * the artifact a real deployment ships WITH the index — before it,
+    * each bench/scale process re-trained identical centroids in its
+    * warm-up. In-JVM reuse still short-circuits through the memo;
+    * doubles round-trip parquet exactly, and content is deterministic
+    * per (dir, k) (seeded sample, fixed init/iters), so load ≡ retrain
+    * — spec-asserted via a sentinel table. */
   private[graft] def centroidsFor(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
     trainedCentroids.getOrElseUpdate((dir, k), {
-      val emb = Tables.embeddings(s, dir)
-      if (k <= DriverTrainCap) kmeans(emb, k, iters = 3)
-      else kmeansDistributed(emb, k, iters = 3)
+      import s.implicits._
+      val path = java.nio.file.Paths.get("target",
+        s"graft_ivf_centroids_k${k}_" + graft.sources.Layouts.dirTag(dir))
+        .toAbsolutePath.toString
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        s.read.parquet(path).orderBy($"cell_id")
+          .select($"c_vec").as[Seq[Double]].collect().map(_.toArray)
+      } else {
+        val emb = Tables.embeddings(s, dir)
+        val cs = if (k <= DriverTrainCap) kmeans(emb, k, iters = 3)
+                 else kmeansDistributed(emb, k, iters = 3)
+        cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell_id", "c_vec").repartition(1)
+          .write.mode("overwrite").parquet(path)
+        cs
+      }
     })
+
+  /** Test hook: drop the in-JVM index memos so the NEXT [[centroidsFor]]
+    * / [[pqCodebooksFor]] call exercises the persisted-table load path —
+    * simulating a fresh process. Content is deterministic, so clearing
+    * never changes any query's result. */
+  private[graft] def resetIndexMemos(): Unit = {
+    trainedCentroids.clear()
+    trainedBooks.clear()
+  }
 
   /** Per-cell score structs (cosine, cell-id) against broadcast centroid
     * literals. Ranking by dot(v,c)/|c| — |v| is constant across cells, so
@@ -687,13 +716,33 @@ object SimilarityOps {
     centroids
   }
 
-  /** The M per-subspace codebooks, trained on ONE collected sample and
-    * memoized per dir (the one-time index build, like [[centroidsFor]]). */
-  private val trainedBooks =
+  /** The M per-subspace codebooks — trained on ONE collected sample,
+    * PERSISTED as `(m, code, c_vec)`, loaded by later JVMs (same
+    * ship-with-the-index contract as [[centroidsFor]]). */
+  private[graft] val trainedBooks =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
   private[graft] def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    trainedBooks.getOrElseUpdate(dir,
-      pqCodebooks(Tables.embeddings(s, dir)))
+    trainedBooks.getOrElseUpdate(dir, {
+      import s.implicits._
+      val path = java.nio.file.Paths.get("target",
+        "graft_pq_codebooks_" + graft.sources.Layouts.dirTag(dir))
+        .toAbsolutePath.toString
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val rows = s.read.parquet(path)
+          .select($"m", $"code", $"c_vec").as[(Int, Int, Seq[Double])]
+          .collect() // M×K rows — bounded by the codebook size, never data
+        val byM = rows.groupBy(_._1)
+        Array.tabulate(PqM)(m =>
+          byM(m).sortBy(_._2).map(_._3.toArray))
+      } else {
+        val books = pqCodebooks(Tables.embeddings(s, dir))
+        books.zipWithIndex.flatMap { case (book, m) =>
+          book.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
+        }.toSeq.toDF("m", "code", "c_vec").repartition(1)
+          .write.mode("overwrite").parquet(path)
+        books
+      }
+    })
   private[graft] def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
     val train = trainingSample(emb, PqK)
     require(train.nonEmpty, "pqCodebooks: embeddings table is empty")

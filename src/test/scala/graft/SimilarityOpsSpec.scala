@@ -308,6 +308,47 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.forall(_._3), "IVF×PQ recall below bound on the real corpus")
   }
 
+  test("quantizer and PQ codebooks persist: a fresh process LOADS the shipped tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_persist").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k = 16
+    val trained = SimilarityOps.centroidsFor(spark, dir, k)
+    val books = SimilarityOps.pqCodebooksFor(spark, dir)
+
+    // simulate a fresh JVM: drop the memos — the next call must LOAD
+    SimilarityOps.resetIndexMemos()
+    val loaded = SimilarityOps.centroidsFor(spark, dir, k)
+    assert(loaded.length === trained.length)
+    trained.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    val loadedBooks = SimilarityOps.pqCodebooksFor(spark, dir)
+    assert(loadedBooks.length === books.length)
+    books.zip(loadedBooks).foreach { case (ba, bb) =>
+      assert(ba.length === bb.length)
+      ba.zip(bb).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    }
+
+    // prove the DISK is the source (identical content can't): replace the
+    // persisted centroids with a sentinel and reload — the sentinel must
+    // come back, not a retrain
+    import spark.implicits._
+    val path = java.nio.file.Paths.get("target",
+      s"graft_ivf_centroids_k${k}_" + graft.sources.Layouts.dirTag(dir))
+      .toAbsolutePath.toString
+    val sentinel = trained.zipWithIndex.map { case (c, i) => (i, c.map(_ + 1.0).toSeq) }
+    sentinel.toSeq.toDF("cell_id", "c_vec").repartition(1)
+      .write.mode("overwrite").parquet(path)
+    SimilarityOps.resetIndexMemos()
+    val reloaded = SimilarityOps.centroidsFor(spark, dir, k)
+    reloaded.zip(trained).foreach { case (r, t) =>
+      assert(r.toSeq === t.map(_ + 1.0).toSeq, "load must come from the persisted table")
+    }
+    // restore the true table so later suites sharing the JVM stay correct
+    trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "c_vec").repartition(1)
+      .write.mode("overwrite").parquet(path)
+    SimilarityOps.resetIndexMemos()
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
