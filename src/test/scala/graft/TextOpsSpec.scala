@@ -275,6 +275,16 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t12 plan: the df side broadcasts and only two hash exchanges exist") {
+    val plan = TextOps.t12Boilerplate(spark, sf)
+      .queryExecution.executedPlan.toString
+    // (gh, df) is the bounded side — it must broadcast at fixture scale
+    // so the doc-side gram stream never shuffles on gh
+    assert(plan.contains("BroadcastHashJoin"), s"df side did not broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2,
+      s"expected exactly the df agg + doc agg exchanges:\n$plan")
+  }
+
   test("t12: real-corpus output is complete and internally consistent") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rows = TextOps.t12Boilerplate(spark, sf)
