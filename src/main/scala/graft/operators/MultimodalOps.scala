@@ -437,7 +437,13 @@ object MultimodalOps {
     * luminance EXACTLY equal to the byte ((299v+587v+114v)/1000 = v in
     * integer arithmetic), so the decoded histogram/meta of the strip is
     * reproducible in DuckDB from `documents.text` alone — no boolean
-    * contract needed, the full output hash-compares. */
+    * contract needed, the full output hash-compares.
+    *
+    * An EMPTY payload pads to a single black pixel (PNG has no 0-width
+    * image), so the decoder sees one zero byte; the oracle models the
+    * same pad (`greatest(1, length)` series bound, `ascii('') = 0`), so
+    * engine and oracle agree BY CONSTRUCTION on empty documents — not
+    * merely because the current fixtures happen to contain none. */
   private[graft] def pngStrip(bytes: Array[Byte]): Array[Byte] = {
     val w = math.max(1, bytes.length)
     val img = new java.awt.image.BufferedImage(

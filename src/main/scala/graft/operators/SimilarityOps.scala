@@ -177,6 +177,72 @@ object SimilarityOps {
     * ~10 s single-core at k=1024 and hours at k=10⁴. */
   private[graft] val DriverTrainCap = 1024
 
+  /** Bump when any training constant changes (Lloyd iters, seeded-sample
+    * init, the 256·k sample cap, [[DriverTrainCap]], [[PqM]]/[[PqK]]):
+    * the version is part of every persisted-index-table name, so a table
+    * trained by OLDER code can never be silently loaded by newer code —
+    * the "load ≡ retrain" contract holds across code changes, not just
+    * across processes. */
+  private[graft] val TrainerVersion = 2
+
+  /** On-disk path of the persisted quantizer. The name encodes everything
+    * that determines its content: trainer version, k, the corpus ROW
+    * COUNT (the regeneration fingerprint — rebuilding the corpus at the
+    * same directory path, which the scale scripts do, almost always
+    * changes the count and therefore gets a fresh table instead of a
+    * stale one), and the dir tag. */
+  private[graft] def centroidsPath(s: SparkSession, dir: String, k: Int): String =
+    java.nio.file.Paths.get("target",
+      s"graft_ivf_centroids_v${TrainerVersion}_k${k}_n${corpusCount(s, dir)}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
+  /** Load gate for a persisted index table: only a COMPLETE write counts
+    * — the committer's _SUCCESS marker must exist. A crashed writer's
+    * partial directory is treated as absent and republished; it is never
+    * loaded. */
+  private def completedTable(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
+  /** Publish a small index table ATOMICALLY: write to a pid-suffixed side
+    * path (where the committer drops _SUCCESS), then rename into place —
+    * a same-filesystem directory move, so a concurrent or later reader
+    * sees no table or the whole table, never a torn one. If a concurrent
+    * trainer in another process won the rename, ours is discarded —
+    * content is deterministic per path, so either copy is correct. */
+  private def publishAtomically(df: DataFrame, path: String): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      path + "_stage" + java.lang.ProcessHandle.current().pid())
+    val target = java.nio.file.Paths.get(path)
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException =>
+      if (completedTable(path)) {
+        // a concurrent trainer won the rename; its content equals ours
+        deleteRecursively(tmp)
+      } else {
+        // torn leftover from a crashed writer blocks the rename: clear it
+        // and retry once; if ANOTHER process raced us to the same repair,
+        // whichever rename lands is complete and correct
+        deleteRecursively(target)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException =>
+          deleteRecursively(tmp)
+          require(completedTable(path),
+            s"atomic publish of $path failed with no complete table present")
+        }
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** The (dir, k) quantizer — trained once, PERSISTED, then loaded: the
     * first use per (dir, k) anywhere trains and writes the centroid
     * table `(cell_id, c_vec)` under target/; every later JVM loads
@@ -186,23 +252,26 @@ object SimilarityOps {
     * warm-up. In-JVM reuse still short-circuits through the memo;
     * doubles round-trip parquet exactly, and content is deterministic
     * per (dir, k) (seeded sample, fixed init/iters), so load ≡ retrain
-    * — spec-asserted via a sentinel table. */
+    * — spec-asserted via a sentinel table. Load path trusts only a
+    * COMPLETE table ([[completedTable]]) and asserts the loaded row
+    * count equals k — a partial or foreign table fails loudly instead
+    * of poisoning every query in the JVM. */
   private[graft] def centroidsFor(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
     trainedCentroids.getOrElseUpdate((dir, k), {
       import s.implicits._
-      val path = java.nio.file.Paths.get("target",
-        s"graft_ivf_centroids_k${k}_" + graft.sources.Layouts.dirTag(dir))
-        .toAbsolutePath.toString
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-        s.read.parquet(path).orderBy($"cell_id")
+      val path = centroidsPath(s, dir, k)
+      if (completedTable(path)) {
+        val cs = s.read.parquet(path).orderBy($"cell_id")
           .select($"c_vec").as[Seq[Double]].collect().map(_.toArray)
+        require(cs.length == k,
+          s"persisted quantizer at $path holds ${cs.length} centroids, expected $k")
+        cs
       } else {
         val emb = Tables.embeddings(s, dir)
         val cs = if (k <= DriverTrainCap) kmeans(emb, k, iters = 3)
                  else kmeansDistributed(emb, k, iters = 3)
-        cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cell_id", "c_vec").repartition(1)
-          .write.mode("overwrite").parquet(path)
+        publishAtomically(cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("cell_id", "c_vec"), path)
         cs
       }
     })
@@ -716,30 +785,41 @@ object SimilarityOps {
     centroids
   }
 
+  /** On-disk path of the persisted PQ codebooks — same naming contract as
+    * [[centroidsPath]] (trainer version + hyperparameters + corpus-count
+    * fingerprint + dir tag). */
+  private[graft] def pqCodebooksPath(s: SparkSession, dir: String): String =
+    java.nio.file.Paths.get("target",
+      s"graft_pq_codebooks_v${TrainerVersion}_m${PqM}_k${PqK}_n${corpusCount(s, dir)}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
   /** The M per-subspace codebooks — trained on ONE collected sample,
     * PERSISTED as `(m, code, c_vec)`, loaded by later JVMs (same
-    * ship-with-the-index contract as [[centroidsFor]]). */
+    * ship-with-the-index contract as [[centroidsFor]]: _SUCCESS-gated
+    * load, atomic publish, and a loaded-shape assertion — exactly M×K
+    * rows covering every (m, code) — so a torn table fails loudly). */
   private[graft] val trainedBooks =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
   private[graft] def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     trainedBooks.getOrElseUpdate(dir, {
       import s.implicits._
-      val path = java.nio.file.Paths.get("target",
-        "graft_pq_codebooks_" + graft.sources.Layouts.dirTag(dir))
-        .toAbsolutePath.toString
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val path = pqCodebooksPath(s, dir)
+      if (completedTable(path)) {
         val rows = s.read.parquet(path)
           .select($"m", $"code", $"c_vec").as[(Int, Int, Seq[Double])]
           .collect() // M×K rows — bounded by the codebook size, never data
+        require(rows.length == PqM * PqK,
+          s"persisted codebooks at $path hold ${rows.length} rows, expected ${PqM * PqK}")
         val byM = rows.groupBy(_._1)
+        require((0 until PqM).forall(m => byM.get(m).exists(_.length == PqK)),
+          s"persisted codebooks at $path missing a subspace (need $PqK codes per m in 0..${PqM - 1})")
         Array.tabulate(PqM)(m =>
           byM(m).sortBy(_._2).map(_._3.toArray))
       } else {
         val books = pqCodebooks(Tables.embeddings(s, dir))
-        books.zipWithIndex.flatMap { case (book, m) =>
+        publishAtomically(books.zipWithIndex.flatMap { case (book, m) =>
           book.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
-        }.toSeq.toDF("m", "code", "c_vec").repartition(1)
-          .write.mode("overwrite").parquet(path)
+        }.toSeq.toDF("m", "code", "c_vec"), path)
         books
       }
     })

@@ -331,9 +331,7 @@ class SimilarityOpsSpec extends SparkSpec {
     // persisted centroids with a sentinel and reload — the sentinel must
     // come back, not a retrain
     import spark.implicits._
-    val path = java.nio.file.Paths.get("target",
-      s"graft_ivf_centroids_k${k}_" + graft.sources.Layouts.dirTag(dir))
-      .toAbsolutePath.toString
+    val path = SimilarityOps.centroidsPath(spark, dir, k)
     val sentinel = trained.zipWithIndex.map { case (c, i) => (i, c.map(_ + 1.0).toSeq) }
     sentinel.toSeq.toDF("cell_id", "c_vec").repartition(1)
       .write.mode("overwrite").parquet(path)
@@ -342,10 +340,15 @@ class SimilarityOpsSpec extends SparkSpec {
     reloaded.zip(trained).foreach { case (r, t) =>
       assert(r.toSeq === t.map(_ + 1.0).toSeq, "load must come from the persisted table")
     }
-    // restore the true table so later suites sharing the JVM stay correct
-    trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell_id", "c_vec").repartition(1)
-      .write.mode("overwrite").parquet(path)
+
+    // a TORN table (no _SUCCESS — the crashed-writer state) must NOT be
+    // loaded: the load gate treats it as absent and retrains
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_SUCCESS"))
+    SimilarityOps.resetIndexMemos()
+    val retrained = SimilarityOps.centroidsFor(spark, dir, k)
+    retrained.zip(trained).foreach { case (r, t) =>
+      assert(r.toSeq === t.toSeq, "torn table must be ignored and retrained")
+    }
     SimilarityOps.resetIndexMemos()
   }
 
