@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet scan helpers over the driver testdata (TESTDATA.md).
   *
@@ -23,11 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read the raw INT64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a micros
-    * timestamp — the exact conversion DuckDB applies when it loads the same
-    * file into its micros TIMESTAMP, so oracle comparisons stay aligned.
+  /** `events.ts` has shipped under two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (loaded as raw INT64 via
+    * `spark.sql.legacy.parquet.nanosAsLong`, which Spark's vectorized
+    * reader otherwise rejects) and TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (loaded as TIMESTAMP_NTZ). Rather than hardcode
+    * either, [[normalizeTs]] dispatches on the type the scan actually
+    * produced, so a driver-side re-encode can't break every events query.
+    * All variants normalize to the same session-TZ TIMESTAMP values: the
+    * session TZ is pinned UTC everywhere (Bench/Verify/tests), so an NTZ
+    * wall-clock cast and DuckDB's naive micros read agree exactly.
     *
     * The conf set here is session-global and sticky (the engine's session
     * builders — Bench, Verify, test harness — also set it at construction
@@ -35,8 +40,20 @@ object Tables {
     * is on TIMESTAMP(NANOS) columns, which no other table has. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Normalize an `events`-shaped frame's `ts` column to session-TZ
+    * TIMESTAMP regardless of how the scan surfaced it: INT64 nanos →
+    * truncate to micros (the conversion DuckDB applies loading the same
+    * nanos file); TIMESTAMP_NTZ → reinterpret the wall clock in the (UTC)
+    * session TZ; TIMESTAMP → already canonical. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other =>
+      throw new IllegalStateException(s"unsupported events.ts encoding: $other")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -65,4 +65,38 @@ class SourcesSinksSpec extends SparkSpec {
       assert(got === want)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("events scan is ts-encoding-robust: nanos INT64, micros NTZ and micros LTZ fixtures yield identical rows") {
+    // The driver has regenerated events.ts under different parquet encodings
+    // across rounds (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS, NTZ), which broke
+    // 19 queries in r9). Pin Tables.events against all the surfaces the scan
+    // can produce: LongType (what nanosAsLong yields for a NANOS column —
+    // Spark cannot WRITE nanos parquet, so encode the same INT64-nanos
+    // surface directly), TIMESTAMP_NTZ (micros, isAdjustedToUTC=false), and
+    // TIMESTAMP (micros, adjusted). All three must normalize to the same
+    // session-TZ TIMESTAMP rows.
+    import org.apache.spark.sql.types.TimestampType
+    val base = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .limit(200).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_enc").toString
+    val nanosDir = s"$root/nanos"; val ntzDir = s"$root/ntz"; val ltzDir = s"$root/ltz"
+    base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.parquet(s"$nanosDir/events.parquet")
+    base.withColumn("ts", $"ts".cast("timestamp_ntz"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    base.write.parquet(s"$ltzDir/events.parquet")
+    def rows(dir: String) = {
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType,
+        s"events.ts must normalize to TIMESTAMP, got ${df.schema("ts").dataType} from $dir")
+      df.select($"event_id", $"ts", $"value").collect().toSeq
+        .sortBy(r => r.getLong(0)) // event_id order, deterministic across scans
+    }
+    val (n, z, l) = (rows(nanosDir), rows(ntzDir), rows(ltzDir))
+    assert(n.nonEmpty)
+    assert(n === z, "nanos-encoded and micros-NTZ fixtures must load identically")
+    assert(n === l, "nanos-encoded and micros-LTZ fixtures must load identically")
+    base.unpersist()
+  }
 }
