@@ -148,7 +148,9 @@ object ScaleBench {
     write(shiftKeys(rd("orders"), "o_orderkey", "o_custkey"), "orders", 8)
     write(shiftKeys(rd("lineitem"), "l_orderkey", "l_partkey", "l_suppkey"),
       "lineitem", 32)
-    // events.ts stays raw INT64 nanos — Tables.events does the conversion
+    // events.ts is copied under whatever encoding the source carries
+    // (raw INT64 nanos or micros timestamp) — Tables.events normalizes
+    // on read in either case
     write(shiftKeys(rd("events"), "event_id", "user_id"), "events", 16)
 
     // documents: per-copy vocabulary remap (word ++ "~<copy>"), copy 0

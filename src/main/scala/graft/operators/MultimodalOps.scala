@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to DISK-backed stream caching: every read()/write()
+  // on a non-file stream creates and deletes a temp file under
+  // java.io.tmpdir. With 32 executor threads decoding thousands of blobs
+  // that is one /tmp create+unlink per image — filesystem contention
+  // whose cost swings wildly with machine load (m2r timed 0.66 s one
+  // round and 3.1 s the next on identical code). Byte-array payloads
+  // never need spill-to-disk; force in-memory stream caching JVM-wide.
+  // Lives in the OUTER object's initializer so any executor JVM that
+  // loads a MultimodalOps task closure (decode or the pngStrip /
+  // wavContainer encoders) gets it before the first codec call.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The codec contract every multimodal operator is written against: the
     * operators' plan shapes (per-partition batch decode, narrow maps) are
     * codec-independent — swapping implementations changes kernels, never

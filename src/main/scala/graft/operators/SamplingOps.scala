@@ -147,19 +147,23 @@ object SamplingOps {
     * so on the test corpus the filter drops nothing. */
   def p3DatasetMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val wExpr = MixWeights.tail.foldLeft(
       when($"lang" === MixWeights.head._1, MixWeights.head._2)) {
       case (e, (l, v)) => e.when($"lang" === l, v)
     }
-    Tables.documents(s, dir)
+    val perLang = Tables.documents(s, dir)
       .where($"lang".isInCollection(MixWeights.map(_._1)))
       .select($"lang", size(split($"text", " ")).as("t"))
       .groupBy($"lang").agg(sum($"t").as("tokens"))
       .withColumn("weight", wExpr)
       .withColumn("feasible", $"tokens".cast("double") * MaxEpochs / $"weight")
-      .withColumn("mix_total", min($"feasible").over(
-        Window.partitionBy(lit(1))))
+    // The binding constraint is a SCALAR (min over one row per weighted
+    // language): attach it as a broadcast cross join of a 1-row aggregate
+    // rather than an empty-frame window — a global window forces every
+    // row through ONE partition, a shape that silently serializes if this
+    // plan is ever reused over per-document rows.
+    perLang
+      .crossJoin(broadcast(perLang.agg(min($"feasible").as("mix_total"))))
       .select($"lang", $"tokens", $"weight",
         ($"weight" * $"mix_total").as("need_tokens"),
         ($"weight" * $"mix_total" / $"tokens").as("repeat_factor"))

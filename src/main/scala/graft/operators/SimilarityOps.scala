@@ -165,11 +165,54 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
   private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** Corpus row count, memoized per dir (parquet-metadata-only, but s2/s3/
-    * s4 each sizing their quantizer means three identical count jobs per
-    * suite pass without the memo). */
+  /** File-listing fingerprint of the embeddings corpus: md5 prefix over
+    * the sorted (relative path, size, mtime) of every file in the table —
+    * a pure filesystem-metadata operation, no Spark job, no parquet
+    * footer reads (at 100 TB even a footer-only count() is a distributed
+    * job over every corpus file; a listing is one namenode round-trip).
+    * Any regeneration rewrites files — new sizes or mtimes — so the
+    * fingerprint changes and a stale persisted index table can never be
+    * silently loaded, even when the rebuilt corpus happens to have the
+    * SAME row count (a hole the old count-based fingerprint left open). */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir, "embeddings.parquet")
+    val files =
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      else Seq(p)
+    val desc = files.map(f =>
+      s"${p.getParent.relativize(f)}:${Files.size(f)}:" +
+        s"${Files.getLastModifiedTime(f).toMillis}").sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Corpus row count — memoized per JVM AND persisted as a tiny
+    * fingerprint-named sidecar file under target/, so a fresh process
+    * sizing its quantizer ([[ivfK]]) or shortlist ([[pqShortlist]]) reads
+    * one small text file instead of running a count job over the corpus
+    * before it can even probe a warm index. The fingerprint in the name
+    * invalidates the sidecar whenever the corpus files change. */
   private[graft] def corpusCount(s: SparkSession, dir: String): Long =
-    corpusCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
+    corpusCounts.getOrElseUpdate(dir, {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val meta = Paths.get("target",
+        s"graft_corpus_meta_f${corpusFingerprint(dir)}_" +
+          graft.sources.Layouts.dirTag(dir) + ".txt")
+      if (Files.exists(meta)) Files.readString(meta).trim.toLong
+      else {
+        val n = Tables.embeddings(s, dir).count()
+        Files.createDirectories(meta.getParent)
+        val tmp = meta.resolveSibling(
+          meta.getFileName.toString + ".tmp" + ProcessHandle.current().pid())
+        Files.writeString(tmp, n.toString)
+        Files.move(tmp, meta,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        n
+      }
+    })
 
   /** Above this k the quantizer trains DISTRIBUTED ([[kmeansDistributed]])
     * instead of on the driver: the driver trainer's cost is sample×k
@@ -186,14 +229,14 @@ object SimilarityOps {
   private[graft] val TrainerVersion = 2
 
   /** On-disk path of the persisted quantizer. The name encodes everything
-    * that determines its content: trainer version, k, the corpus ROW
-    * COUNT (the regeneration fingerprint — rebuilding the corpus at the
-    * same directory path, which the scale scripts do, almost always
-    * changes the count and therefore gets a fresh table instead of a
-    * stale one), and the dir tag. */
+    * that determines its content: trainer version, k, the corpus FILE
+    * FINGERPRINT ([[corpusFingerprint]] — regeneration-safe naming with
+    * no Spark job and no corpus I/O, so a warm process can resolve and
+    * probe the table before touching the corpus at all), and the dir
+    * tag. */
   private[graft] def centroidsPath(s: SparkSession, dir: String, k: Int): String =
     java.nio.file.Paths.get("target",
-      s"graft_ivf_centroids_v${TrainerVersion}_k${k}_n${corpusCount(s, dir)}_" +
+      s"graft_ivf_centroids_v${TrainerVersion}_k${k}_f${corpusFingerprint(dir)}_" +
         graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
 
   /** Load gate for a persisted index table: only a COMPLETE write counts
@@ -283,6 +326,7 @@ object SimilarityOps {
   private[graft] def resetIndexMemos(): Unit = {
     trainedCentroids.clear()
     trainedBooks.clear()
+    corpusCounts.clear()
   }
 
   /** Per-cell score structs (cosine, cell-id) against broadcast centroid
@@ -563,11 +607,15 @@ object SimilarityOps {
       .join(approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-    val perQuery = exact.select(col("query_id")).distinct()
+    val counted = exact.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("mean_recall",
-        avg(col("n_hits").cast("double") / K).over(Window.partitionBy()))
+    // the mean is a SCALAR over the bounded audit relation — broadcast
+    // a 1-row aggregate instead of an empty-frame window (which would
+    // funnel the relation through a single partition)
+    val perQuery = counted
+      .crossJoin(broadcast(
+        counted.agg(avg(col("n_hits").cast("double") / K).as("mean_recall"))))
       .select(col("query_id"),
         (col("n_hits") >= minHits &&
           col("mean_recall") >= meanBound).as("recall_ok"))
@@ -786,11 +834,11 @@ object SimilarityOps {
   }
 
   /** On-disk path of the persisted PQ codebooks — same naming contract as
-    * [[centroidsPath]] (trainer version + hyperparameters + corpus-count
+    * [[centroidsPath]] (trainer version + hyperparameters + corpus file
     * fingerprint + dir tag). */
   private[graft] def pqCodebooksPath(s: SparkSession, dir: String): String =
     java.nio.file.Paths.get("target",
-      s"graft_pq_codebooks_v${TrainerVersion}_m${PqM}_k${PqK}_n${corpusCount(s, dir)}_" +
+      s"graft_pq_codebooks_v${TrainerVersion}_m${PqM}_k${PqK}_f${corpusFingerprint(dir)}_" +
         graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
 
   /** The M per-subspace codebooks — trained on ONE collected sample,

@@ -50,6 +50,17 @@ object Layouts {
       out
     })
 
+  /** Recursive delete of a local path tree (no-op if absent) — shared by
+    * the atomic-publish devices that must clear torn staging directories
+    * ([[graft.operators.DedupOps.indexUpsert]] generations and the
+    * SimilarityOps index-table publisher). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** 64-bit md5-prefix tag of a source dir for on-disk layout names.
     * Distinct dirs colliding is possible in principle (any finite tag) but
     * at 2^-64 per pair it is ignorable; the point of md5 over

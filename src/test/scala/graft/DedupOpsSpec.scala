@@ -262,7 +262,7 @@ class DedupOpsSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/index"
     DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(standing))
     DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(batch1))
-    def content() = spark.read.parquet(path)
+    def content() = DedupOps.loadIndex(spark, path)
       .select($"doc_id", $"band".cast("int"), $"key")
       .as[(Long, Int, Long)].collect().toSet
     val rebuilt = DedupOps.bandKeysOf(standing.unionByName(batch1))
@@ -283,7 +283,7 @@ class DedupOpsSpec extends SparkSpec {
       DedupOps.screenBatch(docsAll, batch2, digests, index)
         .as[(Long, Boolean, Boolean)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
-    val got = flagsVia(spark.read.parquet(path))
+    val got = flagsVia(DedupOps.loadIndex(spark, path))
     assert(got.keySet === Set(8L, 18L, 28L))
     assert(got(8L) === ((false, true)),
       "near dup of the folded batch1 doc must be caught by the updated index")
@@ -291,6 +291,46 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(28L) === ((false, false)), "unique doc")
     assert(got === flagsVia(rebuilt),
       "screen via folded index must equal screen via rebuilt index")
+  }
+
+  test("indexUpsert: a fold killed mid-write leaves the committed index fully pre-fold") {
+    import spark.implicits._
+    val standing = (1L to 6L).map(i => (i, s"a$i b$i c$i d$i e$i f$i g$i h$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((7L, "n1 n2 n3 n4 n5 n6 n7 n8")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_tear")
+      .toString + "/index"
+    DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(standing))
+    def content() = DedupOps.loadIndex(spark, path)
+      .select($"doc_id", $"band".cast("int"), $"key")
+      .as[(Long, Int, Long)].collect().toSet
+    val preFold = content()
+
+    // Inject a write-side failure that fires only on HIGH bands: the low
+    // bands' partitions are written successfully before a task throws, so
+    // the fold dies genuinely mid-write with a partially-populated staging
+    // generation on disk — the exact torn state the pointer swap must hide.
+    val boom = udf { (band: Int, key: Long) =>
+      if (band >= 16) throw new RuntimeException("injected mid-fold failure")
+      key
+    }
+    val failing = DedupOps.bandKeysOf(batch)
+      .withColumn("key", boom($"band", $"key"))
+    intercept[Throwable] { DedupOps.indexUpsert(spark, path, failing) }
+    assert(content() === preFold,
+      "a killed fold must leave the committed index exactly pre-fold")
+
+    // recovery: the next good fold commits and sweeps the orphaned staging
+    DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(batch))
+    val rebuilt = DedupOps.bandKeysOf(standing.unionByName(batch))
+      .select($"doc_id", $"band", $"key").as[(Long, Int, Long)].collect().toSet
+    assert(content() === rebuilt,
+      "the fold after a killed fold must commit the full post-fold state")
+    import scala.jdk.CollectionConverters._
+    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("gen-")).toSeq
+    assert(gens.size === 1, s"retired and orphaned generations must be swept, saw $gens")
   }
 
   test("d5: sign-LSH recalls planted near-identical embeddings") {

@@ -352,6 +352,45 @@ class SimilarityOpsSpec extends SparkSpec {
     SimilarityOps.resetIndexMemos()
   }
 
+  test("warm corpus metadata resolves with ZERO Spark jobs (no pre-load corpus scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n0 = SimilarityOps.corpusCount(spark, dir) // cold: counts + writes sidecar
+    SimilarityOps.resetIndexMemos()                // simulate a fresh process
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n1 = SimilarityOps.corpusCount(spark, dir)
+      assert(n1 === n0, "sidecar count must equal the counted value")
+      val p1 = SimilarityOps.centroidsPath(spark, dir, 16)
+      val p2 = SimilarityOps.pqCodebooksPath(spark, dir)
+      assert(p1.contains("_f") && p2.contains("_f"))
+      // listener events post asynchronously — give the bus time to drain
+      // before asserting ABSENCE
+      Thread.sleep(1000)
+      assert(jobs.get === 0,
+        "warm count + index-table naming must run no Spark job at all")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // regeneration safety: rewriting the corpus (same count, new files)
+    // must change the fingerprint and therefore every index-table name
+    val fp0 = SimilarityOps.corpusFingerprint(dir)
+    val p0 = SimilarityOps.centroidsPath(spark, dir, 16)
+    Thread.sleep(1100) // ensure a distinct mtime even on coarse filesystems
+    clustered().write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(SimilarityOps.corpusFingerprint(dir) !== fp0,
+      "rewritten corpus files must change the fingerprint")
+    assert(SimilarityOps.centroidsPath(spark, dir, 16) !== p0,
+      "index-table names must roll with the corpus fingerprint")
+    SimilarityOps.resetIndexMemos()
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
