@@ -569,17 +569,31 @@ object SimilarityOps {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Recall bounds asserted by [[s2AnnIvfChecked]], sized from measured
-    * behavior on the real corpus (nprobe=4 of k=16 cells; histograms in
-    * SCALING.md): mean recall@5 over the 20 queries is 0.80 / 0.82 / 0.89
-    * at sf0.001 / 0.01 / 0.1 with a per-query minimum of 1 hit (random
-    * high-dim embeddings put some exact neighbors right on cell
-    * boundaries — per-query recall is inherently heavy-tailed, which is
-    * why the hard bound is on the MEAN). A broken quantizer/probe scores
-    * ~0.25 mean (4/16 random cells) and 0 hits on many queries — far
-    * below both bounds. */
-  val MeanRecallBound = 0.6
+  /** Recall floors asserted by the `*Checked` queries, sized JUST BELOW
+    * measured behavior on the real corpus so a silent recall regression
+    * trips the gate (RecallProbe, round 10, across sf0.001/0.01/0.1:
+    * s2 0.94–0.97, s5 0.87–0.93, s7 0.92–0.94, s4 0.64–0.67, s3 5/5
+    * hits; each floor sits within 0.1 of its tier's worst measurement).
+    * Per-query recall stays heavy-tailed (random high-dim embeddings put
+    * some exact neighbors right on cell boundaries), so the hard bound
+    * is on the MEAN with a loose per-query floor. A broken
+    * quantizer/probe scores ~0.25 mean and 0 hits on many queries — far
+    * below every bound.
+    *
+    * Under an explicit quantizer budget cap (`SPARK_GRAFT_IVF_K_CAP`,
+    * the scale series' recall-for-cost trade measured in SCALING.md —
+    * e.g. ~0.73 mean at 40× with k capped to 64) the tight floors would
+    * refute a trade the deployment asked for by name: capped runs assert
+    * the documented trade floor instead. */
+  val MeanRecallBound = 0.6 // s4's floor, and every tier's under a k cap
   val PerQueryMinHits = 1
+  private def kCapped: Boolean = sys.env.contains("SPARK_GRAFT_IVF_K_CAP")
+  def s2MeanRecallBound: Double = if (kCapped) MeanRecallBound else 0.85
+  def s5MeanRecallBound: Double = if (kCapped) MeanRecallBound else 0.80
+  def s7MeanRecallBound: Double = if (kCapped) MeanRecallBound else 0.82
+  /** s3 is a single query — a mean over one value is just that value, so
+    * its floor is the hit count (measured 5/5 at every SF). */
+  def s3MinHits: Int = if (kCapped) PerQueryMinHits else 4
 
   /** s2 as registered for the driver's correctness gate. IVF ranking
     * itself is not SQL-expressible (k-means state), so — mirroring the
@@ -591,7 +605,8 @@ object SimilarityOps {
     * fails the driver's hash compare, so the check is a hard signal; the
     * raw approximate ranking stays available via [[s2AnnIvf]]. */
   def s2AnnIvfChecked(s: SparkSession, dir: String): DataFrame =
-    recallChecked(s1CosineTopk(s, dir), s2AnnIvf(s, dir))
+    recallChecked(s1CosineTopk(s, dir), s2AnnIvf(s, dir),
+      meanBound = s2MeanRecallBound)
 
   /** Exact top-k rows + recall booleans vs the given approx ranking.
     * Factored out so the spec can refute it with a sabotaged approx. The
@@ -686,7 +701,7 @@ object SimilarityOps {
     // recall is heavy-tailed by design) — the hard signal is the floor:
     // a broken quantizer/probe recovers 0 of the exact top-K
     recallChecked(s1CosineTopk(s, dir).where($"query_id" === 0), approx,
-      minHits = PerQueryMinHits, meanBound = 0.0)
+      minHits = s3MinHits, meanBound = 0.0)
   }
 
   private val s3Sql =
@@ -990,7 +1005,8 @@ object SimilarityOps {
 
   /** s5 registered: exact anchor + recall booleans, the s2 pattern. */
   def s5PqRerankChecked(s: SparkSession, dir: String): DataFrame =
-    recallChecked(s1CosineTopk(s, dir), s5PqRerank(s, dir))
+    recallChecked(s1CosineTopk(s, dir), s5PqRerank(s, dir),
+      meanBound = s5MeanRecallBound)
 
   private val s5Sql =
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
@@ -1080,7 +1096,8 @@ object SimilarityOps {
 
   /** s7 registered: exact anchor + recall booleans, the s2 pattern. */
   def s7IvfPqChecked(s: SparkSession, dir: String): DataFrame =
-    recallChecked(s1CosineTopk(s, dir), s7IvfPq(s, dir))
+    recallChecked(s1CosineTopk(s, dir), s7IvfPq(s, dir),
+      meanBound = s7MeanRecallBound)
 
   private val s7Sql =
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
