@@ -44,6 +44,27 @@ object ScaleBench {
   /** Key offset per copy — far above any sf0.1 key (max ~600k). */
   private val Off = 1000000000L
 
+  /** The per-copy embedding transform: cyclic rotation by (copy mod dim),
+    * and for the second block of dim copies also a negation of odd
+    * positions. Every member is ORTHOGONAL — norms and within-copy
+    * cosines (planted near-dups included) are preserved exactly — and
+    * the 2×dim members are pairwise distinct, so cross-copy cosines of
+    * the same base vector are ~0 rather than the exact-duplicate ties
+    * that would degenerate the ANN recall audit. (A raw rotation runs
+    * out of distinct transforms at copy = dim: slice length went
+    * negative there, which is how the 80× point failed first try.) */
+  private[graft] def copyTransform(emb: org.apache.spark.sql.Column,
+      copy: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dim = size(emb)
+    val rot = pmod(copy, dim).cast("int")
+    val rotated = concat(
+      slice(emb, rot + lit(1), dim - rot),
+      slice(emb, lit(1), rot))
+    when((copy / dim).cast("int") % 2 === 1,
+      transform(rotated, (x, i) => when(i % 2 === 1, -x).otherwise(x)))
+      .otherwise(rotated)
+  }
+
   /** Output columns that are accuracy CONTRACTS: every row must be true.
     * (Other boolean outputs — keep bits, split flags — are data.) */
   private val ContractCols = Set(
@@ -166,14 +187,12 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")))
     write(docs, "documents", 16)
 
-    // embeddings: cyclic rotation by copy — norm-preserving, and rotated
-    // random vectors are effectively independent points.
+    // embeddings: per-copy orthogonal transform ([[copyTransform]]) —
+    // norm- and within-copy-cosine-preserving, distinct per copy, so the
+    // ANN tier sees factor× genuinely distinct points.
+    require(factor <= 128, s"embedding replicator supports <= 128 copies, got $factor")
     val emb = shiftKeys(rd("embeddings"), "vec_id")
-      .withColumn("embedding",
-        concat(
-          slice(col("embedding"), col("copy").cast("int") + lit(1),
-            size(col("embedding")) - col("copy").cast("int")),
-          slice(col("embedding"), lit(1), col("copy").cast("int"))))
+      .withColumn("embedding", copyTransform(col("embedding"), col("copy")))
     write(emb, "embeddings", 8)
 
     Files.createDirectories(Paths.get(out))

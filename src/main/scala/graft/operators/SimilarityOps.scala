@@ -526,7 +526,8 @@ object SimilarityOps {
 
   /** [[s2AnnIvf]] with quantizer sized to the corpus ([[ivfK]]) — the
     * registered default; the explicit-(k, nprobe) overload remains for
-    * measurements and specs. The count is parquet-metadata-only. */
+    * measurements and specs. The count resolves from the fingerprint
+    * sidecar ([[corpusCount]]) — no corpus job on a warm process. */
   def s2AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val k = ivfK(corpusCount(s, dir))
     s2AnnIvf(s, dir, k, ivfNprobe(k))
