@@ -615,7 +615,7 @@ object DedupOps {
 
   /** Oracle: recursive-CTE closure over the brute-force cosine pair list
     * (d7's oracle device applied to d5's pair relation). */
-  private val d9Sql =
+  private[operators] val d9Sql =
     s"""WITH RECURSIVE
        |pairs AS (SELECT * FROM ($d5Sql)),
        |sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs

@@ -102,11 +102,61 @@ object PipelineOps {
        |                     WHERE NOT is_eval AND NOT contaminated))""".stripMargin,
     "e2:")
 
+  /** e3: the FULL curation capstone — e1's disposition chain extended by
+    * the round-8/9 additions into the complete per-document verdict a
+    * modern pipeline computes before packing shards:
+    *
+    *   keep = e1.keep            (exact+near dedup ∧ quality ∧ ¬repetitive)
+    *        ∧ t11.keep           (per-source perplexity percentile ≥ 0.25)
+    *        ∧ ¬t12.boilerplate   (cross-doc shingle-df chrome filter)
+    *        ∧ d9.keep            (semantic-cluster root — SemDeDup)
+    *
+    * Output keeps every stage bit alongside the verdict so downstream
+    * mixes can re-weigh a single rule without re-running the chain.
+    *
+    * Plan shape: every stage reduces to a (doc_id, flag) relation before
+    * joining — the heavy machinery (t8's LM tables under t11, t12's
+    * gram-df broadcast, d9's sign-LSH + connected components) is each
+    * stage's own audited plan, and the capstone's additional cost is
+    * three id-width joins. `vec_id` is the embedding table's `doc_id`
+    * (TESTDATA: 1:1 aligned), so the semantic bit joins on id too. */
+  def e3CorpusCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = e1Pipeline(s, dir)
+      .select($"doc_id", $"keep".as("base_keep"))
+    val ppl = TextOps.t11PerplexityFilter(s, dir)
+      .select($"doc_id", $"keep".as("ppl_keep"))
+    val boiler = TextOps.t12Boilerplate(s, dir)
+      .select($"doc_id", $"boilerplate")
+    val sem = DedupOps.d9EmbeddingClusterDedup(s, dir)
+      .select($"vec_id".as("doc_id"), $"keep".as("sem_keep"))
+    base.join(ppl, Seq("doc_id"))
+      .join(boiler, Seq("doc_id"))
+      .join(sem, Seq("doc_id"))
+      .select($"doc_id", $"base_keep", $"ppl_keep", $"boilerplate", $"sem_keep",
+        ($"base_keep" && $"ppl_keep" && !$"boilerplate" && $"sem_keep").as("keep"))
+  }
+
+  /** Oracle: the same conjunction over the stage oracles. */
+  private val e3Sql =
+    s"""WITH base AS (SELECT doc_id, keep AS base_keep FROM ($e1Sql)),
+       |ppl AS (SELECT doc_id, keep AS ppl_keep FROM (${TextOps.t11Sql})),
+       |boiler AS (SELECT doc_id, boilerplate FROM (${TextOps.t12Sql})),
+       |sem AS (SELECT vec_id AS doc_id, keep AS sem_keep FROM (${DedupOps.d9Sql}))
+       |SELECT doc_id, base_keep, ppl_keep, boilerplate, sem_keep,
+       |  (base_keep AND ppl_keep AND NOT boilerplate AND sem_keep) AS keep
+       |FROM base
+       |JOIN ppl USING (doc_id)
+       |JOIN boiler USING (doc_id)
+       |JOIN sem USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
-    "e2_training_shards" -> e2TrainingShards _)
+    "e2_training_shards" -> e2TrainingShards _,
+    "e3_corpus_curation" -> e3CorpusCuration _)
 
   val oracleSql: Map[String, String] = Map(
     "e1_pipeline" -> e1Sql,
-    "e2_training_shards" -> e2Sql)
+    "e2_training_shards" -> e2Sql,
+    "e3_corpus_curation" -> e3Sql)
 }

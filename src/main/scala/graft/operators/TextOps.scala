@@ -642,7 +642,7 @@ object TextOps {
         (lit(5) * $"n_common" >= $"n_grams").as("boilerplate"))
   }
 
-  private val t12Sql =
+  private[operators] val t12Sql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM toks,

@@ -122,4 +122,32 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     byId.foreach { case (id, s) => assert(s === t6(id), s"doc $id") }
   }
+
+  test("e3: verdict equals the conjunction of its four stage bits, per doc") {
+    val got = PipelineOps.e3CorpusCuration(spark, sf)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val base = PipelineOps.e1Pipeline(spark, sf)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val ppl = TextOps.t11PerplexityFilter(spark, sf)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val boiler = TextOps.t12Boilerplate(spark, sf)
+      .select($"doc_id", $"boilerplate").as[(Long, Boolean)].collect().toMap
+    val sem = DedupOps.d9EmbeddingClusterDedup(spark, sf)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+
+    assert(got.keySet === base.keySet, "one verdict row per document")
+    got.foreach { case (id, (_, b, p, bo, se, keep)) =>
+      assert(b === base(id), s"doc $id base bit")
+      assert(p === ppl(id), s"doc $id perplexity bit")
+      assert(bo === boiler(id), s"doc $id boilerplate bit")
+      assert(se === sem(id), s"doc $id semantic bit")
+      assert(keep === (b && p && !bo && se), s"doc $id verdict")
+    }
+    // every stage must bite somewhere AND survivors must exist — otherwise
+    // the conjunction test is vacuous on this corpus
+    assert(got.values.exists(_._6) && got.values.exists(!_._6))
+    assert(ppl.values.exists(!_), "perplexity filter drops nobody — vacuous")
+  }
+
 }
