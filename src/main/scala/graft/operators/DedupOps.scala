@@ -958,110 +958,27 @@ object DedupOps {
     * and never grew; a daily pipeline must fold each accepted batch back
     * in so tomorrow's batch screens against today's corpus).
     *
-    * ATOMIC via an immutable-generation + pointer-swap scheme (the same
-    * commit discipline a table format like Iceberg/Delta applies — data
-    * files are never modified in place; a tiny pointer write commits):
-    *
-    *  1. collect the batch's distinct touched bands (bounded by the band
-    *     count, [[MinHash.Bands]] = 32 — a layout constant, never data);
-    *  2. read ONLY those band partitions of the CURRENT generation, drop
-    *     stale keys of re-ingested doc_ids (latest wins, the q23
-    *     discipline — a re-screened doc REPLACES its signature), union
-    *     the batch keys, and write the result as the touched-band
-    *     partitions of a NEW generation directory. Reading old and
-    *     writing new are different paths, so no `localCheckpoint` is
-    *     needed — the old fold's checkpoint-blocks-on-a-lost-executor
-    *     failure mode is gone with the checkpoint;
-    *  3. carry the UNTOUCHED band partitions into the new generation as
-    *     hard links — a metadata-only operation, no data copied or read
-    *     (on an object store this step is the manifest re-listing old
-    *     files, same device);
-    *  4. COMMIT by atomically replacing the `CURRENT` pointer file.
-    *
-    * A fold that dies anywhere before step 4 leaves `CURRENT` on the old
-    * generation and only an orphaned staging directory behind — readers
-    * ([[loadIndex]]) see fully-pre-fold or fully-post-fold state, never a
-    * torn mix (spec-proven by killing a fold mid-write). Orphans are
-    * swept by the next successful fold. Single-writer per path (a real
-    * deployment serializes folds through its ingest loop); concurrent
-    * READERS are always safe.
-    *
-    * Idempotent per batch: re-folding the same keys commits a generation
-    * with identical content (spec-asserted), the at-least-once guarantee
-    * the streaming front door (st7/st9) needs. Every doc emits one key
-    * per band, so a non-degenerate batch touches all 32 bands — the
-    * point of the partition bound is the rewrite-side bound: each fold
-    * rewrites only the touched bands' slice, 1/32 of the index per band,
-    * and hard-links the rest. */
+    * ATOMIC via the shared generational store
+    * ([[graft.sources.GenStore]]): immutable band partitions, latest-wins
+    * replace of re-ingested doc_ids (the q23 discipline — a re-screened
+    * doc REPLACES its signature), hard-linked carry-over of untouched
+    * bands, and a pointer-swap commit, so a fold killed mid-write leaves
+    * readers fully pre-fold (spec-proven). Touched bands are bounded by
+    * [[MinHash.Bands]] = 32 — a layout constant, never data; every doc
+    * emits one key per band, so the partition bound is the REWRITE-side
+    * bound: each fold rewrites 1/32 of the index per band and links the
+    * rest. Idempotent per batch (re-folding the same keys commits
+    * identical content — the at-least-once guarantee the streaming front
+    * door st7/st9 needs). */
   private[graft] def indexUpsert(s: SparkSession, path: String,
-      batchKeys: DataFrame): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(path)
-    Files.createDirectories(root)
-    val curGen = currentIndexGen(path)
-    val genNum = curGen.map(genNumber).getOrElse(0L) + 1
-    val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}"
-    val newPath = s"$path/$newGen"
-    curGen match {
-      case None =>
-        batchKeys.write.mode("overwrite").partitionBy("band").parquet(newPath)
-      case Some(g) =>
-        val touched = batchKeys.select(col("band")).distinct()
-          .collect().map(_.getInt(0)).toSet // <= MinHash.Bands
-        val survivors = s.read.parquet(s"$path/$g")
-          .where(col("band").isInCollection(touched.toSeq))
-          .join(batchKeys.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-        survivors.select(col("doc_id"), col("band"), col("key"))
-          .unionByName(batchKeys.select(col("doc_id"), col("band"), col("key")))
-          .write.mode("overwrite").partitionBy("band").parquet(newPath)
-        // untouched bands ride along as hard links (metadata-only)
-        import scala.jdk.CollectionConverters._
-        Files.list(Paths.get(s"$path/$g")).iterator().asScala
-          .filter(_.getFileName.toString.startsWith("band="))
-          .filterNot(p => touched.contains(
-            p.getFileName.toString.stripPrefix("band=").toInt))
-          .foreach { bandDir =>
-            val dst = Paths.get(newPath, bandDir.getFileName.toString)
-            Files.createDirectories(dst)
-            Files.list(bandDir).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
-          }
-    }
-    // commit: atomic pointer replace — the only mutation readers observe
-    val tmp = root.resolve(s"CURRENT.tmp${ProcessHandle.current().pid()}")
-    Files.writeString(tmp, newGen)
-    Files.move(tmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // sweep retired generations and crashed-fold orphans (POSIX unlink
-    // keeps any in-flight reader's open files alive until it finishes)
-    import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("gen-") && n != newGen && genNumber(n) <= genNum
-      }
-      .foreach(graft.sources.Layouts.deleteRecursively)
-  }
+      batchKeys: DataFrame): Unit =
+    graft.sources.GenStore.fold(s, path,
+      batchKeys.select(col("doc_id"), col("band"), col("key")),
+      partCol = "band", idCol = "doc_id")
 
-  /** Name of the committed generation under an [[indexUpsert]] root, if
-    * any — the `CURRENT` pointer's content. */
-  private[graft] def currentIndexGen(path: String): Option[String] = {
-    val cur = java.nio.file.Paths.get(path, "CURRENT")
-    if (java.nio.file.Files.exists(cur))
-      Some(java.nio.file.Files.readString(cur).trim)
-    else None
-  }
-
-  private def genNumber(gen: String): Long =
-    gen.stripPrefix("gen-").takeWhile(_.isDigit).toLong
-
-  /** The committed view of an [[indexUpsert]]-maintained index — resolves
-    * the `CURRENT` pointer and reads that generation only. */
+  /** The committed view of an [[indexUpsert]]-maintained index. */
   private[graft] def loadIndex(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/${currentIndexGen(path).getOrElse(
-      sys.error(s"no committed index generation at $path"))}")
+    graft.sources.GenStore.load(s, path)
 
   /** Path of the PERSISTED corpus shingle sets (doc_id, hs) — the verify
     * side of the standing index: candidates found via [[dedupIndexKeys]]

@@ -1104,6 +1104,93 @@ object SimilarityOps {
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
        |FROM ($s1Sql)""".stripMargin
 
+  // ------- s8: incremental index maintenance (fold a batch, no retrain)
+
+  /** Serving-index rows `(vec_id, cell, codes, vnorm)` for `vecs` under
+    * the SHIPPED artifacts — cell from the persisted quantizer, codes
+    * from the persisted codebooks. This is the row a daily ingest
+    * computes for each new vector; nothing here trains. */
+  private def annIndexRows(s: SparkSession, dir: String, k: Int,
+      vecs: DataFrame): DataFrame =
+    pqEncode(
+      assignCells(vecs, "vec_id", "embedding", centroidsFor(s, dir, k)),
+      pqCodebooksFor(s, dir), keep = Seq("cell"))
+
+  private val foldedIndexRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The GENERATIONAL IVF×PQ serving index with the day's ingest folded
+    * in — the maintenance story s7's write-once table cannot tell: s7
+    * rebuilds its layout from the full corpus; a production index must
+    * instead FOLD each arriving batch into the standing structure
+    * without retraining or rewriting the untouched cells. First touch
+    * per (dir, k, JVM) builds the standing index (corpus minus the
+    * [[DedupOps.IngestMod]]-slice that plays "today's batch" — the d8
+    * device) as generation 1, then folds the batch's rows as
+    * generation 2 through [[graft.sources.GenStore]]: latest-wins per
+    * vec_id, only touched cell partitions rewritten, untouched cells
+    * hard-linked, pointer-swap commit — a reader mid-fold sees the
+    * whole old index or the whole new one. Folding is idempotent and
+    * deterministic (shipped quantizer + codebooks), so the write-once
+    * reuse mirrors the standing service it stands for. */
+  private[graft] def annIndexFolded(s: SparkSession, dir: String, k: Int): String =
+    foldedIndexRoots.getOrElseUpdate(s"$dir#$k", {
+      val root = java.nio.file.Paths.get("target",
+        s"graft_ann_gen_index_v${TrainerVersion}_k${k}_f${corpusFingerprint(dir)}_" +
+          graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+      val emb = Tables.embeddings(s, dir)
+      val isBatch = col("vec_id") % DedupOps.IngestMod === DedupOps.IngestRem
+      graft.sources.GenStore.fold(s, root,
+        annIndexRows(s, dir, k, emb.where(!isBatch)),
+        partCol = "cell", idCol = "vec_id")
+      graft.sources.GenStore.fold(s, root,
+        annIndexRows(s, dir, k, emb.where(isBatch)),
+        partCol = "cell", idCol = "vec_id")
+      root
+    })
+
+  /** s8: serve s7's probe from the FOLDED index. The registered contract
+    * is the s7 pattern — exact anchor + recall booleans — but the
+    * candidates come from the generational store after the ingest fold,
+    * so a correct answer REQUIRES the fold to have worked: the exact
+    * top-k (and the query set itself) includes batch vectors that exist
+    * in no generation-1 partition, and recall against them fails if the
+    * fold dropped, duplicated or tore rows. Plan shape is s7's: probed
+    * cells as a PartitionFilter on the generation directory, broadcast
+    * LUT join, ADC scoring, exact rerank of the shortlist. */
+  def s8IvfPqUpsertServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = ivfK(corpusCount(s, dir))
+    val emb = Tables.embeddings(s, dir)
+    val centroids = centroidsFor(s, dir, k)
+    val books = pqCodebooksFor(s, dir)
+    val queries = emb.where($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .withColumn("lut", pqLut($"q_emb", books))
+      .withColumn("qnorm", norm2($"q_emb"))
+    val probes = probeCells(
+      emb.where($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      "query_id", "q_emb", centroids, ivfNprobe(k))
+      .select($"query_id", $"cell")
+    val probedQueries = queries.join(probes, Seq("query_id"))
+    val cells = probedQueries.select($"cell".cast("int")).distinct()
+      .as[Int].collect().toSeq // bounded by queries × nprobe
+    val approx = graft.sources.GenStore.load(s, annIndexFolded(s, dir, k))
+      .where(col("cell").isInCollection(cells))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("vnorm"), col("cell"))
+      .join(broadcast(probedQueries), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select($"query_id", $"neighbor_id", $"q_emb", adcCos.as("approx_cos"))
+    recallChecked(s1CosineTopk(s, dir),
+      shortlistRerank(approx, emb, pqShortlist(corpusCount(s, dir))),
+      meanBound = s7MeanRecallBound)
+  }
+
+  private val s8Sql =
+    s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
+       |FROM ($s1Sql)""".stripMargin
+
   // ----------------------------------- centroid outlier screen (s6)
 
   /** Micro-unit quantization scale shared by [[s6CentroidOutlier]] and
@@ -1207,7 +1294,8 @@ object SimilarityOps {
     "s4_knn_join" -> s4KnnJoinChecked _,
     "s5_pq_rerank" -> s5PqRerankChecked _,
     "s6_centroid_outlier" -> s6CentroidOutlier _,
-    "s7_ivfpq" -> s7IvfPqChecked _)
+    "s7_ivfpq" -> s7IvfPqChecked _,
+    "s8_ivfpq_upsert_serve" -> s8IvfPqUpsertServe _)
 
   val oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
@@ -1216,5 +1304,6 @@ object SimilarityOps {
     "s4_knn_join" -> s4Sql,
     "s5_pq_rerank" -> s5Sql,
     "s6_centroid_outlier" -> s6Sql,
-    "s7_ivfpq" -> s7Sql)
+    "s7_ivfpq" -> s7Sql,
+    "s8_ivfpq_upsert_serve" -> s8Sql)
 }

@@ -391,6 +391,39 @@ class SimilarityOpsSpec extends SparkSpec {
     SimilarityOps.resetIndexMemos()
   }
 
+  test("s8: folded index content equals a from-scratch full-corpus index; serve is recall-green") {
+    import graft.sources.{GenStore, Tables}
+    val dir = sf
+    val k = SimilarityOps.ivfK(SimilarityOps.corpusCount(spark, dir))
+    val root = SimilarityOps.annIndexFolded(spark, dir, k)
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell".cast("int"), $"codes", $"vnorm")
+      .as[(Long, Int, Seq[Int], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val folded = keyed(GenStore.load(spark, root))
+    // rebuild from scratch under the same shipped artifacts — the fold
+    // must be indistinguishable from a full re-index
+    val rebuilt = keyed(SimilarityOps.pqEncode(
+      SimilarityOps.assignCells(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", SimilarityOps.centroidsFor(spark, dir, k)),
+      SimilarityOps.pqCodebooksFor(spark, dir), keep = Seq("cell")))
+    assert(folded.keySet === rebuilt.keySet, "fold must cover every vector exactly once")
+    folded.keys.foreach { id => assert(folded(id) === rebuilt(id), s"vec $id row") }
+    // the batch slice must actually be present (the fold did something)
+    val batchIds = folded.keySet.filter(id =>
+      id % graft.operators.DedupOps.IngestMod == graft.operators.DedupOps.IngestRem)
+    assert(batchIds.nonEmpty, "ingest slice missing from the folded index")
+
+    // the registered serve: every recall bit true on the folded index
+    val served = SimilarityOps.s8IvfPqUpsertServe(spark, dir)
+      .select($"query_id", $"recall_ok").distinct()
+      .as[(Long, Boolean)].collect()
+    assert(served.nonEmpty)
+    served.foreach { case (q, ok) => assert(ok, s"query $q recall from folded index") }
+  }
+
   test("s2 checked: recall_ok flips false when the approx side is broken") {
     // A 'broken IVF' stand-in: approx disjoint from the exact top-k must
     // turn every recall_ok false — proves the boolean is a live signal.
