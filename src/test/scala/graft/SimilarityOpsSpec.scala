@@ -422,6 +422,13 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Boolean)].collect()
     assert(served.nonEmpty)
     served.foreach { case (q, ok) => assert(ok, s"query $q recall from folded index") }
+
+    // the probe over the GENERATION directory must prune cell partitions,
+    // the s3/s7 contract carried through the pointer-swap indirection
+    val plan = GenStore.load(spark, root)
+      .where($"cell".isin(0, 1)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected cell partition pruning on the folded index scan in:\n$plan")
   }
 
   test("s2 checked: recall_ok flips false when the approx side is broken") {
