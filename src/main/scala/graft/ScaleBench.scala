@@ -189,8 +189,14 @@ object ScaleBench {
 
     // embeddings: per-copy orthogonal transform ([[copyTransform]]) —
     // norm- and within-copy-cosine-preserving, distinct per copy, so the
-    // ANN tier sees factor× genuinely distinct points.
-    require(factor <= 128, s"embedding replicator supports <= 128 copies, got $factor")
+    // ANN tier sees factor× genuinely distinct points. The family has
+    // exactly 2×dim distinct members, so derive the bound from the DATA
+    // (a hardcoded 128 would silently reuse transforms — i.e. mint exact
+    // duplicate vectors — if the corpus ever regenerated at a smaller
+    // dim).
+    val dim = rd("embeddings").select(size(col("embedding"))).head.getInt(0)
+    require(factor <= 2 * dim,
+      s"embedding replicator has 2*dim=${2 * dim} distinct transforms, got factor=$factor")
     val emb = shiftKeys(rd("embeddings"), "vec_id")
       .withColumn("embedding", copyTransform(col("embedding"), col("copy")))
     write(emb, "embeddings", 8)

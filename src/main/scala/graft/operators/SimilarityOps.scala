@@ -327,6 +327,7 @@ object SimilarityOps {
     trainedCentroids.clear()
     trainedBooks.clear()
     corpusCounts.clear()
+    foldedIndexRoots.clear()
   }
 
   /** Per-cell score structs (cosine, cell-id) against broadcast centroid
@@ -586,15 +587,22 @@ object SimilarityOps {
     * e.g. ~0.73 mean at 40× with k capped to 64) the tight floors would
     * refute a trade the deployment asked for by name: capped runs assert
     * the documented trade floor instead. */
-  val MeanRecallBound = 0.6 // s4's floor, and every tier's under a k cap
+  val MeanRecallBound = 0.6 // s4's floor, and every tier's under a BINDING k cap
   val PerQueryMinHits = 1
-  private def kCapped: Boolean = sys.env.contains("SPARK_GRAFT_IVF_K_CAP")
-  def s2MeanRecallBound: Double = if (kCapped) MeanRecallBound else 0.85
-  def s5MeanRecallBound: Double = if (kCapped) MeanRecallBound else 0.80
-  def s7MeanRecallBound: Double = if (kCapped) MeanRecallBound else 0.82
+  /** Whether the quantizer budget cap actually BINDS for a corpus of n
+    * vectors. Presence of the env var alone is not enough: a cap at or
+    * above ⌈√n⌉ changes nothing about the quantizer, so the tight floors
+    * stay in force — otherwise exporting a non-binding cap would
+    * silently weaken every recall gate from ~0.85 to 0.6. */
+  private[graft] def kCapBinds(n: Long): Boolean =
+    sys.env.contains("SPARK_GRAFT_IVF_K_CAP") &&
+      ivfKCap < math.ceil(math.sqrt(n.toDouble)).toInt
+  def s2MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.85
+  def s5MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.80
+  def s7MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.82
   /** s3 is a single query — a mean over one value is just that value, so
     * its floor is the hit count (measured 5/5 at every SF). */
-  def s3MinHits: Int = if (kCapped) PerQueryMinHits else 4
+  def s3MinHits(n: Long): Int = if (kCapBinds(n)) PerQueryMinHits else 4
 
   /** s2 as registered for the driver's correctness gate. IVF ranking
     * itself is not SQL-expressible (k-means state), so — mirroring the
@@ -607,7 +615,7 @@ object SimilarityOps {
     * raw approximate ranking stays available via [[s2AnnIvf]]. */
   def s2AnnIvfChecked(s: SparkSession, dir: String): DataFrame =
     recallChecked(s1CosineTopk(s, dir), s2AnnIvf(s, dir),
-      meanBound = s2MeanRecallBound)
+      meanBound = s2MeanRecallBound(corpusCount(s, dir)))
 
   /** Exact top-k rows + recall booleans vs the given approx ranking.
     * Factored out so the spec can refute it with a sabotaged approx. The
@@ -702,7 +710,7 @@ object SimilarityOps {
     // recall is heavy-tailed by design) — the hard signal is the floor:
     // a broken quantizer/probe recovers 0 of the exact top-K
     recallChecked(s1CosineTopk(s, dir).where($"query_id" === 0), approx,
-      minHits = s3MinHits, meanBound = 0.0)
+      minHits = s3MinHits(corpusCount(s, dir)), meanBound = 0.0)
   }
 
   private val s3Sql =
@@ -1007,7 +1015,7 @@ object SimilarityOps {
   /** s5 registered: exact anchor + recall booleans, the s2 pattern. */
   def s5PqRerankChecked(s: SparkSession, dir: String): DataFrame =
     recallChecked(s1CosineTopk(s, dir), s5PqRerank(s, dir),
-      meanBound = s5MeanRecallBound)
+      meanBound = s5MeanRecallBound(corpusCount(s, dir)))
 
   private val s5Sql =
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
@@ -1051,6 +1059,21 @@ object SimilarityOps {
     * nprobe/k = 1/4) is generous enough that the binding term is cell
     * assignment, same as s2 — measured in SimilarityOpsSpec. */
   def s7IvfPq(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    val probedQueries = probedQuerySide(s, dir, k, nprobe)
+    val approx = s7Candidates(s, dir, k, probedQueries)
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"),
+        adcCos.as("approx_cos"))
+    shortlistRerank(approx, Tables.embeddings(s, dir),
+      pqShortlist(corpusCount(s, dir)))
+  }
+
+  /** The registered query batch with per-query LUT/norm AND its probed
+    * cells attached — the query side every code-table serve (s7, s8)
+    * joins against. Probe cells carry only (query_id, cell); the LUT
+    * joins back on query_id so the M×K dot products are evaluated once
+    * per query, not once per (query, probe) row. */
+  private def probedQuerySide(s: SparkSession, dir: String, k: Int,
+      nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val centroids = centroidsFor(s, dir, k)
@@ -1059,18 +1082,12 @@ object SimilarityOps {
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
       .withColumn("lut", pqLut($"q_emb", books))
       .withColumn("qnorm", norm2($"q_emb"))
-    // probe cells carry only (query_id, cell); the LUT joins back on
-    // query_id so the M×K dot products are evaluated once per query,
-    // not once per (query, probe) row
     val probes = probeCells(
       emb.where($"vec_id" < NQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
       "query_id", "q_emb", centroids, nprobe)
       .select($"query_id", $"cell")
-    val probedQueries = queries.join(probes, Seq("query_id"))
-    val approx = s7Candidates(s, dir, k, probedQueries)
-      .select($"query_id", $"neighbor_id", $"q_emb", adcCos.as("approx_cos"))
-    shortlistRerank(approx, emb, pqShortlist(corpusCount(s, dir)))
+    queries.join(probes, Seq("query_id"))
   }
 
   /** The in-cell ADC candidate relation — factored out so the spec can
@@ -1084,11 +1101,20 @@ object SimilarityOps {
     * nprobe/k = 1/4 a 20-query batch usually covers every cell and the
     * pruning is a no-op; a small or focused batch reads only its cells. */
   private[graft] def s7Candidates(s: SparkSession, dir: String, k: Int,
+      probedQueries: DataFrame): DataFrame =
+    codeTableCandidates(s,
+      s.read.parquet(ivfPqTable(s, dir, k)), probedQueries)
+
+  /** The probed-cell ADC candidate join against ANY cell-partitioned
+    * code relation — shared by s7 (write-once table) and s8 (the
+    * generational folded index), so the probe/join logic cannot
+    * diverge between the two serves. */
+  private def codeTableCandidates(s: SparkSession, codes: DataFrame,
       probedQueries: DataFrame): DataFrame = {
     import s.implicits._
     val cells = probedQueries.select($"cell".cast("int")).distinct()
-      .as[Int].collect().toSeq
-    s.read.parquet(ivfPqTable(s, dir, k))
+      .as[Int].collect().toSeq // bounded by queries × nprobe
+    codes
       .where(col("cell").isInCollection(cells))
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("vnorm"), col("cell"))
       .join(broadcast(probedQueries), Seq("cell"))
@@ -1098,7 +1124,7 @@ object SimilarityOps {
   /** s7 registered: exact anchor + recall booleans, the s2 pattern. */
   def s7IvfPqChecked(s: SparkSession, dir: String): DataFrame =
     recallChecked(s1CosineTopk(s, dir), s7IvfPq(s, dir),
-      meanBound = s7MeanRecallBound)
+      meanBound = s7MeanRecallBound(corpusCount(s, dir)))
 
   private val s7Sql =
     s"""SELECT query_id, rnk, neighbor_id, cos_sim, TRUE AS recall_ok
@@ -1133,21 +1159,31 @@ object SimilarityOps {
     * whole old index or the whole new one. Folding is idempotent and
     * deterministic (shipped quantizer + codebooks), so the write-once
     * reuse mirrors the standing service it stands for. */
-  private[graft] def annIndexFolded(s: SparkSession, dir: String, k: Int): String =
-    foldedIndexRoots.getOrElseUpdate(s"$dir#$k", {
-      val root = java.nio.file.Paths.get("target",
-        s"graft_ann_gen_index_v${TrainerVersion}_k${k}_f${corpusFingerprint(dir)}_" +
-          graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
-      val emb = Tables.embeddings(s, dir)
-      val isBatch = col("vec_id") % DedupOps.IngestMod === DedupOps.IngestRem
-      graft.sources.GenStore.fold(s, root,
-        annIndexRows(s, dir, k, emb.where(!isBatch)),
-        partCol = "cell", idCol = "vec_id")
-      graft.sources.GenStore.fold(s, root,
-        annIndexRows(s, dir, k, emb.where(isBatch)),
-        partCol = "cell", idCol = "vec_id")
+  private[graft] def annIndexFolded(s: SparkSession, dir: String, k: Int): String = {
+    // the root name carries the corpus fingerprint, so it (not dir#k) is
+    // the memo key — a regenerated corpus rolls the fingerprint, which
+    // rolls the root, which misses the memo and builds fresh; a dir#k
+    // key would keep serving the stale pre-regeneration index
+    val root = java.nio.file.Paths.get("target",
+      s"graft_ann_gen_index_v${TrainerVersion}_k${k}_f${corpusFingerprint(dir)}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+    foldedIndexRoots.getOrElseUpdate(root, {
+      // a committed store from an earlier process is trusted as-is
+      // (content is deterministic per root — the writeOnce discipline):
+      // a warm process pays zero index-build jobs
+      if (graft.sources.GenStore.currentGen(root).isEmpty) {
+        val emb = Tables.embeddings(s, dir)
+        val isBatch = col("vec_id") % DedupOps.IngestMod === DedupOps.IngestRem
+        graft.sources.GenStore.fold(s, root,
+          annIndexRows(s, dir, k, emb.where(!isBatch)),
+          partCol = "cell", idCol = "vec_id")
+        graft.sources.GenStore.fold(s, root,
+          annIndexRows(s, dir, k, emb.where(isBatch)),
+          partCol = "cell", idCol = "vec_id")
+      }
       root
     })
+  }
 
   /** s8: serve s7's probe from the FOLDED index. The registered contract
     * is the s7 pattern — exact anchor + recall booleans — but the
@@ -1159,32 +1195,16 @@ object SimilarityOps {
     * cells as a PartitionFilter on the generation directory, broadcast
     * LUT join, ADC scoring, exact rerank of the shortlist. */
   def s8IvfPqUpsertServe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val k = ivfK(corpusCount(s, dir))
-    val emb = Tables.embeddings(s, dir)
-    val centroids = centroidsFor(s, dir, k)
-    val books = pqCodebooksFor(s, dir)
-    val queries = emb.where($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-      .withColumn("lut", pqLut($"q_emb", books))
-      .withColumn("qnorm", norm2($"q_emb"))
-    val probes = probeCells(
-      emb.where($"vec_id" < NQueries)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
-      "query_id", "q_emb", centroids, ivfNprobe(k))
-      .select($"query_id", $"cell")
-    val probedQueries = queries.join(probes, Seq("query_id"))
-    val cells = probedQueries.select($"cell".cast("int")).distinct()
-      .as[Int].collect().toSeq // bounded by queries × nprobe
-    val approx = graft.sources.GenStore.load(s, annIndexFolded(s, dir, k))
-      .where(col("cell").isInCollection(cells))
-      .select(col("vec_id").as("neighbor_id"), col("codes"), col("vnorm"), col("cell"))
-      .join(broadcast(probedQueries), Seq("cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select($"query_id", $"neighbor_id", $"q_emb", adcCos.as("approx_cos"))
+    val n = corpusCount(s, dir)
+    val k = ivfK(n)
+    val probedQueries = probedQuerySide(s, dir, k, ivfNprobe(k))
+    val approx = codeTableCandidates(s,
+      graft.sources.GenStore.load(s, annIndexFolded(s, dir, k)), probedQueries)
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"),
+        adcCos.as("approx_cos"))
     recallChecked(s1CosineTopk(s, dir),
-      shortlistRerank(approx, emb, pqShortlist(corpusCount(s, dir))),
-      meanBound = s7MeanRecallBound)
+      shortlistRerank(approx, Tables.embeddings(s, dir), pqShortlist(n)),
+      meanBound = s7MeanRecallBound(n))
   }
 
   private val s8Sql =

@@ -59,12 +59,31 @@ object GenStore {
     *
     * Idempotent per batch: re-folding the same rows commits a generation
     * with identical content. */
+  /** Children of `dir` (fully drained, stream closed — `Files.list`
+    * leaks a directory FD unless explicitly closed). */
+  private def children(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(dir)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
   def fold(s: SparkSession, path: String, batch: DataFrame,
       partCol: String, idCol: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(path)
     Files.createDirectories(root)
     val curGen = currentGen(path)
+    // a non-empty root with no CURRENT pointer is NOT an empty store —
+    // it is a foreign or pre-generational layout; treating it as empty
+    // would commit a generation holding only this batch and silently
+    // drop the standing data. Fail loudly instead of guessing.
+    if (curGen.isEmpty) {
+      val stray = children(root).map(_.getFileName.toString)
+        .filter(n => n.startsWith(s"$partCol=") || n.startsWith("gen-"))
+      require(stray.isEmpty,
+        s"$path holds data ($stray) but no CURRENT pointer — not a GenStore " +
+          "layout (or a crashed first fold); migrate or clear it explicitly")
+    }
     val genNum = curGen.map(genNumber).getOrElse(0L) + 1
     val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}"
     val newPath = s"$path/$newGen"
@@ -81,14 +100,13 @@ object GenStore {
         survivors.select(batch.columns.map(col): _*)
           .unionByName(batch)
           .write.mode("overwrite").partitionBy(partCol).parquet(newPath)
-        import scala.jdk.CollectionConverters._
-        Files.list(Paths.get(s"$path/$g")).iterator().asScala
+        children(Paths.get(s"$path/$g"))
           .filter(_.getFileName.toString.startsWith(s"$partCol="))
           .filterNot(p => touchedDirs.contains(p.getFileName.toString))
           .foreach { partDir =>
             val dst = Paths.get(newPath, partDir.getFileName.toString)
             Files.createDirectories(dst)
-            Files.list(partDir).iterator().asScala
+            children(partDir)
               .filter(_.getFileName.toString.endsWith(".parquet"))
               .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
           }
@@ -98,11 +116,19 @@ object GenStore {
     Files.writeString(tmp, newGen)
     Files.move(tmp, root.resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
+    // sweep: crashed-fold orphans at or below this commit's number, and
+    // generations retired TWO OR MORE commits ago. The immediately
+    // previous generation is RETAINED one fold longer — Spark readers
+    // open parquet files lazily at task time, so a reader that resolved
+    // CURRENT just before this commit may not have opened its files yet;
+    // one-generation retention gives it a full fold cycle to finish
+    // (the Iceberg/Delta snapshot-retention discipline, horizon = 1).
+    children(root)
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("gen-") && n != newGen && genNumber(n) <= genNum
+        n.startsWith("gen-") && n != newGen &&
+          (genNumber(n) < genNum - 1 ||
+            (genNumber(n) == genNum && n != newGen)) // same-number orphan
       }
       .foreach(Layouts.deleteRecursively)
   }

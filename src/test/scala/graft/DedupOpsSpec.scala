@@ -320,17 +320,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(content() === preFold,
       "a killed fold must leave the committed index exactly pre-fold")
 
-    // recovery: the next good fold commits and sweeps the orphaned staging
+    // recovery: the next good fold commits over the orphaned staging
     DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(batch))
     val rebuilt = DedupOps.bandKeysOf(standing.unionByName(batch))
       .select($"doc_id", $"band", $"key").as[(Long, Int, Long)].collect().toSet
     assert(content() === rebuilt,
       "the fold after a killed fold must commit the full post-fold state")
-    import scala.jdk.CollectionConverters._
-    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-      .iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("gen-")).toSeq
-    assert(gens.size === 1, s"retired and orphaned generations must be swept, saw $gens")
+    // retention horizon = 1: the committed generation plus its immediate
+    // predecessor (kept one fold cycle for in-flight readers); a third
+    // fold retires the first generation
+    def gens() = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gen-")).toList.sorted
+      finally st.close()
+    }
+    assert(gens().size === 2, s"expected current + one retained prior, saw ${gens()}")
+    DedupOps.indexUpsert(spark, path, DedupOps.bandKeysOf(batch))
+    assert(content() === rebuilt, "re-fold is a no-op on content")
+    val after = gens()
+    assert(after.size === 2 && after.forall(g => !g.startsWith("gen-000001")),
+      s"the third fold must retire generation 1, saw $after")
   }
 
   test("d5: sign-LSH recalls planted near-identical embeddings") {
