@@ -354,10 +354,230 @@ case class SignLshBandKeys(child: Expression, bands: Int, bandBits: Int,
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest IVF cells of a float-vector column under a
+  * driver-shipped centroid table, in descending (cosine-score, cell-id)
+  * order — the corpus-side scoring kernel of the IVF tier
+  * ([[graft.operators.SimilarityOps]] assign/probe, k ≤ its inline cap).
+  *
+  * Why an `Expression`: the compositional form was k parallel
+  * `aggregate(zip_with(v, array(<dim literals>), ...))` struct branches
+  * in ONE projection — an expression tree that grows with k and is
+  * rebuilt, re-analyzed and re-codegen'd on every serve (measured as the
+  * dominant fixed cost of the ANN tier at k ≈ 45, dim 64: seconds of
+  * driver time per pass, independent of data volume). Here the centroid
+  * matrix rides as one reference object and the whole scoring is a
+  * three-line loop nest inside whole-stage codegen.
+  *
+  * Numerics are bit-identical to the compositional path it replaces:
+  * score = (Σ_i v_i·c_i)/‖c‖ with the same left-to-right fold order,
+  * ‖c‖ precomputed driver-side with the same `sqrt(Σc²)`; selection
+  * replays `sort_array(struct(s, i), desc)` — ties toward the higher
+  * cell id. Selection is O(k·nprobe) per row, bounded by the caller's
+  * inline cap (k ≤ 256); past the cap the broadcast centroid-relation
+  * plan takes over (the data-scaled path at very large k).
+  *
+  * Interpreted and generated paths are identical; parity and equality
+  * with the relation path are spec-asserted. */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(centroids.nonEmpty && nprobe > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private val dim = centroids(0).length
+  // flattened centroid matrix + the SAME driver-side norm formula as the
+  // compositional path (math.sqrt of a left-to-right Σc²)
+  @transient private lazy val flat: Array[Double] = centroids.flatten
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  private def select(scores: Array[Double]): ArrayData = {
+    val kk = scores.length
+    val m = math.min(nprobe, kk)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](kk)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var c = 0
+      while (c < kk) {
+        // >= : ties toward the higher cell id (struct-desc order)
+        if (!used(c) && (best < 0 || scores(c) >= bs)) { best = c; bs = scores(c) }
+        c += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val kk = centroids.length
+    val scores = new Array[Double](kk)
+    var c = 0
+    while (c < kk) {
+      val n = math.min(dim, v.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * flat(c * dim + i); i += 1 }
+      scores(c) = dot / norms(c)
+      c += 1
+    }
+    select(scores)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    val kk = centroids.length
+    val m = math.min(nprobe, kk)
+    nullSafeCodeGen(ctx, ev, x => {
+      val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val best = ctx.freshName("best")
+      val bs = ctx.freshName("bs")
+      s"""
+         |double[] $scores = new double[$kk];
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |for (int $c = 0; $c < $kk; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $x.getFloat($i) * $flatRef[$c * $dim + $i];
+         |  }
+         |  $scores[$c] = $dot / $normsRef[$c];
+         |}
+         |boolean[] $used = new boolean[$kk];
+         |int[] $out = new int[$m];
+         |for (int $r = 0; $r < $m; $r++) {
+         |  int $best = -1; double $bs = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $kk; $c++) {
+         |    if (!$used[$c] && ($best < 0 || $scores[$c] >= $bs)) {
+         |      $best = $c; $bs = $scores[$c];
+         |    }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$r] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** PQ codes of a float-vector column under driver-shipped codebooks:
+  * codes[m] = argmax_c ( dot(v_m, books[m][c]) − ‖books[m][c]‖²/2 ) —
+  * the argmin-‖v_m − c‖² encode, ties toward the higher code, exactly
+  * the struct-max semantics of the compositional encode it replaces
+  * (which was M×K `aggregate(zip_with(...))` struct branches in one
+  * projection — the index-build twin of the [[NearestCells]] tree
+  * problem). Half-norms are precomputed driver-side with the same
+  * left-to-right Σc²/2. Output: array<int> of M codes. */
+case class PqEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(books.nonEmpty && books.forall(_.nonEmpty))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_codes"
+
+  private val numM = books.length
+  private val numK = books(0).length
+  private val sub = books(0)(0).length
+  @transient private lazy val flat: Array[Double] =
+    books.flatMap(_.flatten)
+  @transient private lazy val halves: Array[Double] =
+    books.flatMap(_.map(c => c.map(x => x * x).sum / 2))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Int](numM)
+    var m = 0
+    while (m < numM) {
+      var best = 0
+      var bs = Double.NegativeInfinity
+      var c = 0
+      while (c < numK) {
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          dot += v.getFloat(m * sub + i).toDouble * flat((m * numK + c) * sub + i)
+          i += 1
+        }
+        val s = dot - halves(m * numK + c)
+        if (s >= bs) { best = c; bs = s } // ties toward the higher code
+        c += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqBooksFlat", flat, "double[]")
+    val halvesRef = ctx.addReferenceObj("pqHalfNorms", halves, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bs = ctx.freshName("bs")
+      s"""
+         |int[] $out = new int[$numM];
+         |for (int $m = 0; $m < $numM; $m++) {
+         |  int $best = 0; double $bs = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $numK; $c++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      $dot += (double) $x.getFloat($m * $sub + $i)
+         |        * $flatRef[($m * $numK + $c) * $sub + $i];
+         |    }
+         |    double $s = $dot - $halvesRef[$m * $numK + $c];
+         |    if ($s >= $bs) { $best = $c; $bs = $s; }
+         |  }
+         |  $out[$m] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(
+      NearestCells(ExpressionUtils.expression(v), centroids, nprobe))
+
+  def pqEncodeCodes(v: Column, books: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(
+      PqEncodeCodes(ExpressionUtils.expression(v), books))
 
   def signLshBandKeys(v: Column, bands: Int, bandBits: Int, dim: Int, seed: Long): Column =
     ExpressionUtils.column(

@@ -28,4 +28,16 @@ package object functions {
     * [[org.apache.spark.sql.graftext.SignLshBandKeys]]). */
   def signLshBandKeys(v: Column, bands: Int, bandBits: Int, dim: Int, seed: Long): Column =
     org.apache.spark.sql.graftext.GraftColumns.signLshBandKeys(v, bands, bandBits, dim, seed)
+
+  /** The `nprobe` nearest IVF cells of an `array<float>` vector under a
+    * driver-shipped centroid matrix, descending (score, cell) order —
+    * codegen'd (see [[org.apache.spark.sql.graftext.NearestCells]]). */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.graftext.GraftColumns.nearestCells(v, centroids, nprobe)
+
+  /** PQ codes (M subquantizer argmins) of an `array<float>` vector under
+    * driver-shipped codebooks — codegen'd (see
+    * [[org.apache.spark.sql.graftext.PqEncodeCodes]]). */
+  def pqEncodeCodes(v: Column, books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graftext.GraftColumns.pqEncodeCodes(v, books)
 }

@@ -330,24 +330,14 @@ object SimilarityOps {
     foldedIndexRoots.clear()
   }
 
-  /** Per-cell score structs (cosine, cell-id) against broadcast centroid
-    * literals. Ranking by dot(v,c)/|c| — |v| is constant across cells, so
-    * the ordering equals cosine while the expression tree stays one
-    * aggregate per cell. (A when-fold here would double the tree per cell
-    * — 2^k nodes — and OOM the planner at k=16.) */
-  private def cellScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val norm = math.sqrt(c.map(x => x * x).sum)
-      val dot = aggregate(
-        zip_with(v, array(c.map(lit): _*), (p, q) => p.cast("double") * q),
-        lit(0.0), (acc, x) => acc + x)
-      struct((dot / lit(norm)).as("s"), lit(i).as("i"))
-    }
-
-  /** Index (0-based) of the nearest centroid. Ties (measure-zero on real
-    * vectors) break toward the higher cell id via struct-max ordering. */
+  /** Index (0-based) of the nearest centroid — the codegen'd
+    * [[graft.functions.nearestCells]] kernel at nprobe = 1. Ties
+    * (measure-zero on real vectors) break toward the higher cell id,
+    * the struct-max ordering of the compositional path this replaced
+    * (r11: the k-branch aggregate(zip_with) tree was the measured
+    * dominant fixed cost of every ANN pass — see NearestCells scaladoc). */
   private[graft] def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
-    array_max(array(cellScores(v, centroids): _*)).getField("i")
+    element_at(graft.functions.nearestCells(v, centroids, 1), 1)
 
   /** Distributed Lloyd training — the k > [[DriverTrainCap]] path, and
     * the piece that removes the last driver-side bound from the IVF tier.
@@ -468,18 +458,16 @@ object SimilarityOps {
         .select(col(idCol), col(embCol), col("cell_id").as("cell"))
     }
 
-  /** The k-inline-literals probe expression on its own — [[probeCells]]'s
-    * small-k branch, exposed so the equality spec can run BOTH paths on
-    * the same k > cap centroids (the inline tree still plans at 300, the
-    * cap is a planner-safety margin, so the paths can be diffed head to
-    * head). */
+  /** The small-k probe kernel on its own — [[probeCells]]'s dispatch
+    * target below the cap, exposed so the equality spec can run BOTH
+    * paths on the same k > cap centroids and diff them head to head
+    * (the [[graft.functions.nearestCells]] expression vs the broadcast
+    * centroid-relation window plan — two independent implementations of
+    * the same (score desc, cell desc) contract). */
   private[graft] def probeCellsInline(df: DataFrame, idCol: String, embCol: String,
-      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val probes = sort_array(array(cellScores(col(embCol), centroids): _*),
-      asc = false)
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
     df.select(col(idCol), col(embCol),
-      explode(slice(probes, 1, nprobe).getField("i")).as("cell"))
-  }
+      explode(graft.functions.nearestCells(col(embCol), centroids, nprobe)).as("cell"))
 
   /** Corpus-derived quantizer sizing — SCALING.md's "grow k with the
     * corpus (k ~ √N)" lever, made the DEFAULT after the round-6 10×
@@ -547,10 +535,12 @@ object SimilarityOps {
     val corpus = assignCells(
       emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb")),
       "neighbor_id", "c_emb", centroids)
-    val queries = probeCells(
-      emb.where($"vec_id" < NQueries)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
-      "query_id", "q_emb", centroids, nprobe)
+    // query side: bounded batch, probed driver-side ([[localProbes]] —
+    // bit-identical to probeCells); the corpus side stays the one
+    // distributed assign pass, which is the data-scaled half
+    val queries = collectedQueries(s, dir).toSeq.flatMap { case (id, v) =>
+      localProbes(v, centroids, nprobe).map(c => (id, v.toSeq, c))
+    }.toDF("query_id", "q_emb", "cell")
     ivfTopk(corpus, broadcast(queries))
   }
 
@@ -684,17 +674,16 @@ object SimilarityOps {
   def s3AnnCellPruned(s: SparkSession, dir: String,
       k: Int, nprobe: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
     val centroids = centroidsFor(s, dir, k)
     val layout = embeddingsByCell(s, dir, k, centroids)
 
-    val one = emb.where($"vec_id" === 0)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val probes = probeCells(one, "query_id", "q_emb", centroids, nprobe)
-    // The probed cell ids are data-independent of the corpus scan (they
-    // come from the quantizer + ONE query row) — collecting them makes
-    // the IN-list a literal the scan can prune partitions with.
-    val cells = probes.select($"cell").as[Int].collect().toSeq
+    // ONE query row, probed driver-side: the cell ids are
+    // data-independent of the corpus scan (quantizer + one query row),
+    // so the IN-list is a literal the scan can prune partitions with.
+    val (qid, qv) = collectedQueries(s, dir).find(_._1 == 0L)
+      .getOrElse(sys.error("s3: corpus has no vec_id 0"))
+    val one = Seq((qid, qv.toSeq)).toDF("query_id", "q_emb")
+    val cells = localProbes(qv, centroids, nprobe)
     val corpus = s.read.parquet(layout)
       .where($"cell".isInCollection(cells))
       .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
@@ -905,21 +894,6 @@ object SimilarityOps {
       pqKmeansL2(train.map(_.slice(m * sub, (m + 1) * sub)), PqK, iters = 3))
   }
 
-  /** Code of subspace `m`: argmin ‖v_m − c‖² = argmax dot(v_m, c) − ‖c‖²/2
-    * (‖v_m‖ constant per row) — K struct branches, struct-max ties toward
-    * the higher code. */
-  private def pqCode(v: Column, book: Array[Array[Double]], off: Int): Column = {
-    val sub = book(0).length
-    val vm = slice(v, off + 1, sub)
-    array_max(array(book.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x * x).sum / 2
-      val dot = aggregate(
-        zip_with(vm, array(c.map(lit): _*), (p, q) => p.cast("double") * q),
-        lit(0.0), (acc, x) => acc + x)
-      struct((dot - lit(half)).as("s"), lit(i).as("i"))
-    }: _*)).getField("i")
-  }
-
   private def norm2(v: Column): Column =
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
@@ -929,26 +903,91 @@ object SimilarityOps {
     * carries extra routing columns through unchanged (s7 keeps the IVF
     * `cell` so the code table can be cell-partitioned). */
   private[graft] def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]],
-      keep: Seq[String] = Nil): DataFrame = {
-    val sub = books(0)(0).length
+      keep: Seq[String] = Nil): DataFrame =
     emb.select(col("vec_id") +: keep.map(col) :+
-      array((0 until PqM).map(m =>
-        pqCode(col("embedding"), books(m), m * sub)): _*).as("codes") :+
+      graft.functions.pqEncodeCodes(col("embedding"), books).as("codes") :+
       norm2(col("embedding")).as("vnorm"): _*)
+
+  // ---------------- driver-side query-batch kernels (bounded by NQueries)
+  //
+  // The registered ANN query batch is BOUNDED (NQueries rows) by
+  // definition, so its per-query prep — probe-cell selection and the PQ
+  // ADC lookup table — is client-side work, computed exactly where a
+  // production searcher computes it (FAISS builds per-query LUTs in the
+  // coordinator, not on the data nodes). Before r11 these rode the plan
+  // as k (resp. M×K) inline-literal subtrees rebuilt, re-analyzed and
+  // re-codegen'd on EVERY serve: at PqK = 64 the LUT alone was 512
+  // aggregate(zip_with(...)) branches — measured 1.7–2.0 s of pure
+  // driver-side plan construction per warm s7 pass plus ~0.5 s of
+  // planning (dev/records/ann_profile_r11.md), all fixed cost
+  // independent of data volume, and the source of the r10 ANN-tier
+  // bench drift (the PqK 16→64 bump quadrupled the tree). Each local
+  // kernel replicates its expression twin's double arithmetic exactly
+  // (same left-to-right fold order, same tie breaks), so probe sets,
+  // LUT values and shortlists are bit-identical across paths; the
+  // distributed expressions remain on every data-scaled side (the
+  // corpus assign in s2/s4 and the index builds, s4's corpus-wide
+  // probe).
+
+  /** Driver twin of [[cellScores]]'s per-cell score: dot(v,c)/‖c‖ with
+    * the same left-to-right summation order as the zip_with fold. */
+  private def localCellScore(v: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < c.length) { dot += v(i).toDouble * c(i); i += 1 }
+    var n2 = 0.0
+    i = 0
+    while (i < c.length) { n2 += c(i) * c(i); i += 1 }
+    dot / math.sqrt(n2)
   }
 
-  /** Per-query ADC lookup table: lut[m][c] = dot(q_m, books[m][c]) — an
-    * M×K nested array column computed once per query row. */
-  private def pqLut(q: Column, books: Array[Array[Array[Double]]]): Column = {
+  /** Driver twin of [[probeCellsInline]]: the nprobe nearest cells in
+    * sort_array's descending (score, cell_id) struct order — ties toward
+    * the higher cell id, matching the expression path bit-for-bit. */
+  private[graft] def localProbes(v: Array[Float], centroids: Array[Array[Double]],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (localCellScore(v, c), i) }
+      .sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 > i2) }
+      .take(nprobe).map(_._2).toSeq
+
+  /** Driver twin of the former pqLut expression: lut[m][c] =
+    * dot(q_m, books[m][c]), left-to-right fold per code. */
+  private[graft] def localLut(v: Array[Float],
+      books: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
     val sub = books(0)(0).length
-    array((0 until PqM).map { m =>
-      val qm = slice(q, m * sub + 1, sub)
-      array(books(m).map { c =>
-        aggregate(zip_with(qm, array(c.map(lit): _*), (p, w) => p.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-    }: _*)
+    (0 until PqM).map { m =>
+      books(m).map { c =>
+        var dot = 0.0
+        var i = 0
+        while (i < sub) { dot += v(m * sub + i).toDouble * c(i); i += 1 }
+        dot
+      }.toSeq
+    }
   }
+
+  /** Driver twin of [[norm2]] — sum of squares left-to-right, then sqrt. */
+  private def localNorm2(v: Array[Float]): Double = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(n2)
+  }
+
+  /** The registered query batch collected once per corpus state —
+    * NQueries rows of (vec_id, embedding), memoized under the corpus
+    * FINGERPRINT so a regenerated corpus can never serve stale query
+    * vectors while a warm process pays zero collect jobs. */
+  private val collectedQueryMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Float])]]
+  private def collectedQueries(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    collectedQueryMemo.getOrElseUpdate(s"${corpusFingerprint(dir)}#$dir", {
+      import s.implicits._
+      Tables.embeddings(s, dir).where($"vec_id" < NQueries)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .orderBy($"vec_id")
+        .collect().map { case (id, e) => (id, e.toArray) }
+    })
 
   /** s5: PQ shortlist + exact rerank. The corpus side scans CODES (M
     * small ints + a norm — the compressed serving table), scores every
@@ -965,14 +1004,21 @@ object SimilarityOps {
       pqEncode(Tables.embeddings(s, dir), pqCodebooksFor(s, dir))
     }
 
+  /** The query batch as a LOCAL relation with driver-computed LUT and
+    * norm — (query_id, q_emb, lut, qnorm), NQueries rows. No expression
+    * trees, no Spark job (the batch collect is fingerprint-memoized). */
+  private def lutQueryRelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val books = pqCodebooksFor(s, dir)
+    collectedQueries(s, dir).toSeq
+      .map { case (id, v) => (id, v.toSeq, localLut(v, books), localNorm2(v)) }
+      .toDF("query_id", "q_emb", "lut", "qnorm")
+  }
+
   def s5PqRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val books = pqCodebooksFor(s, dir)
-    val queries = emb.where($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-      .withColumn("lut", pqLut($"q_emb", books))
-      .withColumn("qnorm", norm2($"q_emb"))
+    val queries = lutQueryRelation(s, dir)
     val approx = s.read.parquet(pqCodesTable(s, dir))
       .select($"vec_id".as("neighbor_id"), $"codes", $"vnorm")
       .join(broadcast(queries), $"neighbor_id" =!= $"query_id")
@@ -1059,8 +1105,9 @@ object SimilarityOps {
     * nprobe/k = 1/4) is generous enough that the binding term is cell
     * assignment, same as s2 — measured in SimilarityOpsSpec. */
   def s7IvfPq(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
-    val probedQueries = probedQuerySide(s, dir, k, nprobe)
-    val approx = s7Candidates(s, dir, k, probedQueries)
+    val (probedQueries, cells) = probedQuerySide(s, dir, k, nprobe)
+    val approx = codeTableCandidates(s,
+        s.read.parquet(ivfPqTable(s, dir, k)), probedQueries, cells)
       .select(col("query_id"), col("neighbor_id"), col("q_emb"),
         adcCos.as("approx_cos"))
     shortlistRerank(approx, Tables.embeddings(s, dir),
@@ -1069,57 +1116,55 @@ object SimilarityOps {
 
   /** The registered query batch with per-query LUT/norm AND its probed
     * cells attached — the query side every code-table serve (s7, s8)
-    * joins against. Probe cells carry only (query_id, cell); the LUT
-    * joins back on query_id so the M×K dot products are evaluated once
-    * per query, not once per (query, probe) row. */
+    * joins against, one row per (query, probe-cell), built entirely on
+    * the driver from the local kernels (no probe job, no LUT expression
+    * tree). Also returns the distinct probed-cell union so the caller's
+    * scan IN-list needs no collect job either. */
   private def probedQuerySide(s: SparkSession, dir: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): (DataFrame, Seq[Int]) = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
     val centroids = centroidsFor(s, dir, k)
     val books = pqCodebooksFor(s, dir)
-    val queries = emb.where($"vec_id" < NQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-      .withColumn("lut", pqLut($"q_emb", books))
-      .withColumn("qnorm", norm2($"q_emb"))
-    val probes = probeCells(
-      emb.where($"vec_id" < NQueries)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
-      "query_id", "q_emb", centroids, nprobe)
-      .select($"query_id", $"cell")
-    queries.join(probes, Seq("query_id"))
+    val rows = collectedQueries(s, dir).toSeq.flatMap { case (id, v) =>
+      val lut = localLut(v, books)
+      val qn = localNorm2(v)
+      localProbes(v, centroids, nprobe).map(c => (id, v.toSeq, lut, qn, c))
+    }
+    (rows.toDF("query_id", "q_emb", "lut", "qnorm", "cell"),
+      rows.map(_._5).distinct)
   }
 
-  /** The in-cell ADC candidate relation — factored out so the spec can
-    * count scanned candidate rows and assert the nprobe/k scan-volume
-    * contract directly against s5's full-table scan. The probed-cell
-    * union rides ahead of the join as a literal IN-list (a driver
-    * collect bounded by queries × nprobe — the registered batch is
-    * 20 × k/4 — never by the corpus), so it reaches the layout scan as
-    * a PartitionFilter: only probed cell directories are listed and
-    * read, the s3 device applied to the code table. At the default
-    * nprobe/k = 1/4 a 20-query batch usually covers every cell and the
-    * pruning is a no-op; a small or focused batch reads only its cells. */
+  /** The in-cell ADC candidate relation — exposed so the spec can count
+    * scanned candidate rows and assert the nprobe/k scan-volume contract
+    * directly against s5's full-table scan. This entry point accepts an
+    * ARBITRARY probes relation and collects its cell union (bounded by
+    * queries × nprobe, never by the corpus); the registered serves (s7,
+    * s8) skip the collect because their probe sets are driver-computed. */
   private[graft] def s7Candidates(s: SparkSession, dir: String, k: Int,
-      probedQueries: DataFrame): DataFrame =
-    codeTableCandidates(s,
-      s.read.parquet(ivfPqTable(s, dir, k)), probedQueries)
-
-  /** The probed-cell ADC candidate join against ANY cell-partitioned
-    * code relation — shared by s7 (write-once table) and s8 (the
-    * generational folded index), so the probe/join logic cannot
-    * diverge between the two serves. */
-  private def codeTableCandidates(s: SparkSession, codes: DataFrame,
       probedQueries: DataFrame): DataFrame = {
     import s.implicits._
     val cells = probedQueries.select($"cell".cast("int")).distinct()
       .as[Int].collect().toSeq // bounded by queries × nprobe
+    codeTableCandidates(s,
+      s.read.parquet(ivfPqTable(s, dir, k)), probedQueries, cells)
+  }
+
+  /** The probed-cell ADC candidate join against ANY cell-partitioned
+    * code relation — shared by s7 (write-once table) and s8 (the
+    * generational folded index), so the probe/join logic cannot
+    * diverge between the two serves. `cells` is the literal IN-list the
+    * scan applies as a PartitionFilter: only probed cell directories
+    * are listed and read, the s3 device applied to the code table. At
+    * the default nprobe/k = 1/4 a 20-query batch usually covers every
+    * cell and the pruning is a no-op; a small or focused batch reads
+    * only its cells. */
+  private def codeTableCandidates(s: SparkSession, codes: DataFrame,
+      probedQueries: DataFrame, cells: Seq[Int]): DataFrame =
     codes
       .where(col("cell").isInCollection(cells))
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("vnorm"), col("cell"))
       .join(broadcast(probedQueries), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
-  }
 
   /** s7 registered: exact anchor + recall booleans, the s2 pattern. */
   def s7IvfPqChecked(s: SparkSession, dir: String): DataFrame =
@@ -1197,9 +1242,10 @@ object SimilarityOps {
   def s8IvfPqUpsertServe(s: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(s, dir)
     val k = ivfK(n)
-    val probedQueries = probedQuerySide(s, dir, k, ivfNprobe(k))
+    val (probedQueries, cells) = probedQuerySide(s, dir, k, ivfNprobe(k))
     val approx = codeTableCandidates(s,
-      graft.sources.GenStore.load(s, annIndexFolded(s, dir, k)), probedQueries)
+      graft.sources.GenStore.load(s, annIndexFolded(s, dir, k)),
+      probedQueries, cells)
       .select(col("query_id"), col("neighbor_id"), col("q_emb"),
         adcCos.as("approx_cos"))
     recallChecked(s1CosineTopk(s, dir),

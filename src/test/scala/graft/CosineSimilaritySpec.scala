@@ -45,6 +45,60 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearestCells: codegen and interpreted agree, and match an independent argmax") {
+    val rng = new scala.util.Random(41L)
+    val centroids = Array.fill(13)(Array.fill(16)(rng.nextGaussian()))
+    val df = Seq.fill(60)(Seq.fill(16)(rng.nextGaussian().toFloat)).toDF("v")
+    def run(): Array[Seq[Int]] =
+      df.select(graft.functions.nearestCells($"v", centroids, 4)).as[Seq[Int]].collect()
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(gen.toSeq === run().toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // independent reference: full descending sort by (score, cell)
+    val vecs = df.as[Seq[Float]].collect()
+    val want = vecs.map { v =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        val dot = v.zip(c).map { case (p, q) => p.toDouble * q }.sum
+        (dot / math.sqrt(c.map(x => x * x).sum), i)
+      }.sortBy { case (s, i) => (-s, -i) }.take(4).map(_._2).toSeq
+    }
+    assert(gen.toSeq === want.toSeq)
+  }
+
+  test("pqEncodeCodes: codegen and interpreted agree, and match direct argmin distance") {
+    val rng = new scala.util.Random(43L)
+    val books = Array.fill(4)(Array.fill(8)(Array.fill(4)(rng.nextGaussian())))
+    val df = Seq.fill(60)(Seq.fill(16)(rng.nextGaussian().toFloat)).toDF("v")
+    def run(): Array[Seq[Int]] =
+      df.select(graft.functions.pqEncodeCodes($"v", books)).as[Seq[Int]].collect()
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(gen.toSeq === run().toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // independent reference: literal argmin of the squared distance
+    // (the expression uses the dot − ‖c‖²/2 form; equal argmin on
+    // non-degenerate data)
+    val vecs = df.as[Seq[Float]].collect()
+    val want = vecs.map { v =>
+      (0 until 4).map { m =>
+        val vm = v.slice(m * 4, m * 4 + 4).map(_.toDouble)
+        books(m).zipWithIndex.minBy { case (c, _) =>
+          vm.zip(c).map { case (p, q) => (p - q) * (p - q) }.sum
+        }._2
+      }
+    }
+    assert(gen.toSeq === want.toSeq)
+  }
+
   test("simhashFingerprint and minhashBandKeys: codegen and interpreted agree") {
     val rng = new scala.util.Random(7L)
     val df = Seq.fill(20)(Seq.fill(40)(rng.nextLong())).toDF("hs")
