@@ -5,14 +5,17 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line with per-query seconds.
   *
-  * Methodology: a full warm-up pass first (session init, parquet footer
-  * reads, JIT + whole-stage-codegen compilation all land there), then TWO
-  * timed passes reporting the per-query MIN. Without the warm-up the
-  * first query absorbs ~4s of startup; without the min, transient machine
-  * load inflates totals up to ~40% run-to-run (observed) and
-  * round-over-round deltas are noise. The JSON line is printed as the
-  * last stdout line AND written to target/bench.json so the driver can
-  * parse either.
+  * Methodology (pinned in round 11 per the verdict's ask): a full warm-up
+  * pass first (session init, parquet footer reads, one-time index/layout
+  * builds, JIT + whole-stage-codegen compilation all land there), then
+  * THREE timed passes reporting the per-query MEDIAN. Without the warm-up
+  * the first query absorbs ~4s of startup; the median (vs the old
+  * 2-pass min) is robust to a single loaded pass in either direction —
+  * r10's two full runs differed by 10% on the min-of-2, which was most of
+  * the round-over-round signal. The JSON line is printed as the last
+  * stdout line AND written to target/bench.json so the driver can parse
+  * either; the full per-pass times ride in target/bench_passes.json for
+  * noise analysis.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,18 +51,26 @@ object Bench {
     }
 
     SparkEntry.queries.foreach { case (n, fn) => once(n, fn) } // warm-up
-    val pass1 = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
-    val pass2 = SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) }
-    val results = pass1.map { case (n, t1) =>
-      val t2 = pass2(n)
-      // either pass failing must surface as -1, not hide behind the
-      // successful pass's time
-      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
-    }
+    val passes = (1 to 3).map(_ =>
+      SparkEntry.queries.map { case (n, fn) => n -> once(n, fn) })
+    val results = SparkEntry.queries.keys.map { n =>
+      val ts = passes.map(_(n))
+      // any pass failing must surface as -1, not hide behind the
+      // successful passes' times
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    }.toMap
 
     // Millisecond precision: full doubles made the line ~2× longer and the
     // driver's stdout tail-parse has truncated it two rounds running.
     def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+
+    // per-pass detail for noise analysis (not part of the driver contract)
+    val passesJson = passes.zipWithIndex.map { case (p, i) =>
+      "\"pass" + (i + 1) + "\":" + p.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench_passes.json"), passesJson + "\n")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
