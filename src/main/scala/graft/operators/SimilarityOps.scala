@@ -170,21 +170,36 @@ object SimilarityOps {
     * a pure filesystem-metadata operation, no Spark job, no parquet
     * footer reads (at 100 TB even a footer-only count() is a distributed
     * job over every corpus file; a listing is one namenode round-trip).
-    * Any regeneration rewrites files — new sizes or mtimes — so the
-    * fingerprint changes and a stale persisted index table can never be
-    * silently loaded, even when the rebuilt corpus happens to have the
-    * SAME row count (a hole the old count-based fingerprint left open). */
+    * Any regeneration rewrites files — new paths (Spark part-file names
+    * carry a per-job UUID), sizes or mtimes — so the fingerprint changes
+    * and a stale persisted index table can never be silently loaded,
+    * even when the rebuilt corpus happens to have the SAME row count (a
+    * hole the old count-based fingerprint left open). The mtime signal
+    * is nanosecond-resolution where the filesystem provides it, so even
+    * an in-place same-size rewrite inside one coarse-mtime tick (the one
+    * rewrite shape the path/size signals miss) is distinguished on any
+    * modern local filesystem; on a store that truly caps mtime at
+    * seconds, a same-path-same-size-same-tick rewrite is out of contract
+    * (documented here; object-store etags close it in production).
+    *
+    * Deliberately NOT memoized: every index-path resolution recomputes
+    * the listing — that recompute IS the staleness guard that lets a
+    * regenerated corpus roll the index name mid-process. One directory
+    * listing per resolution, no Spark job, no footer reads. */
   private[graft] def corpusFingerprint(dir: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val p = Paths.get(dir, "embeddings.parquet")
     val files =
-      if (Files.isDirectory(p))
-        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-      else Seq(p)
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        finally walk.close()
+      } else List(p)
     val desc = files.map(f =>
       s"${p.getParent.relativize(f)}:${Files.size(f)}:" +
-        s"${Files.getLastModifiedTime(f).toMillis}").sorted.mkString("\n")
+        s"${Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
+      .sorted.mkString(s"n=${files.length}\n", "\n", "")
     java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
   }
@@ -282,8 +297,9 @@ object SimilarityOps {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
   /** The (dir, k) quantizer — trained once, PERSISTED, then loaded: the
@@ -1213,19 +1229,27 @@ object SimilarityOps {
       s"graft_ann_gen_index_v${TrainerVersion}_k${k}_f${corpusFingerprint(dir)}_" +
         graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
     foldedIndexRoots.getOrElseUpdate(root, {
-      // a committed store from an earlier process is trusted as-is
+      // the build is TWO folds (standing corpus, then the ingest batch),
+      // so the store is complete only at generation >= 2. A store an
+      // earlier process committed through generation 2 is trusted as-is
       // (content is deterministic per root — the writeOnce discipline):
-      // a warm process pays zero index-build jobs
-      if (graft.sources.GenStore.currentGen(root).isEmpty) {
-        val emb = Tables.embeddings(s, dir)
-        val isBatch = col("vec_id") % DedupOps.IngestMod === DedupOps.IngestRem
+      // a warm process pays zero index-build jobs. A store that stopped
+      // at generation 1 is a build that CRASHED between the two commits —
+      // trusting it would silently serve an index missing the whole
+      // ingest slice; instead the batch fold is RESUMED (folds are
+      // idempotent, so re-running it after a crash anywhere in fold 2 is
+      // safe and converges on the complete index).
+      val emb = Tables.embeddings(s, dir)
+      val isBatch = col("vec_id") % DedupOps.IngestMod === DedupOps.IngestRem
+      val gen = graft.sources.GenStore.currentGenNumber(root).getOrElse(0L)
+      if (gen < 1)
         graft.sources.GenStore.fold(s, root,
           annIndexRows(s, dir, k, emb.where(!isBatch)),
           partCol = "cell", idCol = "vec_id")
+      if (gen < 2)
         graft.sources.GenStore.fold(s, root,
           annIndexRows(s, dir, k, emb.where(isBatch)),
           partCol = "cell", idCol = "vec_id")
-      }
       root
     })
   }

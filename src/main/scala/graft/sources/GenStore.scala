@@ -9,56 +9,64 @@ import org.apache.spark.sql.functions._
   *
   * Data files are IMMUTABLE once written — a fold never modifies the live
   * generation; it writes a new generation directory and COMMITS it by
-  * atomically replacing a tiny `CURRENT` pointer file (the Iceberg/Delta
-  * commit discipline on a plain filesystem). Readers resolve the pointer
-  * and see fully-pre-fold or fully-post-fold state, never a torn mix; a
-  * fold that dies mid-write leaves only an orphaned staging directory,
-  * swept by the next successful fold. Single WRITER per store path (a
-  * real deployment serializes folds through its ingest loop); concurrent
-  * readers are always safe.
+  * creating the next numbered file in a `_commits/` log with
+  * create-no-overwrite semantics (the Delta-on-HDFS commit protocol: the
+  * atomic "create if absent" IS the commit, so two racing folds cannot
+  * both claim a generation number — exactly one commit file wins and the
+  * loser fails loudly). Readers resolve the highest commit and see
+  * fully-pre-fold or fully-post-fold state, never a torn mix; a fold
+  * that dies mid-write leaves only an uncommitted staging directory,
+  * swept by the next successful fold — including a crashed FIRST fold,
+  * which leaves no commit at all and therefore cannot brick the store.
+  * A single logical WRITER per store path remains the intended
+  * deployment shape (a real ingest loop serializes folds); the commit
+  * log turns an accidental violation from silent data loss into a
+  * loud [[ConcurrentFoldException]]. Concurrent readers are always safe.
   *
-  * Folds rewrite only the partitions the batch touches; untouched
-  * partitions carry into the new generation as hard links — a
-  * metadata-only operation, no data copied or read (on an object store
-  * this step is the manifest re-listing old files, same device).
+  * Two carry modes for the partitions a fold does NOT touch:
+  *
+  *  - [[Links]] (default): untouched partition directories carry into
+  *    the new generation as hard links — metadata-only, POSIX-only.
+  *  - [[Manifest]]: link-free and object-store-portable. A generation
+  *    directory holds only the partitions its fold actually wrote, plus
+  *    a `_MANIFEST` mapping every live partition directory to the
+  *    generation that owns its files; untouched partitions carry as
+  *    manifest references to their original writer (the Iceberg
+  *    manifest-re-listing device). On a real object store the commit
+  *    file becomes a conditional PUT (S3 `If-None-Match`, GCS
+  *    `ifGenerationMatch 0`), which carries its content atomically; the
+  *    local simulation's `CREATE_NEW` open has a theoretical
+  *    crash-between-create-and-write window documented on [[fold]].
+  *
+  * Latest-wins replacement reads only the partitions the batch touches,
+  * so by default a re-ingested id must keep its partition assignment
+  * (true for both in-repo callers: the band index touches all bands;
+  * s8's ingest slice is id-disjoint from the standing corpus). Callers
+  * whose ids can MOVE partitions (e.g. a changed embedding re-assigned
+  * to another cell) must pass `strictReplace = true`, which additionally
+  * locates and rewrites the partitions holding the ids' old rows.
   */
 object GenStore {
 
-  /** Name of the committed generation under `path`, if any. */
-  def currentGen(path: String): Option[String] = {
-    val cur = java.nio.file.Paths.get(path, "CURRENT")
-    if (java.nio.file.Files.exists(cur))
-      Some(java.nio.file.Files.readString(cur).trim)
-    else None
-  }
+  /** How a fold carries the partitions it does not rewrite. */
+  sealed trait Mode
+  /** Hard-link untouched partition dirs into the new generation (POSIX). */
+  case object Links extends Mode
+  /** Carry untouched partitions by `_MANIFEST` reference — no links, no
+    * renames; portable to object stores. */
+  case object Manifest extends Mode
 
-  private def genNumber(gen: String): Long =
-    gen.stripPrefix("gen-").takeWhile(_.isDigit).toLong
+  /** Two folds raced onto the same generation number; this fold lost the
+    * commit and its staging directory was left for the sweep. */
+  final class ConcurrentFoldException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
 
-  /** The committed view of the store — resolves `CURRENT` and reads that
-    * generation only (partition dirs intact, so partition-column filters
-    * still prune at the scan). */
-  def load(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/${currentGen(path).getOrElse(
-      sys.error(s"no committed generation at $path"))}")
+  private val CommitsDir = "_commits"
+  private val ManifestFile = "_MANIFEST"
+  /** Uniquifies staging-dir names across threads of one JVM (pid alone
+    * cannot: two in-JVM racers would stage into the same directory). */
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Fold `batch` into the store at `path`, latest-wins per `idCol`:
-    *
-    *  1. collect the batch's distinct touched `partCol` values (bounded
-    *     by the caller's partitioning contract — band count, quantizer
-    *     cell count — never by data volume);
-    *  2. read ONLY those partitions of the current generation, drop rows
-    *     whose `idCol` re-appears in the batch (a re-ingested id REPLACES
-    *     its rows), union the batch, write as the touched partitions of
-    *     a NEW generation. Reading old and writing new are different
-    *     paths — no checkpoint needed, no read-overwrite hazard;
-    *  3. hard-link the untouched partitions into the new generation;
-    *  4. commit via atomic `CURRENT` replace; sweep retired generations
-    *     and crashed-fold orphans (POSIX unlink keeps any in-flight
-    *     reader's open files alive until it finishes).
-    *
-    * Idempotent per batch: re-folding the same rows commits a generation
-    * with identical content. */
   /** Children of `dir` (fully drained, stream closed — `Files.list`
     * leaks a directory FD unless explicitly closed). */
   private def children(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
@@ -67,69 +75,269 @@ object GenStore {
     try st.iterator().asScala.toList finally st.close()
   }
 
+  /** Commit-log entries as (number, file), newest first. */
+  private def commitEntries(path: String): Seq[(Long, java.nio.file.Path)] = {
+    val dir = java.nio.file.Paths.get(path, CommitsDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Nil
+    else children(dir)
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong -> p) else None
+      }
+      .sortBy(-_._1)
+  }
+
+  /** Name of the committed generation under `path`, if any: the highest
+    * non-empty commit-log entry, falling back to the legacy `CURRENT`
+    * pointer file for stores written before the commit log existed. An
+    * empty commit file (a commit whose content write died mid-flight —
+    * see [[fold]]) never became visible and is skipped. */
+  def currentGen(path: String): Option[String] = {
+    commitEntries(path).iterator
+      .map { case (_, p) =>
+        try java.nio.file.Files.readString(p).trim
+        catch { case _: java.nio.file.NoSuchFileException => "" }
+      }
+      .find(_.nonEmpty)
+      .orElse {
+        val cur = java.nio.file.Paths.get(path, "CURRENT")
+        if (java.nio.file.Files.exists(cur))
+          Some(java.nio.file.Files.readString(cur).trim)
+        else None
+      }
+  }
+
+  private def genNumber(gen: String): Long =
+    gen.stripPrefix("gen-").takeWhile(_.isDigit).toLong
+
+  /** Number of the committed generation, if any — lets a caller that
+    * folds a KNOWN sequence of batches distinguish a complete store from
+    * one whose build crashed between folds (see
+    * [[graft.operators.SimilarityOps.annIndexFolded]]). */
+  def currentGenNumber(path: String): Option[Long] =
+    currentGen(path).map(genNumber)
+
+  /** partition-dir name -> owning generation dir, for generation `gen`:
+    * the `_MANIFEST` if one exists (Manifest-mode fold), else every
+    * `col=value` child of the generation dir owned by itself. */
+  private def ownerMap(path: String, gen: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val mf = java.nio.file.Paths.get(path, gen, ManifestFile)
+    if (java.nio.file.Files.exists(mf))
+      java.nio.file.Files.readAllLines(mf).asScala
+        .filter(_.nonEmpty)
+        .map { line =>
+          val i = line.indexOf('\t')
+          require(i > 0, s"malformed manifest line in $mf: '$line'")
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+    else
+      children(java.nio.file.Paths.get(path, gen))
+        .map(_.getFileName.toString)
+        .filter(_.contains("="))
+        .map(d => d -> gen).toMap
+  }
+
+  private def writeManifest(path: String, gen: String,
+      owners: Map[String, String]): Unit = {
+    val body = owners.toSeq.sorted.map { case (d, o) => s"$d\t$o" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, gen, ManifestFile), body)
+  }
+
+  /** Generation `gen` as a DataFrame: its partition dirs read from their
+    * owning generation dirs (one basePath-scoped read per owner, so
+    * partition-column filters still prune at the scan), unioned. For a
+    * Links-mode generation every partition is self-owned and this is a
+    * single read of the generation dir's partitions. */
+  private def loadGen(s: SparkSession, path: String, gen: String): DataFrame = {
+    val byOwner = ownerMap(path, gen).toSeq.groupBy(_._2)
+    if (byOwner.isEmpty) s.read.parquet(s"$path/$gen")
+    else byOwner.toSeq.sortBy(_._1).map { case (owner, dirs) =>
+      s.read.option("basePath", s"$path/$owner")
+        .parquet(dirs.map { case (d, _) => s"$path/$owner/$d" }: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** The committed view of the store — resolves the commit log and reads
+    * that generation only (partition dirs intact, so partition-column
+    * filters still prune at the scan). */
+  def load(s: SparkSession, path: String): DataFrame =
+    loadGen(s, path, currentGen(path).getOrElse(
+      sys.error(s"no committed generation at $path")))
+
+  /** Fold `batch` into the store at `path`, latest-wins per `idCol`:
+    *
+    *  1. collect the batch's distinct touched `partCol` values (bounded
+    *     by the caller's partitioning contract — band count, quantizer
+    *     cell count — never by data volume); with `strictReplace`, also
+    *     the partitions holding old rows of re-ingested ids (one
+    *     column-pruned semi-join over the current generation — the price
+    *     of ids that may move partitions);
+    *  2. read ONLY those partitions of the current generation, drop rows
+    *     whose `idCol` re-appears in the batch (a re-ingested id REPLACES
+    *     its rows), union the batch, write as the touched partitions of
+    *     a NEW generation. Reading old and writing new are different
+    *     paths — no checkpoint needed, no read-overwrite hazard;
+    *  3. carry the untouched partitions per `mode` — hard links
+    *     ([[Links]]) or manifest references ([[Manifest]]);
+    *  4. commit by creating the next numbered `_commits/` entry with
+    *     create-no-overwrite; a racing fold that lost the number throws
+    *     [[ConcurrentFoldException]] and its staging directory is left
+    *     for the sweep. Then sweep: uncommitted orphans and generations
+    *     whose files are no longer referenced by the current or the
+    *     immediately previous commit. The previous generation's files
+    *     are RETAINED one fold longer — Spark readers open parquet
+    *     files lazily at task time, so a reader that resolved the
+    *     commit just before this one may not have opened its files yet;
+    *     one-generation retention gives it a full fold cycle to finish
+    *     (the Iceberg/Delta snapshot-retention discipline, horizon = 1).
+    *
+    * Idempotent per batch: re-folding the same rows commits a generation
+    * with identical content.
+    *
+    * Crash safety: every pre-commit crash leaves only uncommitted
+    * staging (swept later, store readable throughout); a crash after the
+    * commit-file create IS a completed commit. Sole documented window:
+    * in [[Manifest]] mode the local `CREATE_NEW` simulation opens the
+    * commit file and then writes its content — death exactly between the
+    * two syscalls leaves an empty claim on that number that readers skip
+    * but a subsequent fold reports as a concurrent-fold conflict needing
+    * manual removal; a real object store's conditional PUT carries the
+    * content atomically and has no such window. [[Links]] mode commits
+    * by hard-linking a fully-written temp file and is window-free. */
   def fold(s: SparkSession, path: String, batch: DataFrame,
-      partCol: String, idCol: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      partCol: String, idCol: String, mode: Mode = Links,
+      strictReplace: Boolean = false): Unit = {
+    import java.nio.file.{Files, Paths}
     val root = Paths.get(path)
     Files.createDirectories(root)
     val curGen = currentGen(path)
-    // a non-empty root with no CURRENT pointer is NOT an empty store —
-    // it is a foreign or pre-generational layout; treating it as empty
-    // would commit a generation holding only this batch and silently
-    // drop the standing data. Fail loudly instead of guessing.
+    // a root holding bare `partCol=` dirs with no commit is NOT an empty
+    // store — it is a foreign or pre-generational layout; treating it as
+    // empty would commit a generation holding only this batch and
+    // silently drop the standing data. Fail loudly instead of guessing.
+    // (Bare `gen-*` dirs with no commit ARE fine: a crashed first fold's
+    // staging, swept by this fold's commit.)
     if (curGen.isEmpty) {
       val stray = children(root).map(_.getFileName.toString)
-        .filter(n => n.startsWith(s"$partCol=") || n.startsWith("gen-"))
+        .filter(_.startsWith(s"$partCol="))
       require(stray.isEmpty,
-        s"$path holds data ($stray) but no CURRENT pointer — not a GenStore " +
-          "layout (or a crashed first fold); migrate or clear it explicitly")
+        s"$path holds partition data ($stray) but no commit — not a " +
+          "GenStore layout; migrate or clear it explicitly")
     }
     val genNum = curGen.map(genNumber).getOrElse(0L) + 1
-    val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}"
+    val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}" +
+      s"s${stagingSeq.incrementAndGet()}"
     val newPath = s"$path/$newGen"
     curGen match {
       case None =>
         batch.write.mode("overwrite").partitionBy(partCol).parquet(newPath)
+        if (mode == Manifest)
+          writeManifest(path, newGen, writtenParts(newPath).map(_ -> newGen).toMap)
       case Some(g) =>
-        val touched = batch.select(col(partCol)).distinct()
+        val prev = loadGen(s, path, g)
+        val batchIds = batch.select(col(idCol)).distinct()
+        val touchedByBatch = batch.select(col(partCol)).distinct()
           .collect().map(_.get(0)).toSeq
+        val touched =
+          if (!strictReplace) touchedByBatch
+          else (touchedByBatch ++ prev
+            .join(batchIds, Seq(idCol), "left_semi")
+            .select(col(partCol)).distinct()
+            .collect().map(_.get(0))).distinct
         val touchedDirs = touched.map(v => s"$partCol=$v").toSet
-        val survivors = s.read.parquet(s"$path/$g")
+        val survivors = prev
           .where(col(partCol).isInCollection(touched))
-          .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          .join(batchIds, Seq(idCol), "left_anti")
         survivors.select(batch.columns.map(col): _*)
           .unionByName(batch)
           .write.mode("overwrite").partitionBy(partCol).parquet(newPath)
-        children(Paths.get(s"$path/$g"))
-          .filter(_.getFileName.toString.startsWith(s"$partCol="))
-          .filterNot(p => touchedDirs.contains(p.getFileName.toString))
-          .foreach { partDir =>
-            val dst = Paths.get(newPath, partDir.getFileName.toString)
-            Files.createDirectories(dst)
-            children(partDir)
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
-          }
+        val carried = ownerMap(path, g).filterNot { case (d, _) => touchedDirs(d) }
+        mode match {
+          case Links =>
+            carried.foreach { case (partDir, owner) =>
+              val srcDir = Paths.get(path, owner, partDir)
+              val dst = Paths.get(newPath, partDir)
+              Files.createDirectories(dst)
+              children(srcDir)
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+            }
+          case Manifest =>
+            writeManifest(path, newGen,
+              carried ++ writtenParts(newPath).map(_ -> newGen))
+        }
     }
-    // commit: atomic pointer replace — the only mutation readers observe
-    val tmp = root.resolve(s"CURRENT.tmp${ProcessHandle.current().pid()}")
-    Files.writeString(tmp, newGen)
-    Files.move(tmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // sweep: crashed-fold orphans at or below this commit's number, and
-    // generations retired TWO OR MORE commits ago. The immediately
-    // previous generation is RETAINED one fold longer — Spark readers
-    // open parquet files lazily at task time, so a reader that resolved
-    // CURRENT just before this commit may not have opened its files yet;
-    // one-generation retention gives it a full fold cycle to finish
-    // (the Iceberg/Delta snapshot-retention discipline, horizon = 1).
-    children(root)
+    commit(path, genNum, newGen, mode)
+    sweep(path, genNum, newGen, prevGen = curGen)
+  }
+
+  /** Partition dirs a write just produced under `genPath`. */
+  private def writtenParts(genPath: String): Seq[String] =
+    children(java.nio.file.Paths.get(genPath))
+      .map(_.getFileName.toString).filter(_.contains("="))
+
+  /** The atomic claim-and-publish of generation `genNum`. [[Links]]:
+    * hard-link a fully-written temp file onto the commit name — link(2)
+    * fails with EEXIST atomically, so the claim and the content arrive
+    * together. [[Manifest]]: `CREATE_NEW` write, the faithful local
+    * stand-in for an object store's conditional PUT (link-free by
+    * design; window documented on [[fold]]). */
+  private def commit(path: String, genNum: Long, newGen: String,
+      mode: Mode): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = Paths.get(path, CommitsDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(f"$genNum%06d")
+    try {
+      mode match {
+        case Links =>
+          val tmp = dir.resolve(
+            s".tmp-p${ProcessHandle.current().pid()}s${stagingSeq.incrementAndGet()}")
+          Files.writeString(tmp, newGen)
+          try Files.createLink(target, tmp)
+          finally Files.deleteIfExists(tmp)
+        case Manifest =>
+          Files.write(target, newGen.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      }
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentFoldException(
+          s"concurrent fold detected: generation $genNum at $path was " +
+            s"committed by another writer; this fold's staging directory " +
+            s"$newGen is uncommitted and will be swept by the next " +
+            "successful fold", e)
+    }
+  }
+
+  /** Remove what no retained commit can reach: generation dirs whose
+    * files are referenced by neither the new commit nor its predecessor
+    * (covers retired generations, crashed-fold staging, and racing-fold
+    * losers), commit-log entries older than the predecessor, and the
+    * legacy `CURRENT` pointer once the log owns the store. In Manifest
+    * mode a generation dir survives as long as ANY retained manifest
+    * still references a partition it owns (cold partitions keep their
+    * original writer alive — those files are live data, the Iceberg
+    * unreferenced-file rule). */
+  private def sweep(path: String, genNum: Long, newGen: String,
+      prevGen: Option[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live: Set[String] =
+      (Set(newGen) ++ ownerMap(path, newGen).values ++
+        prevGen.toSet ++
+        prevGen.toSeq.flatMap(g => ownerMap(path, g).values)).toSet
+    children(Paths.get(path))
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("gen-") && n != newGen &&
-          (genNumber(n) < genNum - 1 ||
-            (genNumber(n) == genNum && n != newGen)) // same-number orphan
+        n.startsWith("gen-") && !live.contains(n) && genNumber(n) <= genNum
       }
       .foreach(Layouts.deleteRecursively)
+    commitEntries(path)
+      .filter { case (n, _) => n < genNum - 1 }
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
+    Files.deleteIfExists(Paths.get(path, "CURRENT"))
   }
 }

@@ -57,8 +57,9 @@ object Layouts {
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
   /** 64-bit md5-prefix tag of a source dir for on-disk layout names.

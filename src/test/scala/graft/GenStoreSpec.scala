@@ -1,0 +1,244 @@
+package graft
+
+import graft.sources.GenStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Latches for the deterministic concurrent-fold race: the loser's batch
+  * contains a UDF that signals `started` on first evaluation (proving the
+  * loser has passed its generation read and entered its write) and then
+  * blocks on `release` until the winner has committed. Static object so
+  * the local-mode executor threads share the instances. */
+object FoldRace {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+}
+
+class GenStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_genstore")
+      .resolve("store").toString
+
+  private def batch(rs: (Long, Int, String)*): DataFrame =
+    rs.toDF("id", "part", "v")
+
+  private def content(root: String): Set[(Long, Int, String)] =
+    GenStore.load(spark, root).select($"id", $"part".cast("int"), $"v")
+      .as[(Long, Int, String)].collect().toSet
+
+  private def genDirs(root: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try st.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("gen-")).toList.sorted
+    finally st.close()
+  }
+
+  private def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    finally walk.close()
+  }
+
+  for (mode <- Seq(GenStore.Links, GenStore.Manifest))
+  test(s"$mode: latest-wins fold semantics, idempotent re-fold, content equals rebuild") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c")),
+      "part", "id", mode)
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c")))
+    // replace id 2 in place, add id 4 in a new partition
+    val b2 = batch((2L, 2, "b2"), (4L, 3, "d"))
+    GenStore.fold(spark, root, b2, "part", "id", mode)
+    val want = Set((1L, 1, "a"), (2L, 2, "b2"), (3L, 2, "c"), (4L, 3, "d"))
+    assert(content(root) === want)
+    // at-least-once delivery: re-folding the same batch changes nothing
+    GenStore.fold(spark, root, b2, "part", "id", mode)
+    assert(content(root) === want, "re-fold must be a content no-op")
+  }
+
+  test("Manifest mode is link-free: untouched partitions carry by reference, not by link or copy") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a"), (2L, 2, "b")),
+      "part", "id", GenStore.Manifest)
+    GenStore.fold(spark, root, batch((1L, 1, "a2")),
+      "part", "id", GenStore.Manifest)
+    assert(content(root) === Set((1L, 1, "a2"), (2L, 2, "b")))
+    val newest = genDirs(root).maxBy(_.stripPrefix("gen-").takeWhile(_.isDigit).toLong)
+    val newestPath = java.nio.file.Paths.get(root, newest)
+    // the untouched part=2 must NOT exist in the new generation dir —
+    // its files are reachable only through the manifest reference
+    assert(!java.nio.file.Files.exists(newestPath.resolve("part=2")),
+      "manifest mode must not materialize untouched partitions")
+    // zero hard links anywhere in the store (the object-store-portable claim)
+    val base = java.nio.file.Paths.get(root)
+    parquetFiles(base).foreach { f =>
+      val nlink = java.nio.file.Files.getAttribute(f, "unix:nlink")
+        .asInstanceOf[Number].intValue()
+      assert(nlink === 1, s"$f has $nlink links — manifest mode must be link-free")
+    }
+    // and the committed view still prunes on the partition column
+    val plan = GenStore.load(spark, root).where($"part" === 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(plan).isDefined,
+      s"expected partition pruning through the manifest load in:\n$plan")
+  }
+
+  test("Links mode carries untouched partitions as hard links (the POSIX fast path)") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a"), (2L, 2, "b")),
+      "part", "id", GenStore.Links)
+    GenStore.fold(spark, root, batch((1L, 1, "a2")),
+      "part", "id", GenStore.Links)
+    val newest = genDirs(root).maxBy(_.stripPrefix("gen-").takeWhile(_.isDigit).toLong)
+    val carried = parquetFiles(java.nio.file.Paths.get(root, newest, "part=2"))
+    assert(carried.nonEmpty)
+    carried.foreach { f =>
+      val nlink = java.nio.file.Files.getAttribute(f, "unix:nlink")
+        .asInstanceOf[Number].intValue()
+      assert(nlink >= 2, s"$f not hard-linked — Links mode must carry by link")
+    }
+  }
+
+  for (mode <- Seq(GenStore.Links, GenStore.Manifest))
+  test(s"$mode: a fold that dies mid-write leaves the committed view fully pre-fold; the next fold recovers") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a"), (2L, 2, "b")), "part", "id", mode)
+    val boom = udf((i: Long) => {
+      if (i >= 0) throw new RuntimeException("injected mid-fold failure"); i
+    })
+    val bad = batch((1L, 1, "a2")).withColumn("id", boom($"id"))
+    intercept[Exception] {
+      GenStore.fold(spark, root, bad, "part", "id", mode)
+    }
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b")),
+      "a killed fold must leave the committed store exactly pre-fold")
+    GenStore.fold(spark, root, batch((1L, 1, "a2")), "part", "id", mode)
+    assert(content(root) === Set((1L, 1, "a2"), (2L, 2, "b")),
+      "the fold after a killed fold must commit the full post-fold state")
+  }
+
+  test("a crashed FIRST fold (staging dir, no commit) does not brick the store; the orphan is swept") {
+    val root = freshRoot()
+    // fabricate what a first fold that died mid-write leaves behind: a
+    // gen-* staging dir holding partition data, and NO commit anywhere
+    batch((9L, 9, "orphan")).write.partitionBy("part")
+      .parquet(s"$root/gen-000001-p0s0")
+    assert(GenStore.currentGen(root).isEmpty)
+    GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id")
+    assert(content(root) === Set((1L, 1, "a")),
+      "the orphan's rows must not leak into the rebuilt store")
+    assert(!genDirs(root).contains("gen-000001-p0s0"),
+      "the crashed first fold's staging dir must be swept")
+  }
+
+  test("a root holding bare partition dirs with no commit is a foreign layout and fails loudly") {
+    val root = freshRoot()
+    batch((1L, 1, "a")).write.partitionBy("part").parquet(root)
+    intercept[IllegalArgumentException] {
+      GenStore.fold(spark, root, batch((2L, 1, "b")), "part", "id")
+    }
+  }
+
+  test("two interleaved folds: exactly one commits, the loser throws, store content is the winner's") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id")
+    FoldRace.started = new java.util.concurrent.CountDownLatch(1)
+    FoldRace.release = new java.util.concurrent.CountDownLatch(1)
+    val gate = udf((i: Long) => {
+      FoldRace.started.countDown()
+      FoldRace.release.await()
+      i
+    })
+    // the LOSER: reads the current generation, then its write stalls on
+    // the latch until the winner has committed the same generation number
+    val loser = scala.concurrent.Future {
+      GenStore.fold(spark, root,
+        batch((66L, 6, "loser")).withColumn("id", gate($"id")),
+        "part", "id")
+    }(scala.concurrent.ExecutionContext.global)
+    assert(FoldRace.started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "loser fold never started evaluating its batch")
+    // the WINNER commits while the loser is wedged inside its write
+    GenStore.fold(spark, root, batch((2L, 2, "winner")), "part", "id")
+    FoldRace.release.countDown()
+    val err = intercept[GenStore.ConcurrentFoldException] {
+      scala.concurrent.Await.result(loser, scala.concurrent.duration.Duration("120s"))
+    }
+    assert(err.getMessage.contains("concurrent fold"))
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "winner")),
+      "store must hold exactly the winner's fold; the loser's batch must be absent")
+    // the loser's staging is an uncommitted orphan: the next successful
+    // fold sweeps it and the store keeps working
+    GenStore.fold(spark, root, batch((3L, 3, "c")), "part", "id")
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "winner"), (3L, 3, "c")))
+    assert(!genDirs(root).exists(g => parquetFiles(
+        java.nio.file.Paths.get(root, g)).isEmpty),
+      "no empty orphan generation dirs may survive a successful fold")
+  }
+
+  test("strictReplace: an id that moves partitions is fully replaced; the default documents the stability contract") {
+    // default mode: partition-stable ids are the caller's contract — an
+    // id that MOVES leaves its stale row in the untouched partition
+    val lax = freshRoot()
+    GenStore.fold(spark, lax, batch((1L, 1, "a"), (2L, 2, "b")), "part", "id")
+    GenStore.fold(spark, lax, batch((1L, 2, "moved")), "part", "id")
+    assert(content(lax) === Set((1L, 1, "a"), (1L, 2, "moved"), (2L, 2, "b")),
+      "without strictReplace a moved id's old row survives (why the contract exists)")
+    // strictReplace: the old partition is located and rewritten too
+    val strict = freshRoot()
+    GenStore.fold(spark, strict, batch((1L, 1, "a"), (2L, 2, "b")), "part", "id")
+    GenStore.fold(spark, strict, batch((1L, 2, "moved")), "part", "id",
+      strictReplace = true)
+    assert(content(strict) === Set((1L, 2, "moved"), (2L, 2, "b")),
+      "strictReplace must remove the moved id's row from its old partition")
+  }
+
+  test("legacy CURRENT-pointer stores migrate: load honors CURRENT, the next fold moves the store onto the commit log") {
+    val root = freshRoot()
+    batch((1L, 1, "a"), (2L, 2, "b")).write.partitionBy("part")
+      .parquet(s"$root/gen-000001-legacy")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "CURRENT"), "gen-000001-legacy")
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b")))
+    GenStore.fold(spark, root, batch((2L, 2, "b2")), "part", "id")
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b2")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "CURRENT")),
+      "the commit log owns a migrated store; the legacy pointer must be gone")
+    assert(genDirs(root).contains("gen-000001-legacy"),
+      "the legacy generation is the previous generation — retained one fold")
+    GenStore.fold(spark, root, batch((3L, 3, "c")), "part", "id")
+    assert(!genDirs(root).contains("gen-000001-legacy"),
+      "the legacy generation must retire after its retention fold")
+  }
+
+  test("Manifest retention: a generation owning cold partitions outlives the horizon; superseded generations retire") {
+    val root = freshRoot()
+    val m = GenStore.Manifest
+    GenStore.fold(spark, root, batch((1L, 1, "g1p1"), (2L, 2, "cold")), "part", "id", m)
+    val gen1 = genDirs(root).head
+    GenStore.fold(spark, root, batch((1L, 1, "g2p1")), "part", "id", m) // gen2
+    val gen2 = genDirs(root).filterNot(_ == gen1).head
+    GenStore.fold(spark, root, batch((1L, 1, "g3p1")), "part", "id", m) // gen3
+    GenStore.fold(spark, root, batch((1L, 1, "g4p1")), "part", "id", m) // gen4
+    val dirs = genDirs(root)
+    assert(dirs.contains(gen1),
+      "gen1 owns the cold part=2 files — live data, must never be swept")
+    assert(!dirs.contains(gen2),
+      "gen2's only partition was superseded and is past the horizon — must retire")
+    assert(content(root) === Set((1L, 1, "g4p1"), (2L, 2, "cold")))
+  }
+
+  test("an empty commit file (content write died) is invisible to readers") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id")
+    val cur = GenStore.currentGen(root)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "_commits", "000099"))
+    assert(GenStore.currentGen(root) === cur,
+      "an empty claim never became a commit; readers must skip it")
+  }
+}
