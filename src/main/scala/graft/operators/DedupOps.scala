@@ -649,18 +649,22 @@ object DedupOps {
     *
     * Output: (doc_id, keep) for every document. */
   def d6DedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val canonical = docs.join(
-      d1ExactDedup(s, dir).where(col("is_canonical")).select("doc_id"),
-      Seq("doc_id"))
+    // d1's canonicity as a window ON THE SCAN ITSELF, not a docs⋈d1
+    // self-join: the flag rides the same pass that carries the text to
+    // the shingler, so each downstream reference costs one corpus scan
+    // and one sha2-keyed exchange instead of two scans plus a join. At
+    // 100 TB the old shape paid two extra full-corpus reads per
+    // reference (d6 references the canonical set three times).
+    val flagged = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      (col("doc_id") === min(col("doc_id")).over(
+        Window.partitionBy(sha2(col("text"), 256)))).as("canon"))
+    val canonical = flagged.where(col("canon")).select("doc_id", "text")
     val dropB = minhashPairs(canonical, 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs.select(col("doc_id"))
-      .join(canonical.select(col("doc_id"), lit(true).as("canon")), Seq("doc_id"), "left")
+    flagged.select(col("doc_id"), col("canon"))
       .join(dropB.withColumn("neardup", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (coalesce(col("canon"), lit(false)) &&
-          !coalesce(col("neardup"), lit(false))).as("keep"))
+        (col("canon") && !coalesce(col("neardup"), lit(false))).as("keep"))
   }
 
   private[operators] val d6Sql =

@@ -186,23 +186,8 @@ object SimilarityOps {
     * the listing — that recompute IS the staleness guard that lets a
     * regenerated corpus roll the index name mid-process. One directory
     * listing per resolution, no Spark job, no footer reads. */
-  private[graft] def corpusFingerprint(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(dir, "embeddings.parquet")
-    val files =
-      if (Files.isDirectory(p)) {
-        val walk = Files.walk(p)
-        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
-        finally walk.close()
-      } else List(p)
-    val desc = files.map(f =>
-      s"${p.getParent.relativize(f)}:${Files.size(f)}:" +
-        s"${Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
-      .sorted.mkString(s"n=${files.length}\n", "\n", "")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(desc.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-  }
+  private[graft] def corpusFingerprint(dir: String): String =
+    graft.sources.Layouts.tableFingerprint(dir, "embeddings")
 
   /** Corpus row count — memoized per JVM AND persisted as a tiny
     * fingerprint-named sidecar file under target/, so a fresh process
@@ -254,53 +239,14 @@ object SimilarityOps {
       s"graft_ivf_centroids_v${TrainerVersion}_k${k}_f${corpusFingerprint(dir)}_" +
         graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
 
-  /** Load gate for a persisted index table: only a COMPLETE write counts
-    * — the committer's _SUCCESS marker must exist. A crashed writer's
-    * partial directory is treated as absent and republished; it is never
-    * loaded. */
+  // The atomic table-publish device lives in [[graft.sources.Layouts]]
+  // (shared with the TextOps bigram-LM persistence); these are the
+  // local names the index trainers use.
   private def completedTable(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    graft.sources.Layouts.completedTable(path)
 
-  /** Publish a small index table ATOMICALLY: write to a pid-suffixed side
-    * path (where the committer drops _SUCCESS), then rename into place —
-    * a same-filesystem directory move, so a concurrent or later reader
-    * sees no table or the whole table, never a torn one. If a concurrent
-    * trainer in another process won the rename, ours is discarded —
-    * content is deterministic per path, so either copy is correct. */
-  private def publishAtomically(df: DataFrame, path: String): Unit = {
-    val tmp = java.nio.file.Paths.get(
-      path + "_stage" + java.lang.ProcessHandle.current().pid())
-    val target = java.nio.file.Paths.get(path)
-    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    try java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.io.IOException =>
-      if (completedTable(path)) {
-        // a concurrent trainer won the rename; its content equals ours
-        deleteRecursively(tmp)
-      } else {
-        // torn leftover from a crashed writer blocks the rename: clear it
-        // and retry once; if ANOTHER process raced us to the same repair,
-        // whichever rename lands is complete and correct
-        deleteRecursively(target)
-        try java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException =>
-          deleteRecursively(tmp)
-          require(completedTable(path),
-            s"atomic publish of $path failed with no complete table present")
-        }
-      }
-    }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      val all = try walk.iterator().asScala.toSeq finally walk.close()
-      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  private def publishAtomically(df: DataFrame, path: String): Unit =
+    graft.sources.Layouts.publishAtomically(df, path)
 
   /** The (dir, k) quantizer — trained once, PERSISTED, then loaded: the
     * first use per (dir, k) anywhere trains and writes the centroid

@@ -62,6 +62,76 @@ object Layouts {
       all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
+  /** Load gate for a persisted model/index table: only a COMPLETE write
+    * counts — the committer's _SUCCESS marker must exist. A crashed
+    * writer's partial directory is treated as absent and republished; it
+    * is never loaded. */
+  private[graft] def completedTable(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
+  /** Publish a model/index table ATOMICALLY: write to a pid-suffixed side
+    * path (where the committer drops _SUCCESS), then rename into place —
+    * a same-filesystem directory move, so a concurrent or later reader
+    * sees no table or the whole table, never a torn one. If a concurrent
+    * trainer in another process won the rename, ours is discarded —
+    * content is deterministic per path, so either copy is correct.
+    * `files` sizes the table's file count: 1 for scalar-sized artifacts
+    * (centroids, codebooks), more for vocab-sized model tables whose
+    * single-file write would bottleneck on one task. */
+  private[graft] def publishAtomically(df: DataFrame, path: String,
+      files: Int = 1): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      path + "_stage" + java.lang.ProcessHandle.current().pid())
+    val target = java.nio.file.Paths.get(path)
+    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException =>
+      if (completedTable(path)) {
+        // a concurrent trainer won the rename; its content equals ours
+        deleteRecursively(tmp)
+      } else {
+        // torn leftover from a crashed writer blocks the rename: clear it
+        // and retry once; if ANOTHER process raced us to the same repair,
+        // whichever rename lands is complete and correct
+        deleteRecursively(target)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException =>
+          deleteRecursively(tmp)
+          require(completedTable(path),
+            s"atomic publish of $path failed with no complete table present")
+        }
+      }
+    }
+  }
+
+  /** File-listing fingerprint of a testdata table: md5 prefix over the
+    * sorted (relative path, size, nanosecond mtime) of every file plus
+    * the file count — a pure filesystem-metadata operation, no Spark
+    * job. Any regeneration rewrites files (new part-file UUIDs, sizes or
+    * mtimes), so a persisted artifact named by this fingerprint can
+    * never be silently served stale (same contract as
+    * [[graft.operators.SimilarityOps.corpusFingerprint]], which owns the
+    * full caveat documentation). */
+  private[graft] def tableFingerprint(dir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir, s"$table.parquet")
+    val files =
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        finally walk.close()
+      } else List(p)
+    val desc = files.map(f =>
+      s"${p.getParent.relativize(f)}:${Files.size(f)}:" +
+        s"${Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
+      .sorted.mkString(s"n=${files.length}\n", "\n", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
   /** 64-bit md5-prefix tag of a source dir for on-disk layout names.
     * Distinct dirs colliding is possible in principle (any finite tag) but
     * at 2^-64 per pair it is ignorable; the point of md5 over

@@ -16,6 +16,27 @@ class PlanAuditSpec extends SparkSpec {
   private def shuffles(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
 
+  private def scansOf(p: String, table: String): Int =
+    s"$table\\.parquet".r.findAllIn(p).length
+
+  test("e3: the capstone composition adds ZERO corpus scans over the sum of its stages") {
+    // e3 joins four stage relations; the claim its scaladoc makes is that
+    // composing them is id-width only — every documents/embeddings scan
+    // in e3's plan is one of the stages' own, never a duplicate the
+    // composition introduced. Stage queries are built fresh here so each
+    // count is the stage's standalone plan.
+    val e3 = plan("e3_corpus_curation")
+    val stages = Seq("e1_pipeline", "t11_perplexity_filter", "t12_boilerplate")
+      .map(plan)
+    assert(scansOf(e3, "documents") ===
+      stages.map(scansOf(_, "documents")).sum,
+      s"e3 documents scans must equal the sum of its stages' — capstone " +
+        s"composition may not re-scan the corpus\n$e3")
+    assert(scansOf(e3, "embeddings") ===
+      scansOf(plan("d9_embedding_cluster_dedup"), "embeddings"),
+      "e3 embeddings scans must equal d9's")
+  }
+
   test("q1_agg: partial+final aggregation over exactly one shuffle") {
     val p = plan("q1_agg")
     assert(shuffles(p) === 1, p)

@@ -116,6 +116,41 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0.0, false)))
   }
 
+  test("t8 model persists: a warm process loads the shipped LM with zero training jobs; scores unchanged") {
+    val dir = sf
+    val path = TextOps.lmModelPath(dir)
+    // cold pass (or an earlier test's): trains and publishes the model
+    val cold = TextOps.t8BigramLm(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(graft.sources.Layouts.completedTable(path),
+      "first scoring run must publish the model table")
+    val publishedAt = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "_SUCCESS"))
+
+    // warm: resolving the model is a metadata check + lazy read — no job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TextOps.lmModel(spark, dir) // must NOT retrain
+      Thread.sleep(1000) // listener events post async; drain before asserting absence
+      assert(jobs.get === 0,
+        "warm model resolution must run no Spark job (no retraining)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // warm scoring: identical rows, no republish
+    val warm = TextOps.t8BigramLm(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(warm === cold, "warm scores must equal cold scores")
+    assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path, "_SUCCESS")) === publishedAt,
+      "warm scoring must not republish the model")
+  }
+
   test("t9: planted PII is counted and redacted; clean text passes through") {
     val dir = java.nio.file.Files.createTempDirectory("graft_t9").toString
     Seq(
