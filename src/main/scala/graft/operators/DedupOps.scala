@@ -23,8 +23,9 @@ import scala.util.hashing.MurmurHash3
   *  - d4 n-gram Jaccard is the exact kernel: an inverted-index equi-join
   *    on 64-bit trigram hashes. At 100 TB the headline operator is d2
   *    (signatures are O(docs), the join is bucketed); d4's Σdf² join
-  *    volume inflates on Zipfian trigram skew — the prefix-filter switch
-  *    is documented at [[d4NgramJaccard]];
+  *    volume inflates on Zipfian trigram skew — [[d4PrefixJaccard]] is
+  *    the implemented prefix-filter switch for that regime (bounded
+  *    candidates spec-proven under a planted hot trigram);
   *  - d5 embedding near-dup brackets candidates with sign-LSH bands and
   *    verifies exact cosine, same two-phase shape.
   */
@@ -457,8 +458,17 @@ object DedupOps {
     * tens of thousands. Measure before switching; outputs are identical
     * by construction (spec-asserted). See SCALING.md. */
   def d4PrefixJaccard(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
+    verifyPairs(docs, prefixCandidates(docs, t), t)
+  }
+
+  /** [[d4PrefixJaccard]]'s candidate stage, exposed so the skew spec can
+    * assert the claim the switch exists for: one stopword-grade trigram
+    * shared by k documents inflates the naive inverted-index join by
+    * C(k,2) pairs, while here it ranks last by df and stays OUT of the
+    * prefixes, so candidate volume stays bounded by the rare-gram df². */
+  private[graft] def prefixCandidates(docs: DataFrame, t: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     // Set size n rides along from the array stage — no second window.
     val sh = withShingleHashes(docs)
       .select($"doc_id", size($"hs").as("n"), explode($"hs").as("h"))
@@ -469,11 +479,10 @@ object DedupOps {
         Window.partitionBy($"doc_id").orderBy($"df", $"h")))
       .where($"rnk" <= $"n" - ceil(lit(t) * $"n") + 1)
       .select($"doc_id", $"h")
-    val pairs = prefix.as("a").join(prefix.as("b").hint("SHUFFLE_HASH"),
+    prefix.as("a").join(prefix.as("b").hint("SHUFFLE_HASH"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(docs, pairs, t)
   }
 
   // ------------------------------------------------- embedding near-dup

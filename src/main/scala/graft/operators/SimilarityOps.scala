@@ -539,7 +539,7 @@ object SimilarityOps {
     * e.g. ~0.73 mean at 40× with k capped to 64) the tight floors would
     * refute a trade the deployment asked for by name: capped runs assert
     * the documented trade floor instead. */
-  val MeanRecallBound = 0.6 // s4's floor, and every tier's under a BINDING k cap
+  val MeanRecallBound = 0.6 // every tier's floor under a BINDING k cap
   val PerQueryMinHits = 1
   /** Whether the quantizer budget cap actually BINDS for a corpus of n
     * vectors. Presence of the env var alone is not enough: a cap at or
@@ -552,6 +552,11 @@ object SimilarityOps {
   def s2MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.85
   def s5MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.80
   def s7MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.82
+  /** s4 queries the corpus itself (heavy per-query tail — see
+    * [[s4KnnJoinChecked]]), so its floor sits lower than the 20-query
+    * tiers; 0.62 is just below the 0.64–0.67 measured across all three
+    * SFs, with the same cap-aware relaxation as the other tiers. */
+  def s4MeanRecallBound(n: Long): Double = if (kCapBinds(n)) MeanRecallBound else 0.62
   /** s3 is a single query — a mean over one value is just that value, so
     * its floor is the hit count (measured 5/5 at every SF). */
   def s3MinHits(n: Long): Int = if (kCapBinds(n)) PerQueryMinHits else 4
@@ -720,7 +725,7 @@ object SimilarityOps {
       .where(pmod($"vec_id", lit(KnnSampleMod)) === 0 && $"vec_id" < KnnAuditCap)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     recallChecked(exactTopk(emb, sample), s4KnnJoin(s, dir),
-      minHits = 0, meanBound = MeanRecallBound)
+      minHits = 0, meanBound = s4MeanRecallBound(corpusCount(s, dir)))
   }
 
   private val s4Sql =

@@ -98,6 +98,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs(DedupOps.d4PrefixJaccard(spark, sf)) === d4)
   }
 
+  test("d4 prefix filter: one hot trigram across 1k docs stays out of the prefixes — candidates bounded, near-dups still found") {
+    // the Σdf² regime the switch exists for: every doc opens with the
+    // same three tokens (one stopword-grade trigram, df = 1000), the
+    // rest unique. The naive inverted-index join would emit C(1000,2) =
+    // 499 500 candidate pairs from that one gram; prefix filtering ranks
+    // it LAST by df, so it never enters a prefix and candidate volume
+    // collapses to the rare-gram collisions — here, only the planted
+    // near-dup pair.
+    val n = 1000
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"hot stop word u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    } :+ (n.toLong, s"hot stop word u5a u5b u5c u5d u5e u5f zz") // near-dup of doc 5
+    val df = docs.toDF("doc_id", "text")
+
+    val cands = DedupOps.prefixCandidates(df, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.size < 50,
+      s"prefix candidates must stay bounded under the hot trigram, got ${cands.size}")
+    assert(cands.contains((5L, n.toLong)),
+      "prefix filtering is recall-complete: the true near-dup pair must survive")
+
+    // and the naive join really would explode — the hot gram alone
+    // contributes C(1001,2) shared-gram pairs
+    val sharedHot = df.select(explode(DedupOps.shingles($"text")).as("g"))
+      .where($"g" === "hot stop word").count()
+    assert(sharedHot === (n + 1).toLong)
+  }
+
   test("d6: keep bit equals brute-force canonical-then-greedy-drop") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
