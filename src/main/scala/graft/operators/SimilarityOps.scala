@@ -98,10 +98,13 @@ object SimilarityOps {
     * size. Sampling on a HASH of vec_id, not vec_id itself: `vec_id % m
     * == 0` silently selects nothing when ids are sparse or stride-keyed.
     * Pathological-distribution fallback keeps the trainers trainable. */
-  private[graft] def trainingSample(emb: DataFrame, k: Int): Array[Array[Double]] = {
+  private[graft] def trainingSample(emb: DataFrame, k: Int,
+      knownCount: Long = -1L): Array[Array[Double]] = {
     val s = emb.sparkSession
     import s.implicits._
-    val n = emb.count()
+    // `knownCount` lets the trainers reuse the corpusCount sidecar (one
+    // fewer full count job at cold-train time); -1 counts here.
+    val n = if (knownCount >= 0) knownCount else emb.count()
     val mod = math.max(1L, n / (256L * k))
     val sampled: Array[Array[Double]] = emb
       .where(pmod(xxhash64($"vec_id"), lit(mod)) === 0)
@@ -114,8 +117,9 @@ object SimilarityOps {
       .collect().map(_.map(_.toDouble).toArray)
   }
 
-  private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val train = trainingSample(emb, k)
+  private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int,
+      knownCount: Long = -1L): Array[Array[Double]] = {
+    val train = trainingSample(emb, k, knownCount)
     require(train.nonEmpty, "kmeans: embeddings table is empty")
     // Fewer vectors than cells: train with what exists (all downstream
     // code handles a shorter centroid array).
@@ -273,7 +277,8 @@ object SimilarityOps {
         cs
       } else {
         val emb = Tables.embeddings(s, dir)
-        val cs = if (k <= DriverTrainCap) kmeans(emb, k, iters = 3)
+        val cs = if (k <= DriverTrainCap)
+                   kmeans(emb, k, iters = 3, knownCount = corpusCount(s, dir))
                  else kmeansDistributed(emb, k, iters = 3)
         publishAtomically(cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("cell_id", "c_vec"), path)
@@ -844,15 +849,17 @@ object SimilarityOps {
         Array.tabulate(PqM)(m =>
           byM(m).sortBy(_._2).map(_._3.toArray))
       } else {
-        val books = pqCodebooks(Tables.embeddings(s, dir))
+        val books = pqCodebooks(Tables.embeddings(s, dir),
+          knownCount = corpusCount(s, dir))
         publishAtomically(books.zipWithIndex.flatMap { case (book, m) =>
           book.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }
         }.toSeq.toDF("m", "code", "c_vec"), path)
         books
       }
     })
-  private[graft] def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
-    val train = trainingSample(emb, PqK)
+  private[graft] def pqCodebooks(emb: DataFrame,
+      knownCount: Long = -1L): Array[Array[Array[Double]]] = {
+    val train = trainingSample(emb, PqK, knownCount)
     require(train.nonEmpty, "pqCodebooks: embeddings table is empty")
     val dim = train(0).length
     require(dim % PqM == 0, s"dim $dim not divisible by PqM=$PqM")
