@@ -255,23 +255,75 @@ object GenStore {
           .unionByName(batch)
           .write.mode("overwrite").partitionBy(partCol).parquet(newPath)
         val carried = ownerMap(path, g).filterNot { case (d, _) => touchedDirs(d) }
-        mode match {
-          case Links =>
-            carried.foreach { case (partDir, owner) =>
-              val srcDir = Paths.get(path, owner, partDir)
-              val dst = Paths.get(newPath, partDir)
-              Files.createDirectories(dst)
-              children(srcDir)
-                .filter(_.getFileName.toString.endsWith(".parquet"))
-                .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
-            }
-          case Manifest =>
-            writeManifest(path, newGen,
-              carried ++ writtenParts(newPath).map(_ -> newGen))
-        }
+        carry(path, newGen, carried, mode)
     }
     commit(path, genNum, newGen, mode)
     sweep(path, genNum, newGen, prevGen = curGen)
+  }
+
+  /** Carry the partitions a new generation did NOT rewrite: hard links
+    * into the generation dir ([[Links]]) or a `_MANIFEST` referencing
+    * each partition's owner, with the generation's own written
+    * partitions recorded as self-owned ([[Manifest]]). */
+  private def carry(path: String, newGen: String,
+      carried: Map[String, String], mode: Mode): Unit = {
+    import java.nio.file.{Files, Paths}
+    mode match {
+      case Links =>
+        carried.foreach { case (partDir, owner) =>
+          val srcDir = Paths.get(path, owner, partDir)
+          val dst = Paths.get(path, newGen, partDir)
+          Files.createDirectories(dst)
+          children(srcDir)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+        }
+      case Manifest =>
+        writeManifest(path, newGen,
+          carried ++ writtenParts(s"$path/$newGen").map(_ -> newGen))
+    }
+  }
+
+  /** Maintenance compaction — the store's small-files janitor. Steady
+    * ingest folds write each touched partition with as many files as the
+    * cluster has write tasks, so a hot partition accumulates per-fold
+    * file counts that tax every subsequent scan with open/footer
+    * overhead (the src4 problem, inside the store). `compact` rewrites
+    * every partition of the CURRENT generation holding more than
+    * `maxFiles` parquet files down to `targetFiles`, commits the result
+    * as a new generation through the same claim/sweep protocol as
+    * [[fold]], and carries already-compact partitions untouched per
+    * `mode` — content is bit-for-bit unchanged (spec-asserted), only
+    * the file layout moves. Each fragmented partition is rewritten by
+    * its own narrow coalesce job: ZERO shuffle (compaction that must
+    * also re-cluster is a different operation — that's what folding
+    * with a new partitioning is for), and the driver loop is bounded by
+    * the caller's partition contract (bands, cells), never data volume.
+    * Crash anywhere pre-commit leaves the old generation committed and
+    * readable; re-running converges, and a compacted store re-compacts
+    * to a no-op (no new generation when nothing is fragmented). */
+  def compact(s: SparkSession, path: String, targetFiles: Int = 1,
+      maxFiles: Int = 4, mode: Mode = Links): Unit = {
+    val g = currentGen(path).getOrElse(
+      sys.error(s"no committed generation at $path"))
+    val owners = ownerMap(path, g)
+    def parquetFiles(owner: String, d: String) =
+      children(java.nio.file.Paths.get(path, owner, d))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    val fragmented = owners.filter { case (d, o) =>
+      parquetFiles(o, d).length > math.max(targetFiles, maxFiles) }
+    if (fragmented.isEmpty) return
+    val genNum = genNumber(g) + 1
+    val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}" +
+      s"s${stagingSeq.incrementAndGet()}"
+    fragmented.toSeq.sortBy(_._1).foreach { case (d, o) =>
+      s.read.parquet(s"$path/$o/$d").coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$path/$newGen/$d")
+    }
+    carry(path, newGen, owners.filterNot { case (d, _) => fragmented.contains(d) },
+      mode)
+    commit(path, genNum, newGen, mode)
+    sweep(path, genNum, newGen, prevGen = Some(g))
   }
 
   /** Partition dirs a write just produced under `genPath`. */

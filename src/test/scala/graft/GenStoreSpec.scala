@@ -232,6 +232,41 @@ class GenStoreSpec extends SparkSpec {
     assert(content(root) === Set((1L, 1, "g4p1"), (2L, 2, "cold")))
   }
 
+  for (mode <- Seq(GenStore.Links, GenStore.Manifest))
+  test(s"$mode: compact rewrites only fragmented partitions, preserves content exactly, and is idempotent") {
+    val root = freshRoot()
+    // a deliberately fragmented ingest: 8 write tasks -> 8 files in part=1
+    val frag = spark.range(0, 64)
+      .select($"id", lit(1).as("part"), concat(lit("v"), $"id").as("v"))
+      .repartition(8)
+    GenStore.fold(spark, root, frag, "part", "id", mode)
+    GenStore.fold(spark, root, batch((100L, 2, "cold")), "part", "id", mode)
+    val before = content(root)
+    val genBefore = GenStore.currentGen(root).get
+
+    GenStore.compact(spark, root, targetFiles = 1, maxFiles = 4, mode = mode)
+    val genAfter = GenStore.currentGen(root).get
+    assert(genAfter !== genBefore, "compaction must commit a new generation")
+    assert(content(root) === before, "compaction must not change content")
+    val compacted = parquetFiles(java.nio.file.Paths.get(root, genAfter, "part=1"))
+    assert(compacted.size === 1,
+      s"fragmented part=1 must compact to one file, saw ${compacted.size}")
+    // the already-compact part=2 is carried, not rewritten: in Links mode
+    // its files are links; in Manifest mode it is absent from the new dir
+    if (mode == GenStore.Manifest)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, genAfter, "part=2")),
+        "manifest compaction must carry compact partitions by reference")
+
+    // idempotent: nothing fragmented -> no-op, no new generation
+    GenStore.compact(spark, root, targetFiles = 1, maxFiles = 4, mode = mode)
+    assert(GenStore.currentGen(root).get === genAfter,
+      "a compact store must re-compact to a no-op")
+    // and the store still folds normally afterwards
+    GenStore.fold(spark, root, batch((200L, 2, "after")), "part", "id", mode)
+    assert(content(root) === before + ((200L, 2, "after")))
+  }
+
   test("an empty commit file (content write died) is invisible to readers") {
     val root = freshRoot()
     GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id")
