@@ -444,15 +444,74 @@ object Layouts {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- src5
+
+  /** Write tasks of the deliberately fragmented initial fold — each
+    * source partition ends up with ~this many files, the shape a steady
+    * per-batch ingest loop leaves behind in a generational store. */
+  private[graft] val StoreFragFiles = 24
+
+  private val docStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** A [[GenStore]] of `documents` partitioned by source, built
+    * FRAGMENTED (the initial fold runs with [[StoreFragFiles]] write
+    * tasks) and then compacted through [[GenStore.compact]] — the store
+    * maintenance loop, materialized once per corpus fingerprint. The
+    * fingerprint-named root means a regenerated corpus can never serve a
+    * stale store; the compact call is idempotent (metadata-only no-op on
+    * an already-compact store), so it doubles as the resume step for a
+    * build that crashed between fold and compact. */
+  private[graft] def compactedDocStore(s: SparkSession, dir: String): String = {
+    val path = java.nio.file.Paths.get("target",
+      s"graft_doc_store_f${tableFingerprint(dir, "documents")}_" + dirTag(dir))
+      .toAbsolutePath.toString
+    docStores.getOrElseUpdate(path, {
+      if (GenStore.currentGen(path).isEmpty)
+        GenStore.fold(s, path,
+          Tables.documents(s, dir).repartition(StoreFragFiles),
+          partCol = "source", idCol = "doc_id")
+      GenStore.compact(s, path, targetFiles = 1, maxFiles = 4)
+      path
+    })
+  }
+
+  /** src5: generational-store compaction, end-to-end under the oracle
+    * gate — src4's claim carried into the store the dedup/ANN
+    * maintenance paths live on. The registered output is a per-source
+    * content fingerprint of the COMPACTED store checked against the raw
+    * documents oracle, proving the fold + compact round-trip preserved
+    * every row while LayoutsSpec asserts the operational half (file
+    * count collapses to one per partition; the carry discipline holds;
+    * source pruning still reaches the scan through the generation
+    * indirection). */
+  def src5StoreCompaction(s: SparkSession, dir: String): DataFrame =
+    GenStore.load(s, compactedDocStore(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  private val src5Sql =
+    """SELECT source,
+      |  COUNT(*) AS docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc_id,
+      |  max(doc_id) AS max_doc_id
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src1_partition_prune" -> src1PartitionPrune _,
     "src2_bucketed_join" -> src2BucketedJoin _,
     "src3_zorder_prune" -> src3ZorderPrune _,
-    "src4_compaction" -> src4Compaction _)
+    "src4_compaction" -> src4Compaction _,
+    "src5_store_compaction" -> src5StoreCompaction _)
 
   val oracleSql: Map[String, String] = Map(
     "src1_partition_prune" -> src1Sql,
     "src2_bucketed_join" -> src2Sql,
     "src3_zorder_prune" -> src3Sql,
-    "src4_compaction" -> src4Sql)
+    "src4_compaction" -> src4Sql,
+    "src5_store_compaction" -> src5Sql)
 }

@@ -152,6 +152,39 @@ class LayoutsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("src5: the generational doc store compacts to one file per source; content and pruning survive") {
+    import graft.sources.GenStore
+    val root = Layouts.compactedDocStore(spark, sf)
+    val gen = GenStore.currentGen(root).get
+    // the fold ran fragmented, so compaction must have committed gen 2+
+    assert(gen.stripPrefix("gen-").takeWhile(_.isDigit).toLong >= 2, gen)
+    // one file per source partition in the committed generation
+    import scala.jdk.CollectionConverters._
+    val genDir = java.nio.file.Paths.get(root, gen)
+    val partDirs = {
+      val st = java.nio.file.Files.list(genDir)
+      try st.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("source=")).toList
+      finally st.close()
+    }
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { d =>
+      val st = java.nio.file.Files.list(d)
+      val n = try st.iterator().asScala.count(
+        _.getFileName.toString.endsWith(".parquet")) finally st.close()
+      assert(n === 1, s"partition $d holds $n files after compaction")
+    }
+    // content: every doc exactly once, equal to the raw table
+    val a = GenStore.load(spark, root).select($"doc_id").as[Long].collect().sorted
+    val b = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq, "compaction must preserve every row exactly once")
+    // source pruning reaches the scan through the generation indirection
+    val plan = GenStore.load(spark, root).where($"source" === "src3")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan).isDefined,
+      s"expected source partition pruning on the store scan in:\n$plan")
+  }
+
   test("src4: compaction collapses the file count with a zero-shuffle plan") {
     def parquetFiles(path: String) = {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
