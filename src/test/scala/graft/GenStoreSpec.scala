@@ -267,6 +267,32 @@ class GenStoreSpec extends SparkSpec {
     assert(content(root) === before + ((200L, 2, "after")))
   }
 
+  test("model check: random fold/compact sequences with alternating carry modes equal a latest-wins map") {
+    // the store's whole contract in one property: after ANY sequence of
+    // folds (random batches, ids re-ingested in place) interleaved with
+    // compactions, under MIXED carry modes (a Links fold over a
+    // Manifest generation and vice versa — the carry must resolve
+    // owners through either representation), the committed view equals
+    // a driver-side latest-wins map. Seeded, deterministic.
+    val rnd = new scala.util.Random(20260814L)
+    val root = freshRoot()
+    val model = scala.collection.mutable.Map.empty[Long, (Int, String)]
+    for (step <- 1 to 8) {
+      val mode = if (rnd.nextBoolean()) GenStore.Links else GenStore.Manifest
+      val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
+        val id = rnd.nextInt(12).toLong        // small id space → re-ingests
+        // part = f(id): ids keep their partition, the documented contract
+        (id, (id % 4 + 1).toInt, s"s$step-$id")
+      }.groupBy(_._1).map(_._2.head).toSeq     // one row per id per batch
+      GenStore.fold(spark, root, batch(rows: _*), "part", "id", mode)
+      rows.foreach { case (id, p, v) => model(id) = (p, v) }
+      if (step % 3 == 0)
+        GenStore.compact(spark, root, targetFiles = 1, maxFiles = 2, mode = mode)
+      val want = model.map { case (id, (p, v)) => (id, p, v) }.toSet
+      assert(content(root) === want, s"divergence at step $step (mode $mode)")
+    }
+  }
+
   test("an empty commit file (content write died) is invisible to readers") {
     val root = freshRoot()
     GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id")
