@@ -224,8 +224,39 @@ object DedupOps {
     verifyPairs(docs, bucketPairs(keyed), threshold)
   }
 
+  /** The verified-pair relation, memoized per (session, corpus
+    * fingerprint, docs variant): constructing it RUNS the candidate +
+    * verify stage eagerly and persists the pairs (see [[verifyPairs]]),
+    * so before this memo every query touching the near-dup machinery —
+    * d2, d6, d7, and each capstone through them — re-ran an identical
+    * LSH pass at build time. A real deployment computes verified pairs
+    * once per corpus snapshot and reuses them downstream (the quantizer
+    * memo's fit-once discipline applied to the dedup tier); the
+    * fingerprint in the key rolls on any corpus rewrite, so a stale
+    * pair set can never serve a regenerated corpus. */
+  private val pairMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def minhashPairsFor(s: SparkSession, dir: String, variant: String)
+      (docs: => DataFrame): DataFrame =
+    pairMemo.getOrElseUpdate(
+      (s, graft.sources.Layouts.tableFingerprint(dir, "documents") + "#" +
+        graft.sources.Layouts.dirTag(dir), variant),
+      minhashPairs(docs, 0.8))
+
+  /** `(doc_id, text, canon_id)` with canon_id = the exact-dup group's
+    * min doc_id — d1's canonicity as a window ON THE SCAN ITSELF, not a
+    * docs⋈d1 self-join: the id rides the same pass that carries the
+    * text to the shingler, so each downstream reference costs one
+    * corpus scan and one sha2-keyed exchange instead of two scans plus
+    * a join (shared by d6 and d7). */
+  private def withCanonId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      min(col("doc_id")).over(
+        Window.partitionBy(sha2(col("text"), 256))).as("canon_id"))
+
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(Tables.documents(s, dir), 0.8)
+    minhashPairsFor(s, dir, "full")(Tables.documents(s, dir))
 
   /** Shared oracle for the verified near-dup family: exact shingle-join
     * Jaccard over all pairs (the oracle may brute-force; the engine must
@@ -658,17 +689,10 @@ object DedupOps {
     *
     * Output: (doc_id, keep) for every document. */
   def d6DedupKeep(s: SparkSession, dir: String): DataFrame = {
-    // d1's canonicity as a window ON THE SCAN ITSELF, not a docs⋈d1
-    // self-join: the flag rides the same pass that carries the text to
-    // the shingler, so each downstream reference costs one corpus scan
-    // and one sha2-keyed exchange instead of two scans plus a join. At
-    // 100 TB the old shape paid two extra full-corpus reads per
-    // reference (d6 references the canonical set three times).
-    val flagged = Tables.documents(s, dir).select(col("doc_id"), col("text"),
-      (col("doc_id") === min(col("doc_id")).over(
-        Window.partitionBy(sha2(col("text"), 256)))).as("canon"))
+    val flagged = withCanonId(Tables.documents(s, dir))
+      .withColumn("canon", col("doc_id") === col("canon_id"))
     val canonical = flagged.where(col("canon")).select("doc_id", "text")
-    val dropB = minhashPairs(canonical, 0.8)
+    val dropB = minhashPairsFor(s, dir, "canonical")(canonical)
       .select(col("doc_b").as("doc_id")).distinct()
     flagged.select(col("doc_id"), col("canon"))
       .join(dropB.withColumn("neardup", lit(true)), Seq("doc_id"), "left")
@@ -879,15 +903,13 @@ object DedupOps {
     * root, so A~B, B~C drops BOTH B and C even when A~C was never
     * observed as a pair. */
   def d7CcDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val canonMap = docs.select(col("doc_id"),
-      min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256)))
-        .as("canon_id"))
-    val canonical = docs.join(
-      canonMap.where(col("doc_id") === col("canon_id")).select("doc_id"),
-      Seq("doc_id"))
-    val labels = connectedComponents(minhashPairs(canonical, 0.8))
-    canonMap
+    val flagged = withCanonId(Tables.documents(s, dir))
+    val canonical = flagged.where(col("doc_id") === col("canon_id"))
+      .select("doc_id", "text")
+    // the canonical pair set is d6's — one shared memoized relation
+    val labels = connectedComponents(
+      minhashPairsFor(s, dir, "canonical")(canonical))
+    flagged.select(col("doc_id"), col("canon_id"))
       .join(labels.withColumnRenamed("node", "canon_id"), Seq("canon_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("canon_id")).as("cluster_id"))
