@@ -244,6 +244,22 @@ object DedupOps {
         graft.sources.Layouts.dirTag(dir), variant),
       minhashPairs(docs, 0.8))
 
+  /** Connected-component labels, memoized per (session, corpus
+    * fingerprint, graph variant): the CC iteration runs its actions
+    * EAGERLY at build time (one localCheckpoint per propagation round),
+    * so an unmemoized caller re-labels an identical graph on every
+    * construction — same fit-once discipline as [[pairMemo]], and the
+    * same fingerprint-rolls-on-rewrite staleness guard. */
+  private val ccMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def ccLabelsFor(s: SparkSession, dir: String, table: String,
+      variant: String)(edges: => DataFrame): DataFrame =
+    ccMemo.getOrElseUpdate(
+      (s, graft.sources.Layouts.tableFingerprint(dir, table) + "#" +
+        graft.sources.Layouts.dirTag(dir), variant),
+      connectedComponents(edges))
+
   /** `(doc_id, text, canon_id)` with canon_id = the exact-dup group's
     * min doc_id — d1's canonicity as a window ON THE SCAN ITSELF, not a
     * docs⋈d1 self-join: the id rides the same pass that carries the
@@ -644,8 +660,9 @@ object DedupOps {
     * near-identical vector families (the d5 precedent). */
   def d9EmbeddingClusterDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val labels = connectedComponents(d5EmbeddingNeardup(s, dir)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val labels = ccLabelsFor(s, dir, "embeddings", "sign-lsh")(
+      d5EmbeddingNeardup(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     emb.select(col("vec_id"))
       .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -907,7 +924,7 @@ object DedupOps {
     val canonical = flagged.where(col("doc_id") === col("canon_id"))
       .select("doc_id", "text")
     // the canonical pair set is d6's — one shared memoized relation
-    val labels = connectedComponents(
+    val labels = ccLabelsFor(s, dir, "documents", "canonical-minhash")(
       minhashPairsFor(s, dir, "canonical")(canonical))
     flagged.select(col("doc_id"), col("canon_id"))
       .join(labels.withColumnRenamed("node", "canon_id"), Seq("canon_id"), "left")
