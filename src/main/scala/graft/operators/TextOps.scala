@@ -709,7 +709,120 @@ object TextOps {
        |FROM sh JOIN df USING (s)
        |GROUP BY sh.doc_id""".stripMargin
 
+  // ------------------------------------------------ t13 BM25 retrieval
+
+  /** BM25 constants as exact rationals — k1 = 6/5, b = 3/4 — so the
+    * whole score is integer arithmetic (see [[t13Bm25Topk]]). */
+  private[graft] val Bm25TopK = 10
+  private[graft] val Bm25QueryTerms = 9 // 3 queries × 3 terms
+
+  /** Driver-side retrieval scalars, memoized per corpus fingerprint:
+    * the 9 highest-df terms (ties by term string — binary collation in
+    * both engines) that form the three 3-term queries, plus the corpus
+    * doc count and integer average doc length. One bounded build job
+    * per corpus — the ANN tier's driver-computed probe-set idiom. */
+  private val bm25Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Int, String, Long)], Long, Long)]
+
+  private def bm25QuerySide(s: SparkSession, dir: String)
+      : (Seq[(Int, String, Long)], Long, Long) =
+    bm25Memo.getOrElseUpdate(
+      (s, graft.sources.Layouts.tableFingerprint(dir, "documents") + "#" +
+        graft.sources.Layouts.dirTag(dir)), {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val row = docs.agg(count(lit(1)), sum(size(words($"text")))).head()
+        val (n, tot) = (row.getLong(0), row.getLong(1))
+        val top = docs
+          .select(explode(words($"text")).as("term"), $"doc_id")
+          .distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+          .orderBy($"df".desc, $"term")
+          .limit(Bm25QueryTerms)
+          .as[(String, Long)].collect()
+        (top.zipWithIndex.map { case ((t, df), i) => (i / 3, t, df) }.toSeq,
+          n, tot / n)
+      })
+
+  /** t13: BM25 top-k retrieval over the corpus — the search primitive a
+    * curation pipeline runs for targeted decontamination and corpus
+    * exploration. Three fixed queries (the corpus' top-df terms in
+    * 3-term groups — deterministic, so the oracle derives the SAME
+    * queries) are scored against every document with BM25
+    * (k1 = 6/5, b = 3/4) and the top [[Bm25TopK]] per query returned.
+    *
+    * Numeric determinism: no log and no float — the idf is the raw
+    * rational (N − df + ½)/(df + ½) scaled to micro-units by integer
+    * division, and the tf saturation term is cleared of fractions by
+    * multiplying through by 20·avgdl, so the per-term score is one
+    * BIGINT integer division in both engines and the per-doc score an
+    * exact integer sum (the t8 quantization discipline; Math.log vs
+    * libm log differ in the last ulp, which a hash gate cannot
+    * tolerate).
+    *
+    * Scale shape: the query relation is 9 rows (broadcast); scoring is
+    * one corpus scan exploded to (doc, term, tf) rows that the
+    * broadcast join filters to query terms BEFORE the per-doc
+    * aggregate, and the final top-k is a per-query window over at most
+    * N rows, keyed by query_id. At 100 TB the tf relation for 9 terms
+    * is df-bounded, far smaller than the corpus. */
+  def t13Bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (qt, n, avgdl) = bm25QuerySide(s, dir)
+    val qrel = qt.toDF("query_id", "term", "df")
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select($"doc_id", size(words($"text")).as("dl"),
+        explode(words($"text")).as("term"))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val idfQ = expr(s"((2 * (${n}L - df) + 1) * 1000000L) div (2 * df + 1)")
+    val scoreT = expr(
+      s"(idf_q * 22L * tf * ${avgdl}L) div " +
+        s"((10L * tf * ${avgdl}L) + (3L * ${avgdl}L) + (9L * dl))")
+    val scored = tf
+      .join(broadcast(qrel), Seq("term"))
+      .withColumn("idf_q", idfQ)
+      .withColumn("score_t", scoreT)
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"score_t").as("score_q"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"score_q".desc, $"doc_id")))
+      .where($"rnk" <= Bm25TopK)
+      .select($"query_id", $"rnk", $"doc_id", $"score_q")
+  }
+
+  private val t13Sql =
+    s"""WITH c AS (SELECT COUNT(*) AS n,
+       |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) // COUNT(*) AS avgdl
+       |  FROM documents),
+       |toks AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+       |  unnest(string_split(text,' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks GROUP BY 1,2,3),
+       |stats AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT CAST((row_number() OVER (ORDER BY df DESC, term) - 1) // 3 AS INT)
+       |         AS query_id, term, df
+       |       FROM stats ORDER BY df DESC, term LIMIT $Bm25QueryTerms),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(SUM(
+       |      ((((2 * (c.n - qt.df) + 1) * 1000000) // (2 * qt.df + 1))
+       |        * 22 * tf.tf * c.avgdl)
+       |      // ((10 * tf.tf * c.avgdl) + (3 * c.avgdl) + (9 * tf.dl))
+       |    ) AS BIGINT) AS score_q
+       |  FROM tf JOIN qt USING (term), c
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rnk, doc_id, score_q FROM (
+       |  SELECT query_id, doc_id, score_q,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_q DESC, doc_id) AS INT) AS rnk
+       |  FROM scored) ranked
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bm25_topk" -> t13Bm25Topk _,
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
@@ -724,6 +837,7 @@ object TextOps {
     "t12_boilerplate" -> t12Boilerplate _)
 
   val oracleSql: Map[String, String] = Map(
+    "t13_bm25_topk" -> t13Sql,
     "t1_text_stats" -> t1Sql,
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,

@@ -151,6 +151,59 @@ class TextOpsSpec extends SparkSpec {
       "warm scoring must not republish the model")
   }
 
+  test("t13: BM25 scores equal an independent integer recount on a tiny corpus; ranking invariants hold on the fixture") {
+    // independent reimplementation of the exact integer formula
+    def score(n: Long, avgdl: Long, docs: Map[Long, Seq[String]],
+        terms: Seq[String]): Map[Long, Long] = {
+      val df = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+      docs.flatMap { case (id, toks) =>
+        val dl = toks.length.toLong
+        val s = terms.map { t =>
+          val tf = toks.count(_ == t).toLong
+          if (tf == 0) 0L
+          else {
+            val idfQ = (2 * (n - df(t)) + 1) * 1000000L / (2 * df(t) + 1)
+            idfQ * 22 * tf * avgdl / (10 * tf * avgdl + 3 * avgdl + 9 * dl)
+          }
+        }.sum
+        if (s > 0) Some(id -> s) else None
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_t13").toString
+    val corpus = Map(
+      1L -> Seq("x", "x", "y"),
+      2L -> Seq("x", "z"),
+      3L -> Seq("y", "z", "z"))
+    corpus.toSeq.map { case (id, toks) => (id, toks.mkString(" "), "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // df(x)=df(y)=df(z)=2, ties by term asc -> query 0 = {x, y, z}
+    val want = score(n = 3, avgdl = 8 / 3,
+      corpus, Seq("x", "y", "z"))
+    val got = TextOps.t13Bm25Topk(spark, dir)
+      .as[(Int, Int, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set(0), "3 distinct terms -> one query")
+    assert(got.map(r => r._3 -> r._4).toMap === want,
+      "engine scores must equal the independent integer recount")
+    // ranks follow (score desc, doc_id asc)
+    val byRank = got.sortBy(_._2).map(_._3)
+    val expectedOrder = want.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(byRank.toSeq === expectedOrder)
+
+    // fixture invariants: three queries, <= 10 rows each, consecutive
+    // ranks, scores non-increasing within a query
+    val rows = TextOps.t13Bm25Topk(spark, sf)
+      .as[(Int, Int, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === Set(0, 1, 2))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= TextOps.Bm25TopK)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq,
+        s"query $q scores must be non-increasing")
+    }
+  }
+
   test("t9: planted PII is counted and redacted; clean text passes through") {
     val dir = java.nio.file.Files.createTempDirectory("graft_t9").toString
     Seq(
