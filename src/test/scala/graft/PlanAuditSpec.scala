@@ -137,6 +137,31 @@ class PlanAuditSpec extends SparkSpec {
       s"stage-2 exchange must recombine on the bare key:\n$p")
   }
 
+  test("t13: the driver-known term filter sits BELOW the tf aggregate") {
+    // The scale claim t13's scaladoc makes: the first exchange carries
+    // only the 9 query terms' occurrences, never one partial row per
+    // (doc, term) for the whole corpus. Catalyst cannot push the
+    // broadcast join under the aggregate itself, so the literal IN
+    // filter must already sit on the exploded token stream — i.e. the
+    // tf Aggregate's CHILD subtree must contain it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val opt = SparkEntry.queries("t13_bm25_topk")(spark, sf)
+      .queryExecution.optimizedPlan
+    val tfAggs = opt.collect {
+      case a: Aggregate if a.groupingExpressions.size == 3 => a
+    }
+    assert(tfAggs.nonEmpty, s"expected the (doc_id, dl, term) aggregate in:\n$opt")
+    assert(tfAggs.exists(_.child.collectFirst {
+      case f: LFilter if f.condition.collectFirst {
+        case i: In if i.list.size == graft.operators.TextOps.Bm25QueryTerms => i
+        case i: InSet if i.hset.size == graft.operators.TextOps.Bm25QueryTerms => i
+      }.nonEmpty => f
+    }.nonEmpty),
+      s"the ${graft.operators.TextOps.Bm25QueryTerms}-term IN filter must " +
+        s"sit below the tf aggregate:\n$opt")
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,
