@@ -232,16 +232,16 @@ object DedupOps {
     * LSH pass at build time. A real deployment computes verified pairs
     * once per corpus snapshot and reuses them downstream (the quantizer
     * memo's fit-once discipline applied to the dedup tier); the
-    * fingerprint in the key rolls on any corpus rewrite, so a stale
-    * pair set can never serve a regenerated corpus. */
-  private val pairMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    * fingerprint validates the entry, so a corpus rewrite both misses
+    * the memo AND evicts the stale pair relation — its persisted RDD
+    * blocks are released instead of pinning the JVM lifetime. */
+  private val pairMemo =
+    new graft.sources.FingerprintMemo[DataFrame](_.unpersist(false))
 
   private def minhashPairsFor(s: SparkSession, dir: String, variant: String)
       (docs: => DataFrame): DataFrame =
-    pairMemo.getOrElseUpdate(
-      (s, graft.sources.Layouts.tableFingerprint(dir, "documents") + "#" +
-        graft.sources.Layouts.dirTag(dir), variant),
+    pairMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), variant,
+      graft.sources.Layouts.tableFingerprint(dir, "documents"))(
       minhashPairs(docs, 0.8))
 
   /** Connected-component labels, memoized per (session, corpus
@@ -249,15 +249,15 @@ object DedupOps {
     * EAGERLY at build time (one localCheckpoint per propagation round),
     * so an unmemoized caller re-labels an identical graph on every
     * construction — same fit-once discipline as [[pairMemo]], and the
-    * same fingerprint-rolls-on-rewrite staleness guard. */
-  private val ccMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    * same fingerprint-validated staleness guard with eviction. */
+  private val ccMemo =
+    new graft.sources.FingerprintMemo[DataFrame](_.unpersist(false))
 
   private def ccLabelsFor(s: SparkSession, dir: String, table: String,
       variant: String)(edges: => DataFrame): DataFrame =
-    ccMemo.getOrElseUpdate(
-      (s, graft.sources.Layouts.tableFingerprint(dir, table) + "#" +
-        graft.sources.Layouts.dirTag(dir), variant),
+    ccMemo.getOrBuild(s,
+      graft.sources.Layouts.dirTag(dir) + "#" + table, variant,
+      graft.sources.Layouts.tableFingerprint(dir, table))(
       connectedComponents(edges))
 
   /** `(doc_id, text, canon_id)` with canon_id = the exact-dup group's

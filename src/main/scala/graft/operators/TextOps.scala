@@ -739,14 +739,13 @@ object TextOps {
     * PUBLISHED atomically under target/ as a 9-row table; a warm
     * process — and a warm JVM through the in-process memo — pays zero
     * corpus-scan jobs to serve t13. */
-  private val bm25Memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Seq[(Int, String, Long)], Long, Long)]
+  private val bm25Memo = new graft.sources.FingerprintMemo[
+    (Seq[(Int, String, Long)], Long, Long)](_ => ())
 
   private def bm25QuerySide(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long)], Long, Long) =
-    bm25Memo.getOrElseUpdate(
-      (s, graft.sources.Layouts.tableFingerprint(dir, "documents") + "#" +
-        graft.sources.Layouts.dirTag(dir)), {
+    bm25Memo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "",
+      graft.sources.Layouts.tableFingerprint(dir, "documents")) {
         import s.implicits._
         val path = bm25StatsPath(dir)
         if (!graft.sources.Layouts.completedTable(path)) {
@@ -786,7 +785,7 @@ object TextOps {
           s"t13: BM25 numerator can overflow BIGINT (idf_max=$idfMax, " +
             s"maxdl=$maxdl, avgdl=$avgdl) — rescale the idf quantum")
         (rows.map(r => (r._1, r._2, r._3)).toSeq, n, avgdl)
-      })
+      }
 
   /** t13: BM25 top-k retrieval over the corpus — the search primitive a
     * curation pipeline runs for targeted decontamination and corpus

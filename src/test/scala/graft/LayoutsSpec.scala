@@ -249,4 +249,24 @@ class LayoutsSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("FingerprintMemo: a rolled fingerprint rebuilds and evicts the stale entry") {
+    val evicted = scala.collection.mutable.Buffer.empty[String]
+    val memo = new graft.sources.FingerprintMemo[String](evicted += _)
+    var builds = 0
+    def build(v: String) = { builds += 1; v }
+    assert(memo.getOrBuild(spark, "t", "v", "fpA")(build("a1")) === "a1")
+    assert(memo.getOrBuild(spark, "t", "v", "fpA")(build("a2")) === "a1",
+      "same fingerprint must serve the cached value without rebuilding")
+    assert(builds === 1)
+    // corpus regeneration rolls the fingerprint: rebuild + release
+    assert(memo.getOrBuild(spark, "t", "v", "fpB")(build("b1")) === "b1")
+    assert(evicted.toList === List("a1"),
+      "the stale entry must be released exactly once on replacement")
+    assert(memo.size === 1, "at most one live entry per (session, tag, variant)")
+    // distinct variants coexist — eviction is per slot, not per memo
+    assert(memo.getOrBuild(spark, "t", "w", "fpB")(build("c1")) === "c1")
+    assert(memo.size === 2)
+    assert(evicted.toList === List("a1"))
+  }
 }
