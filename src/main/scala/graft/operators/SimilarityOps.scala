@@ -1199,15 +1199,29 @@ object SimilarityOps {
       // safe and converges on the complete index).
       val emb = Tables.embeddings(s, dir)
       val isBatch = col("vec_id") % DedupOps.IngestMod === DedupOps.IngestRem
-      val gen = graft.sources.GenStore.currentGenNumber(root).getOrElse(0L)
-      if (gen < 1)
-        graft.sources.GenStore.fold(s, root,
-          annIndexRows(s, dir, k, emb.where(!isBatch)),
-          partCol = "cell", idCol = "vec_id")
-      if (gen < 2)
-        graft.sources.GenStore.fold(s, root,
-          annIndexRows(s, dir, k, emb.where(isBatch)),
-          partCol = "cell", idCol = "vec_id")
+      // Content is deterministic per root (shipped quantizer + codebooks,
+      // fingerprint-named root), so two processes cold-building the same
+      // root race onto the same generation number; the loser's commit
+      // would carry IDENTICAL content — tolerate the loss, re-resolve,
+      // and only refold if the store is still behind the target
+      // generation (never refold past the check: an extra standing-
+      // corpus fold would consume generation 2 and make a later process
+      // trust an index missing the ingest slice).
+      def foldTo(target: Long)(batch: => org.apache.spark.sql.DataFrame): Unit = {
+        var attempts = 0
+        while (graft.sources.GenStore.currentGenNumber(root).getOrElse(0L) < target) {
+          attempts += 1
+          require(attempts <= 3,
+            s"ANN index at $root cannot reach generation $target")
+          try graft.sources.GenStore.fold(s, root, batch,
+            partCol = "cell", idCol = "vec_id")
+          catch {
+            case _: graft.sources.GenStore.ConcurrentFoldException => ()
+          }
+        }
+      }
+      foldTo(1)(annIndexRows(s, dir, k, emb.where(!isBatch)))
+      foldTo(2)(annIndexRows(s, dir, k, emb.where(isBatch)))
       root
     })
   }

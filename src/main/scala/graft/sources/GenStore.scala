@@ -202,11 +202,14 @@ object GenStore {
     * commit-file create IS a completed commit. Sole documented window:
     * in [[Manifest]] mode the local `CREATE_NEW` simulation opens the
     * commit file and then writes its content — death exactly between the
-    * two syscalls leaves an empty claim on that number that readers skip
-    * but a subsequent fold reports as a concurrent-fold conflict needing
-    * manual removal; a real object store's conditional PUT carries the
-    * content atomically and has no such window. [[Links]] mode commits
-    * by hard-linking a fully-written temp file and is window-free. */
+    * two syscalls leaves an empty claim on that number. Readers skip it,
+    * and the next fold SELF-HEALS: an empty claim settled longer than
+    * [[DeadClaimSettleMs]] is swept and the commit retried once (a
+    * fresh empty entry — a racer possibly mid-write — still fails
+    * loudly; see [[commit]]). A real object store's conditional PUT
+    * carries the content atomically and has no such window. [[Links]]
+    * mode commits by hard-linking a fully-written temp file and is
+    * window-free. */
   def fold(s: SparkSession, path: String, batch: DataFrame,
       partCol: String, idCol: String, mode: Mode = Links,
       strictReplace: Boolean = false): Unit = {
@@ -247,14 +250,25 @@ object GenStore {
             .join(batchIds, Seq(idCol), "left_semi")
             .select(col(partCol)).distinct()
             .collect().map(_.get(0))).distinct
-        val touchedDirs = touched.map(v => s"$partCol=$v").toSet
+        // Partition dirs on disk use Spark's ESCAPED names (space, colon,
+        // '%', … are percent-encoded; null is the Hive default-partition
+        // token) — a raw s"$partCol=$v" would miss such a dir here and
+        // both carry AND rewrite it, silently duplicating survivor rows.
+        // Escape through the same utility the writer uses, and union the
+        // dirs the write actually produced (covers any residual
+        // stringification drift for every partition the fold writes).
+        val touchedDirs = touched.map { v =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(partCol, if (v == null) null else v.toString)
+        }.toSet
         val survivors = prev
           .where(col(partCol).isInCollection(touched))
           .join(batchIds, Seq(idCol), "left_anti")
         survivors.select(batch.columns.map(col): _*)
           .unionByName(batch)
           .write.mode("overwrite").partitionBy(partCol).parquet(newPath)
-        val carried = ownerMap(path, g).filterNot { case (d, _) => touchedDirs(d) }
+        val touchedOnDisk = touchedDirs ++ writtenParts(newPath)
+        val carried = ownerMap(path, g).filterNot { case (d, _) => touchedOnDisk(d) }
         carry(path, newGen, carried, mode)
     }
     commit(path, genNum, newGen, mode)
@@ -331,37 +345,61 @@ object GenStore {
     children(java.nio.file.Paths.get(genPath))
       .map(_.getFileName.toString).filter(_.contains("="))
 
+  /** An empty commit entry this much older than now is a DEAD CLAIM — a
+    * crashed Manifest-mode fold that died between the `CREATE_NEW` open
+    * and the content write — not a racing writer's in-flight entry (the
+    * gap between those two syscalls is microseconds; ten seconds of
+    * settle is ~6 orders of magnitude of margin). */
+  private[graft] val DeadClaimSettleMs = 10000L
+
   /** The atomic claim-and-publish of generation `genNum`. [[Links]]:
     * hard-link a fully-written temp file onto the commit name — link(2)
     * fails with EEXIST atomically, so the claim and the content arrive
     * together. [[Manifest]]: `CREATE_NEW` write, the faithful local
     * stand-in for an object store's conditional PUT (link-free by
-    * design; window documented on [[fold]]). */
+    * design; window documented on [[fold]]). Hitting an EXISTING entry
+    * distinguishes two cases: a non-empty (or freshly created, possibly
+    * mid-write) entry is a true concurrent writer — fail loudly; an
+    * empty entry SETTLED for [[DeadClaimSettleMs]] is the documented
+    * crash window's debris — readers already skip it, so it is swept
+    * and the claim retried ONCE (crash recovery, not a race; before
+    * this, the next fold after such a crash threw
+    * [[ConcurrentFoldException]] and needed manual removal). */
   private def commit(path: String, genNum: Long, newGen: String,
       mode: Mode): Unit = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val dir = Paths.get(path, CommitsDir)
     Files.createDirectories(dir)
     val target = dir.resolve(f"$genNum%06d")
-    try {
-      mode match {
-        case Links =>
-          val tmp = dir.resolve(
-            s".tmp-p${ProcessHandle.current().pid()}s${stagingSeq.incrementAndGet()}")
-          Files.writeString(tmp, newGen)
-          try Files.createLink(target, tmp)
-          finally Files.deleteIfExists(tmp)
-        case Manifest =>
-          Files.write(target, newGen.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      }
-    } catch {
+    def claim(): Unit = mode match {
+      case Links =>
+        val tmp = dir.resolve(
+          s".tmp-p${ProcessHandle.current().pid()}s${stagingSeq.incrementAndGet()}")
+        Files.writeString(tmp, newGen)
+        try Files.createLink(target, tmp)
+        finally Files.deleteIfExists(tmp)
+      case Manifest =>
+        Files.write(target, newGen.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    }
+    def deadClaim(): Boolean =
+      try Files.size(target) == 0 &&
+        System.currentTimeMillis() -
+          Files.getLastModifiedTime(target).toMillis > DeadClaimSettleMs
+      catch { case _: java.io.IOException => false }
+    def lose(e: Throwable): Nothing =
+      throw new ConcurrentFoldException(
+        s"concurrent fold detected: generation $genNum at $path was " +
+          s"committed by another writer; this fold's staging directory " +
+          s"$newGen is uncommitted and will be swept by the next " +
+          "successful fold", e)
+    try claim()
+    catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        throw new ConcurrentFoldException(
-          s"concurrent fold detected: generation $genNum at $path was " +
-            s"committed by another writer; this fold's staging directory " +
-            s"$newGen is uncommitted and will be swept by the next " +
-            "successful fold", e)
+        if (!deadClaim()) lose(e)
+        Files.deleteIfExists(target)
+        try claim()
+        catch { case e2: java.nio.file.FileAlreadyExistsException => lose(e2) }
     }
   }
 

@@ -466,11 +466,18 @@ object Layouts {
       s"graft_doc_store_f${tableFingerprint(dir, "documents")}_" + dirTag(dir))
       .toAbsolutePath.toString
     docStores.getOrElseUpdate(path, {
+      // Deterministic content per fingerprint-named root: a racing
+      // process building the same store commits identical content, so a
+      // lost claim (fold or compact) is the winner doing our work —
+      // tolerate it and serve the committed view.
+      def tolerateRace(body: => Unit): Unit =
+        try body
+        catch { case _: GenStore.ConcurrentFoldException => () }
       if (GenStore.currentGen(path).isEmpty)
-        GenStore.fold(s, path,
+        tolerateRace(GenStore.fold(s, path,
           Tables.documents(s, dir).repartition(StoreFragFiles),
-          partCol = "source", idCol = "doc_id")
-      GenStore.compact(s, path, targetFiles = 1, maxFiles = 4)
+          partCol = "source", idCol = "doc_id"))
+      tolerateRace(GenStore.compact(s, path, targetFiles = 1, maxFiles = 4))
       path
     })
   }

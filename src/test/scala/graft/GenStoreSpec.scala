@@ -291,6 +291,102 @@ class GenStoreSpec extends SparkSpec {
       val want = model.map { case (id, (p, v)) => (id, p, v) }.toSet
       assert(content(root) === want, s"divergence at step $step (mode $mode)")
     }
+
+    // CONCURRENT fold+compact pair (the serial alternation above cannot
+    // see this interleaving): fragment a partition, wedge a fold mid-
+    // write, let a compact claim the generation number first. The fold
+    // must lose loudly with its staging swept — compact shares fold's
+    // claim protocol — and the committed view must still equal the
+    // latest-wins map (now compacted); re-running the lost fold then
+    // converges.
+    val frag = spark.range(0, 32)
+      .select($"id", (($"id" % 4) + 1).cast("int").as("part"),
+        concat(lit("frag"), $"id").as("v"))
+      .repartition(8)
+    GenStore.fold(spark, root, frag, "part", "id", GenStore.Links)
+    (0L until 32L).foreach(id => model(id) = ((id % 4 + 1).toInt, s"frag$id"))
+    assert(content(root) === model.map { case (id, (p, v)) => (id, p, v) }.toSet)
+    val genBeforeRace = GenStore.currentGen(root).get
+
+    FoldRace.started = new java.util.concurrent.CountDownLatch(1)
+    FoldRace.release = new java.util.concurrent.CountDownLatch(1)
+    val gate = udf((i: Long) => {
+      FoldRace.started.countDown()
+      FoldRace.release.await()
+      i
+    })
+    val loser = scala.concurrent.Future {
+      GenStore.fold(spark, root,
+        batch((99L, 4, "race")).withColumn("id", gate($"id")),
+        "part", "id", GenStore.Links)
+    }(scala.concurrent.ExecutionContext.global)
+    assert(FoldRace.started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "racing fold never started its write")
+    GenStore.compact(spark, root, targetFiles = 1, maxFiles = 2,
+      mode = GenStore.Manifest)
+    assert(GenStore.currentGen(root).get !== genBeforeRace,
+      "the racing compact must have found fragmentation and committed")
+    FoldRace.release.countDown()
+    intercept[GenStore.ConcurrentFoldException] {
+      scala.concurrent.Await.result(loser,
+        scala.concurrent.duration.Duration("120s"))
+    }
+    assert(content(root) === model.map { case (id, (p, v)) => (id, p, v) }.toSet,
+      "after a fold lost to a racing compact the view must be the compacted latest-wins map")
+    // at-least-once delivery: the lost fold re-runs and converges
+    GenStore.fold(spark, root, batch((99L, 4, "race")), "part", "id",
+      GenStore.Links)
+    model(99L) = (4, "race")
+    assert(content(root) === model.map { case (id, (p, v)) => (id, p, v) }.toSet)
+  }
+
+  test("a settled empty claim (crashed Manifest commit) self-heals: the next fold sweeps it and commits") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id", GenStore.Manifest)
+    // plant the documented crash debris: death between the CREATE_NEW
+    // open and the content write leaves an EMPTY claim on the next
+    // generation number; age it past the settle horizon
+    val claim = java.nio.file.Paths.get(root, "_commits", "000002")
+    java.nio.file.Files.createFile(claim)
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - GenStore.DeadClaimSettleMs - 60000))
+    // before the heal this threw ConcurrentFoldException and needed
+    // manual removal — a crash-recovery path misreported as a race
+    GenStore.fold(spark, root, batch((2L, 2, "b")), "part", "id", GenStore.Manifest)
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b")))
+  }
+
+  test("a FRESH empty claim is a possible in-flight racer: the fold still fails loudly") {
+    val root = freshRoot()
+    GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id", GenStore.Manifest)
+    val claim = java.nio.file.Paths.get(root, "_commits", "000002")
+    java.nio.file.Files.createFile(claim)
+    intercept[GenStore.ConcurrentFoldException] {
+      GenStore.fold(spark, root, batch((2L, 2, "b")), "part", "id", GenStore.Manifest)
+    }
+    assert(content(root) === Set((1L, 1, "a")),
+      "the losing fold must leave the committed view untouched")
+  }
+
+  for (mode <- Seq(GenStore.Links, GenStore.Manifest))
+  test(s"$mode: partition values needing path escaping carry without duplication") {
+    // Spark escapes partition-dir names (space -> %20, colon -> %3A); a
+    // raw "part=a b" comparison misses the on-disk dir and would BOTH
+    // carry and rewrite it — duplicated survivors in Links mode
+    val root = freshRoot()
+    val b1 = Seq((1L, "a b", "v1"), (2L, "c:d", "v2"), (3L, "a b", "v3"))
+      .toDF("id", "part", "v")
+    GenStore.fold(spark, root, b1, "part", "id", mode)
+    // second fold touches only the space-valued partition
+    GenStore.fold(spark, root,
+      Seq((1L, "a b", "v1b")).toDF("id", "part", "v"), "part", "id", mode)
+    val got = GenStore.load(spark, root).select($"id", $"part", $"v")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.length === 3,
+      s"$mode: a carried+rewritten escaped dir duplicates rows: $got")
+    assert(got.toSet === Set((1L, "a b", "v1b"), (2L, "c:d", "v2"),
+      (3L, "a b", "v3")))
   }
 
   test("an empty commit file (content write died) is invisible to readers") {
