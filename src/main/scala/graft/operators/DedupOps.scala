@@ -1149,7 +1149,110 @@ object DedupOps {
        |LEFT JOIN exact e ON b.doc_id = e.doc_id
        |LEFT JOIN cross_near n ON b.doc_id = n.doc_id""".stripMargin
 
+  // ------------------------------------------ d10 substring-level dedup
+
+  /** Window length for substring-level exact dedup — the "repeated
+    * 50-token span" pass of the Lee et al. 2022 recipe (the reference
+    * point every major curation pipeline runs after document-level
+    * dedup: d1–d9 are document-granular, so verbatim spans repeated
+    * INSIDE surviving documents — licence blocks, templated intros,
+    * quoted passages — pass every one of them untouched). */
+  private[graft] val SpanN = 50
+
+  /** Positional `n`-token windows of `text`: every start position's
+    * window IN ORDER (so `posexplode` yields the 0-based start token
+    * index), duplicates within a doc retained — the non-distinct sibling
+    * of [[shingles]], because span dedup must count and locate every
+    * occurrence, not membership. Same whole-text fallback below `n`
+    * words (a short doc is one window — exact-dup short docs still
+    * flag). */
+  private[graft] def posSpans(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    val grams = transform(sequence(lit(0), size(w) - lit(n)),
+      i => array_join(slice(w, i + lit(1), lit(n)), " "))
+    when(size(w) >= n, grams).otherwise(array(text))
+  }
+
+  /** d10: substring-level exact dedup — flag, per document, every
+    * [[SpanN]]-token window whose exact token sequence occurs at least
+    * twice ANYWHERE in the corpus (other documents or elsewhere in the
+    * same one), with the char offset of the first such span. Flag-only
+    * output (the d3 discipline): the span cut itself is a trivial
+    * downstream substring once offsets are known, and flags keep the
+    * operator SQL-oracle-expressible.
+    *
+    * Scale shape: windows are hashed to 8 bytes at the scan
+    * ([[org.apache.spark.sql.functions.xxhash64]] — the t12 device; the
+    * oracle replays on strings, proving the hashed plan faithful, and a
+    * birthday collision at 10¹⁰ grams is ~10⁻² expected extra flags on a
+    * KEEP/DROP screen), so the occurrence-count aggregate and the join
+    * back both move (gh, pos) longs, map-side combined, never span
+    * text. The duplicated-hash relation broadcasts while it fits and
+    * degrades to a hash join on the 8-byte key past that. The one
+    * text-width exchange is the final doc_id join that converts the
+    * first dup window's token index into a char offset against the
+    * words array — the same class of exchange as d1's content-hash
+    * window; a deployment that accepts token offsets can skip it
+    * entirely. */
+  def d10SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sh = docs
+      .select($"doc_id", posexplode(posSpans($"text", SpanN)))
+      .select($"doc_id", $"pos", xxhash64($"col").as("gh"))
+    val dup = sh.groupBy($"gh").agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"gh", lit(true).as("dup"))
+    val perDoc = sh.join(dup, Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"),
+        min(when($"dup", $"pos")).as("first_start"))
+    docs.select($"doc_id", split($"text", " ").as("w"))
+      .join(perDoc, Seq("doc_id"))
+      .select($"doc_id", $"n_windows", $"n_dup",
+        when($"first_start".isNull, -1)
+          .when($"first_start" === 0, 0)
+          .otherwise(
+            length(concat_ws(" ", slice($"w", lit(1), $"first_start"))) + 1)
+          .cast("int").as("first_dup_off"),
+        ($"n_dup" > 0).as("has_dup"))
+  }
+
+  /** DuckDB replays the windows on STRINGS with explicit positions (the
+    * t10/t12 oracle discipline); equal counts and offsets prove the
+    * hashed Spark plan faithful. */
+  private val d10Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+       |sh AS (
+       |  SELECT doc_id, (s).p AS pos, (s).g AS gram FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(w) >= $SpanN
+       |        THEN [{'p': i - 1, 'g': array_to_string(w[i:i+${SpanN - 1}], ' ')}
+       |              for i in range(1, len(w) - ${SpanN - 2})]
+       |        ELSE [{'p': 0, 'g': text}] END) AS s
+       |    FROM base)),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS c FROM sh GROUP BY 1)
+       |  WHERE c >= 2),
+       |perdoc AS (
+       |  SELECT sh.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup,
+       |    MIN(CASE WHEN d.gram IS NOT NULL THEN sh.pos END) AS first_start
+       |  FROM sh LEFT JOIN dup d ON sh.gram = d.gram
+       |  GROUP BY 1)
+       |SELECT b.doc_id, p.n_windows, p.n_dup,
+       |  CAST(CASE WHEN p.first_start IS NULL THEN -1
+       |            WHEN p.first_start = 0 THEN 0
+       |            ELSE length(array_to_string(b.w[1:p.first_start], ' ')) + 1
+       |       END AS INT) AS first_dup_off,
+       |  p.n_dup > 0 AS has_dup
+       |FROM base b JOIN perdoc p ON b.doc_id = p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_span_dedup" -> d10SpanDedup _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash_neardup" -> d3SimhashNeardup _,
@@ -1161,6 +1264,7 @@ object DedupOps {
     "d9_embedding_cluster_dedup" -> d9EmbeddingClusterDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    "d10_span_dedup" -> d10Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
     "d3_simhash_neardup" -> simhashSql(0.8),

@@ -429,4 +429,42 @@ class DedupOpsSpec extends SparkSpec {
     // singletons each their own kept cluster
     (30L to 39L).foreach(i => assert(got(i) === ((i, true)), s"singleton $i"))
   }
+
+  test("d10: planted 50-token spans are located at their exact char offsets; within-doc repeats count; short docs fall back to whole text") {
+    import spark.implicits._
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")   // shared doc1↔doc2
+    val span2 = (1 to 50).map(i => s"t$i").mkString(" ")  // repeated inside doc7
+    val doc1 = (1 to 10).map(i => s"p$i").mkString(" ") + " " + span + " " +
+      (1 to 10).map(i => s"q$i").mkString(" ")            // 70 tokens
+    val doc2 = (1 to 5).map(i => s"r$i").mkString(" ") + " " + span + " " +
+      (1 to 5).map(i => s"u$i").mkString(" ")             // 60 tokens
+    val doc3 = (1 to 70).map(i => s"z$i").mkString(" ")   // unique, 70 tokens
+    val doc7 = (1 to 10).map(i => s"a$i").mkString(" ") + " " + span2 + " " +
+      (1 to 5).map(i => s"b$i").mkString(" ") + " " + span2 // 115 tokens
+    val docs = Seq(
+      (1L, doc1), (2L, doc2), (3L, doc3),
+      (4L, "tiny little doc"),                 // short, unique
+      (5L, "same short doc"), (6L, "same short doc"), // short exact dups
+      (7L, doc7))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d10").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.d10SpanDedup(spark, dir)
+      .select($"doc_id", $"n_windows", $"n_dup", $"first_dup_off", $"has_dup")
+      .as[(Long, Long, Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // only the exact span window repeats (its neighbors differ per doc),
+    // and the char offset is the span's indexOf in the original text
+    assert(got(1L) === ((21L, 1L, doc1.indexOf(span), true)))
+    assert(got(2L) === ((11L, 1L, doc2.indexOf(span), true)))
+    assert(got(3L) === ((21L, 0L, -1, false)))
+    assert(got(4L) === ((1L, 0L, -1, false)),
+      "a short unique doc is one clean whole-text window")
+    assert(got(5L) === ((1L, 1L, 0, true)))
+    assert(got(6L) === ((1L, 1L, 0, true)),
+      "short exact dups flag through the whole-text fallback at offset 0")
+    assert(got(7L) === ((66L, 2L, doc7.indexOf(span2), true)),
+      "a span repeated WITHIN one doc counts both occurrences")
+  }
 }

@@ -137,6 +137,16 @@ class PlanAuditSpec extends SparkSpec {
       s"stage-2 exchange must recombine on the bare key:\n$p")
   }
 
+  test("d10: two hash exchanges — the 8-byte gh count and the per-doc agg; spans never shuffle as text") {
+    val p = plan("d10_span_dedup")
+    assert(shuffles(p) === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both exchanges carry hashed/aggregated rows, so no exchange input
+    // may include the raw span string column (the windows are hashed to
+    // gh at the scan, the t12 discipline)
+    assert(!"Exchange hashpartitioning\\(col#".r.findAllIn(p).hasNext, p)
+  }
+
   test("t13: the driver-known term filter sits BELOW the tf aggregate") {
     // The scale claim t13's scaladoc makes: the first exchange carries
     // only the 9 query terms' occurrences, never one partial row per
