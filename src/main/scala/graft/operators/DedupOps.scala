@@ -1159,18 +1159,25 @@ object DedupOps {
     * quoted passages — pass every one of them untouched). */
   private[graft] val SpanN = 50
 
-  /** Positional `n`-token windows of `text`: every start position's
-    * window IN ORDER (so `posexplode` yields the 0-based start token
-    * index), duplicates within a doc retained — the non-distinct sibling
-    * of [[shingles]], because span dedup must count and locate every
-    * occurrence, not membership. Same whole-text fallback below `n`
-    * words (a short doc is one window — exact-dup short docs still
-    * flag). */
-  private[graft] def posSpans(text: Column, n: Int): Column = {
+  /** Positional `n`-token window HASHES of `text`: for every start
+    * position IN ORDER (so `posexplode` yields the 0-based start token
+    * index), the xxhash64 of that window's token-array slice —
+    * duplicates within a doc retained, the non-distinct sibling of
+    * [[shingles]], because span dedup must count and locate every
+    * occurrence, not membership. Hashing the SLICE rather than a joined
+    * string skips materializing an ~n·word_len char string per window
+    * (the dominant narrow-scan cost at n = 50); since split tokens
+    * cannot contain the separator, array equality and joined-string
+    * equality define the SAME window classes, so the oracle's
+    * string-replay discipline is unchanged. Whole-text fallback below
+    * `n` words (a short doc is one window — exact-dup short docs still
+    * flag; a single-element fallback array can never share a class with
+    * a true n-token window). */
+  private[graft] def spanHashes(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    val grams = transform(sequence(lit(0), size(w) - lit(n)),
-      i => array_join(slice(w, i + lit(1), lit(n)), " "))
-    when(size(w) >= n, grams).otherwise(array(text))
+    val hs = transform(sequence(lit(0), size(w) - lit(n)),
+      i => xxhash64(slice(w, i + lit(1), lit(n))))
+    when(size(w) >= n, hs).otherwise(array(xxhash64(text)))
   }
 
   /** d10: substring-level exact dedup — flag, per document, every
@@ -1198,8 +1205,8 @@ object DedupOps {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val sh = docs
-      .select($"doc_id", posexplode(posSpans($"text", SpanN)))
-      .select($"doc_id", $"pos", xxhash64($"col").as("gh"))
+      .select($"doc_id", posexplode(spanHashes($"text", SpanN)))
+      .select($"doc_id", $"pos", $"col".as("gh"))
     val dup = sh.groupBy($"gh").agg(count(lit(1)).as("c"))
       .where($"c" >= 2).select($"gh", lit(true).as("dup"))
     val perDoc = sh.join(dup, Seq("gh"), "left")

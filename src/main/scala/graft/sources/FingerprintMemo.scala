@@ -32,6 +32,12 @@ private[graft] final class FingerprintMemo[V](onEvict: V => Unit) {
       case _ =>
         val built = build
         m.synchronized {
+          // a stopped session's entries can never be served again either
+          // — purge them so the memo cannot pin dead SparkSessions (no
+          // onEvict: unpersist needs the very context that is gone)
+          m.filterInPlace { case ((sess, _, _), _) =>
+            (sess eq s) || !sess.sparkContext.isStopped
+          }
           m.get(key) match {
             case Some((f, v)) if f == fingerprint =>
               // a racer installed the same snapshot first — serve its
