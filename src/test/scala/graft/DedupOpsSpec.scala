@@ -467,4 +467,55 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(7L) === ((66L, 2L, doc7.indexOf(span2), true)),
       "a span repeated WITHIN one doc counts both occurrences")
   }
+
+  test("d10 property: output equals a driver-side brute-force recount on a seeded random corpus with planted spans") {
+    import spark.implicits._
+    val N = DedupOps.SpanN
+    val rnd = new scala.util.Random(20260814L)
+    // random base corpus (some docs below SpanN, no organic 50-token
+    // repeats at this vocab), then splice spans between random doc pairs
+    val base = scala.collection.mutable.Map((1L to 60L).map { id =>
+      val len = 20 + rnd.nextInt(120)
+      id -> Vector.fill(len)("w" + rnd.nextInt(500))
+    }: _*)
+    (1 to 12).foreach { _ =>
+      val src = 1L + rnd.nextInt(60)
+      val dst = 1L + rnd.nextInt(60)
+      val s = base(src)
+      if (src != dst && s.length >= N) {
+        val start = rnd.nextInt(s.length - N + 1)
+        val span = s.slice(start, start + N)
+        val d = base(dst)
+        val at = rnd.nextInt(d.length + 1)
+        base(dst) = d.take(at) ++ span ++ d.drop(at)
+      }
+    }
+    val docs = base.toSeq.sortBy(_._1).map { case (id, ts) => (id, ts.mkString(" ")) }
+
+    def windows(text: String): Seq[(Int, String)] = {
+      val w = text.split(" ")
+      if (w.length >= N) (0 to w.length - N).map(i => (i, w.slice(i, i + N).mkString(" ")))
+      else Seq((0, text))
+    }
+    val counts = docs.flatMap { case (_, t) => windows(t).map(_._2) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expect = docs.map { case (id, t) =>
+      val ws = windows(t)
+      val dup = ws.filter(w => counts(w._2) >= 2)
+      val firstOff = dup.headOption.map { case (p, _) =>
+        if (p == 0) 0 else t.split(" ").take(p).mkString(" ").length + 1
+      }.getOrElse(-1)
+      (id, ws.size.toLong, dup.size.toLong, firstOff, dup.nonEmpty)
+    }.toSet
+    assert(expect.exists(_._5), "the planted corpus must contain dup spans")
+    assert(expect.exists(r => !r._5), "and clean docs")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_d10p").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.d10SpanDedup(spark, dir)
+      .as[(Long, Long, Long, Int, Boolean)].collect().toSet
+    assert(got === expect)
+  }
 }
