@@ -1258,8 +1258,103 @@ object DedupOps {
        |  p.n_dup > 0 AS has_dup
        |FROM base b JOIN perdoc p ON b.doc_id = p.doc_id""".stripMargin
 
+  /** d11: the CUT LIST d10's summary points at — per document, the
+    * maximal duplicated regions: overlapping-or-touching duplicated
+    * [[SpanN]]-token windows merged into disjoint intervals (classic
+    * gaps-and-islands: a window opens a new island exactly when its
+    * start lies past the running max end of everything before it), each
+    * emitted with its char [start_off, end_off) and token length — the
+    * relation a span-removal pass consumes directly (substring cuts),
+    * where d10 only says "this doc has spans". Restricted to docs with
+    * ≥ [[SpanN]] tokens: a shorter doc has no sub-spans to cut — a
+    * duplicated short doc is WHOLLY a duplicate, which is d1/d10's
+    * whole-doc verdict (and its fallback pseudo-window can never equal
+    * a true 50-token window's class, so the duplicated-window set here
+    * is identical to d10's over these docs).
+    *
+    * Scale shape: the window/df machinery is d10's (8-byte hashes at
+    * the scan, map-side-combined count, dup relation broadcast while it
+    * fits); the islands pass sorts DUPLICATED windows only — (doc_id,
+    * pos) pairs, a relation the df ≥ 2 filter has already collapsed to
+    * a sliver of the corpus — and the interval aggregate reuses the
+    * same doc_id partitioning (no extra exchange). The final doc_id
+    * join against the words array prices the char conversion exactly
+    * like d10's. */
+  def d11SpanIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .where(size(split($"text", " ")) >= SpanN)
+    val sh = docs
+      .select($"doc_id", posexplode(spanHashes($"text", SpanN)))
+      .select($"doc_id", $"pos", $"col".as("gh"))
+    val dup = sh.groupBy($"gh").agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"gh")
+    val dw = sh.join(dup, Seq("gh"), "left_semi")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runEnd = max($"pos" + SpanN)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = dw
+      .withColumn("brk",
+        when(runEnd.isNull || $"pos" > runEnd, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(byPos))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("st"), (max($"pos") + SpanN).as("en"))
+    docs.select($"doc_id", split($"text", " ").as("w"))
+      .join(isl, Seq("doc_id"))
+      .select($"doc_id",
+        row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"st")).as("span_id"),
+        when($"st" === 0, 0)
+          .otherwise(length(concat_ws(" ", slice($"w", lit(1), $"st"))) + 1)
+          .cast("int").as("start_off"),
+        length(concat_ws(" ", slice($"w", lit(1), $"en")))
+          .cast("int").as("end_off"),
+        ($"en" - $"st").cast("int").as("n_tokens"))
+  }
+
+  private val d11Sql =
+    s"""WITH long AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanN),
+       |sh AS (
+       |  SELECT doc_id, (s).p AS pos, (s).g AS gram FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'p': i - 1, 'g': array_to_string(w[i:i+${SpanN - 1}], ' ')}
+       |       for i in range(1, len(w) - ${SpanN - 2})]) AS s
+       |    FROM long)),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS c FROM sh GROUP BY 1)
+       |  WHERE c >= 2),
+       |dw AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup d ON sh.gram = d.gram),
+       |isl AS (
+       |  SELECT doc_id, pos, CASE WHEN
+       |      max(pos + $SpanN) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > max(pos + $SpanN) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM dw),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |iv AS (
+       |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + $SpanN AS en
+       |  FROM isl2 GROUP BY 1, 2)
+       |SELECT b.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY b.doc_id ORDER BY iv.st) AS INT)
+       |    AS span_id,
+       |  CAST(CASE WHEN iv.st = 0 THEN 0
+       |            ELSE length(array_to_string(b.w[1:iv.st], ' ')) + 1
+       |       END AS INT) AS start_off,
+       |  CAST(length(array_to_string(b.w[1:iv.en], ' ')) AS INT) AS end_off,
+       |  CAST(iv.en - iv.st AS INT) AS n_tokens
+       |FROM iv JOIN long b ON iv.doc_id = b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_span_dedup" -> d10SpanDedup _,
+    "d11_span_intervals" -> d11SpanIntervals _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash_neardup" -> d3SimhashNeardup _,
@@ -1272,6 +1367,7 @@ object DedupOps {
 
   val oracleSql: Map[String, String] = Map(
     "d10_span_dedup" -> d10Sql,
+    "d11_span_intervals" -> d11Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
     "d3_simhash_neardup" -> simhashSql(0.8),

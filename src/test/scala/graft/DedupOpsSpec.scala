@@ -468,6 +468,34 @@ class DedupOpsSpec extends SparkSpec {
       "a span repeated WITHIN one doc counts both occurrences")
   }
 
+  test("d11: overlapping dup windows merge into one maximal interval; separated repeats stay distinct; char bounds exact") {
+    import spark.implicits._
+    val shared60 = (1 to 60).map(i => s"m$i").mkString(" ") // doc1↔doc2
+    val span2 = (1 to 50).map(i => s"t$i").mkString(" ")    // twice in doc7
+    val doc1 = (1 to 8).map(i => s"p$i").mkString(" ") + " " + shared60 + " " +
+      (1 to 5).map(i => s"q$i").mkString(" ")               // 73 tokens
+    val doc2 = (1 to 4).map(i => s"r$i").mkString(" ") + " " + shared60 // 64
+    val doc3 = (1 to 70).map(i => s"z$i").mkString(" ")     // unique
+    val doc7 = (1 to 10).map(i => s"a$i").mkString(" ") + " " + span2 + " " +
+      (1 to 5).map(i => s"b$i").mkString(" ") + " " + span2 // 115 tokens
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, "short doc"),
+      (7L, doc7)).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.d11SpanIntervals(spark, dir)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    // the 11 overlapping dup windows inside the shared 60-token run
+    // merge into ONE interval spanning exactly that run
+    val want = Set(
+      (1L, 1, doc1.indexOf(shared60), doc1.indexOf(shared60) + shared60.length, 60),
+      (2L, 1, doc2.indexOf(shared60), doc2.indexOf(shared60) + shared60.length, 60),
+      (7L, 1, doc7.indexOf(span2), doc7.indexOf(span2) + span2.length, 50),
+      (7L, 2, doc7.lastIndexOf(span2), doc7.lastIndexOf(span2) + span2.length, 50))
+    assert(got === want,
+      "clean and short docs absent; merged and separated intervals exact")
+  }
+
   test("d10 property: output equals a driver-side brute-force recount on a seeded random corpus with planted spans") {
     import spark.implicits._
     val N = DedupOps.SpanN
