@@ -566,6 +566,138 @@ case class PqEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword token count of a string column under a
+  * driver-known vocabulary — the classic BPE/WordPiece *inference* scan
+  * (Sennrich et al. 2016's merge table applied greedily; the segmenter
+  * every training-data token-budget pass runs), as one narrow per-row
+  * kernel.
+  *
+  * Semantics (shared exactly with t4b's recursive-CTE DuckDB oracle):
+  * scan the ASCII-lowercased text left to right; spaces emit nothing;
+  * at a letter `[a-z]`, the longest vocab piece matching at that
+  * position (pieces are 2..8 lowercase ASCII letters, so a match never
+  * crosses a non-letter) counts as ONE token and the scan advances by
+  * its length, else the single letter is a token; any other code point
+  * is a single token. Equivalent to GPT-2-style pre-tokenization
+  * (letter runs / digit runs / single other) followed by greedy
+  * longest-prefix segmentation of each letter run — see
+  * [[graft.operators.TextOps.t4bBpeTokenCount]] for the proof sketch.
+  *
+  * Why an `Expression` and not explode+join-against-a-piece-table: the
+  * compositional route shuffles one row per (doc, pre-token) through a
+  * corpus-scale exchange and joins it back, for a value that is a pure
+  * per-row function. Here the vocab ships as ONE reference object — each
+  * piece packed big-endian into a `long` (≤8 ASCII bytes; the leading
+  * byte is ≥ 0x61, so magnitude encodes length and packings cannot
+  * collide across lengths), sorted for binary search — and the scan is
+  * an allocation-free loop inside whole-stage codegen.
+  *
+  * Only ASCII `A-Z` is lowercased (full Unicode lowering can change
+  * code-point counts — e.g. İ — which would desync the two engines);
+  * the corpus contract is ASCII text, and non-ASCII code points fall
+  * through as single tokens on both sides.
+  *
+  * Interpreted and generated paths are identical; TextOpsSpec asserts
+  * parity against an independent substring-based Scala reference. */
+case class BpeTokenCount(child: Expression, vocab: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(vocab.nonEmpty && vocab.forall(p =>
+    p.length >= 2 && p.length <= 8 && p.forall(c => c >= 'a' && c <= 'z')),
+    "vocab pieces must be 2..8 lowercase ASCII letters")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count"
+
+  private val maxPieceLen = vocab.map(_.length).max
+
+  /** Sorted packed pieces: piece bytes big-endian in a long. */
+  @transient private lazy val packed: Array[Long] = {
+    val a = vocab.distinct
+      .map(_.foldLeft(0L)((acc, c) => (acc << 8) | c.toLong)).toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = s.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c == ' ') i += 1
+      else if (c >= 'a' && c <= 'z') {
+        var best = 1
+        var p = c.toLong
+        var l = 2
+        var run = true
+        while (run && l <= maxPieceLen && i + l <= n) {
+          val d0 = s.charAt(i + l - 1)
+          val d = if (d0 >= 'A' && d0 <= 'Z') (d0 + 32).toChar else d0
+          if (d < 'a' || d > 'z') run = false
+          else {
+            p = (p << 8) | d.toLong
+            if (java.util.Arrays.binarySearch(packed, p) >= 0) best = l
+            l += 1
+          }
+        }
+        count += 1
+        i += best
+      } else {
+        count += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+    count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocabPacked", packed, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      val best = ctx.freshName("best")
+      val p = ctx.freshName("p")
+      val l = ctx.freshName("l")
+      val d = ctx.freshName("d")
+      s"""
+         |java.lang.String $s = $x.toString();
+         |int $n = $s.length();
+         |int $i = 0; int $cnt = 0;
+         |while ($i < $n) {
+         |  char $c = $s.charAt($i);
+         |  if ($c >= 'A' && $c <= 'Z') $c = (char) ($c + 32);
+         |  if ($c == ' ') { $i++; continue; }
+         |  if ($c >= 'a' && $c <= 'z') {
+         |    int $best = 1;
+         |    long $p = (long) $c;
+         |    for (int $l = 2; $l <= $maxPieceLen && $i + $l <= $n; $l++) {
+         |      char $d = $s.charAt($i + $l - 1);
+         |      if ($d >= 'A' && $d <= 'Z') $d = (char) ($d + 32);
+         |      if ($d < 'a' || $d > 'z') break;
+         |      $p = ($p << 8) | (long) $d;
+         |      if (java.util.Arrays.binarySearch($vocabRef, $p) >= 0) $best = $l;
+         |    }
+         |    $cnt++; $i += $best;
+         |  } else {
+         |    $cnt++; $i += java.lang.Character.charCount($s.codePointAt($i));
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -590,4 +722,8 @@ object GraftColumns {
   def minhashBandKeys(hashes: Column, numHashes: Int, rows: Int): Column =
     ExpressionUtils.column(
       MinHashBandKeys(ExpressionUtils.expression(hashes), numHashes, rows))
+
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(
+      BpeTokenCount(ExpressionUtils.expression(text), vocab))
 }

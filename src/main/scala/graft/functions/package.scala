@@ -40,4 +40,11 @@ package object functions {
     * [[org.apache.spark.sql.graftext.PqEncodeCodes]]). */
   def pqEncodeCodes(v: Column, books: Array[Array[Array[Double]]]): Column =
     org.apache.spark.sql.graftext.GraftColumns.pqEncodeCodes(v, books)
+
+  /** Greedy longest-match subword token count of a string column under a
+    * driver-known vocabulary of 2..8-letter lowercase ASCII pieces — the
+    * BPE-inference scan as one codegen'd per-row kernel (see
+    * [[org.apache.spark.sql.graftext.BpeTokenCount]]). */
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.graftext.GraftColumns.bpeTokenCount(text, vocab)
 }

@@ -144,8 +144,25 @@ object SamplingOps {
     * a NULL weight and vanish from the binding-min silently, which both
     * engines would agree on and the oracle could never catch.
     * SamplingOpsSpec asserts the fixture's languages are all weighted,
-    * so on the test corpus the filter drops nothing. */
-  def p3DatasetMix(s: SparkSession, dir: String): DataFrame = {
+    * so on the test corpus the filter drops nothing.
+    *
+    * The registered query counts whitespace tokens (t4's cheap proxy —
+    * fine for relative mix shares when the subword expansion factor is
+    * similar across languages). A pipeline whose budget is REAL
+    * tokenizer tokens passes its own counter to [[p3MixPlan]] — e.g.
+    * t4b's greedy-BPE kernel — and gets the identical plan arithmetic
+    * over tokenizer-accurate supplies (the expansion factor then rebinds
+    * which language caps the mix; SamplingOpsSpec exercises both). */
+  def p3DatasetMix(s: SparkSession, dir: String): DataFrame =
+    p3MixPlan(s, dir, size(split(col("text"), " ")))
+
+  /** The mix-plan arithmetic with the per-document token counter as a
+    * parameter — `tokenCounter` is any integer-valued column expression
+    * over `text` (whitespace proxy, t4's regex, t4b's BPE kernel). Same
+    * plan shape regardless of counter: narrow per-row map, O(languages)
+    * aggregate, broadcast scalar min. */
+  private[graft] def p3MixPlan(s: SparkSession, dir: String,
+      tokenCounter: Column): DataFrame = {
     import s.implicits._
     val wExpr = MixWeights.tail.foldLeft(
       when($"lang" === MixWeights.head._1, MixWeights.head._2)) {
@@ -153,7 +170,7 @@ object SamplingOps {
     }
     val perLang = Tables.documents(s, dir)
       .where($"lang".isInCollection(MixWeights.map(_._1)))
-      .select($"lang", size(split($"text", " ")).as("t"))
+      .select($"lang", tokenCounter.as("t"))
       .groupBy($"lang").agg(sum($"t").as("tokens"))
       .withColumn("weight", wExpr)
       .withColumn("feasible", $"tokens".cast("double") * MaxEpochs / $"weight")

@@ -204,6 +204,99 @@ object TextOps {
        |  COUNT(*) AS docs
        |FROM documents GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- t4b BPE-vocab token count
+
+  /** t4b's subword vocabulary: common English character merges (the shape
+    * a small trained BPE merge table converges to — Sennrich et al. 2016)
+    * plus a few frequent suffix/prefix pieces. Deliberately merge-only
+    * (no whole corpus words), so real documents SPLIT: the greedy path is
+    * exercised, and t4b's counts differ measurably from t4's pre-token
+    * counts (a vocab of whole frequent words would make t4b ≈ t4.re and
+    * teach nothing). A production caller passes their tokenizer's own
+    * merge list here; 2..8 lowercase ASCII letters per piece is the
+    * [[graft.functions.bpeTokenCount]] contract. */
+  private[graft] val BpeVocab: Seq[String] = Seq(
+    "th", "the", "in", "ing", "er", "es", "est", "ed", "en", "an", "and",
+    "at", "ar", "al", "or", "on", "re", "is", "it", "le", "st", "to",
+    "of", "he", "se", "te", "ow", "ue", "lo", "ro", "ta", "ab", "me",
+    "ba", "li", "so", "wi", "da", "co", "jo", "sm", "cu", "qu", "bi",
+    "gr", "fi", "ve", "pa", "ha", "sc", "sl", "fa", "str", "ion", "tion",
+    "ent", "ter", "ers", "ate", "ess", "ure", "ive", "ble", "val", "ea",
+    "om", "um", "un", "ut", "up", "us", "ir", "ig", "id", "ic", "ad",
+    "ag", "am", "ap", "as", "ay", "ey", "ol", "od", "og", "ot", "ob",
+    "ort", "ast", "ack", "ell", "ill", "ight", "ment", "ness", "able",
+    "ous", "ful", "win", "dow", "ound")
+
+  /** t4b's pre-tokenizer over LOWERCASED text (t4's [[TokenRe]], lowered
+    * alphabet): letter runs, digit runs, single other non-space. */
+  private[graft] val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** t4b: tokenizer-accurate token counting — per-source totals under a
+    * REAL greedy subword segmentation (the BPE-inference scan), next to
+    * the pre-token count so the subword expansion factor is visible.
+    * t4's regex heuristic approximates token budgets; any pipeline that
+    * pays per real-tokenizer token (sequence packing, mix math, training
+    * cost) needs the vocab-driven count — p3's mix plan can consume
+    * either (see [[SamplingOps.p3MixPlan]]).
+    *
+    * Shape is t4's exactly: a narrow per-row map (one codegen'd scan per
+    * document, vocab shipped once as a sorted packed `long[]` reference
+    * object) into an O(sources) aggregate — map-side combine makes the
+    * shuffle scale-free. The DuckDB oracle computes the SAME greedy
+    * segmentation via a recursive CTE over the corpus' DISTINCT
+    * pre-tokens (per-word-type recursion, joined back to occurrences) —
+    * per-position longest-prefix match is identical because vocab pieces
+    * are pure lowercase letter strings: a piece can never cross a letter
+    * run's boundary (the run is maximal), so full-string scanning
+    * (engine) ≡ per-pre-token scanning (oracle), with spaces skipped on
+    * the engine side and dropped by the oracle's pre-tokenizer. All
+    * hashed outputs are exact BIGINTs. */
+  def t4bBpeTokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        graft.functions.bpeTokenCount($"text", BpeVocab).as("bpe"),
+        size(regexp_extract_all(lower($"text"), lit(BpeTokenRe), lit(0))).as("pre"))
+      .groupBy($"source")
+      .agg(
+        sum($"bpe").as("bpe_tokens"),
+        sum($"pre").as("pre_tokens"),
+        count(lit(1)).as("docs"))
+  }
+
+  private val t4bSql = {
+    val values = BpeVocab.distinct.sorted
+      .map(p => s"('$p', ${p.length})").mkString(", ")
+    s"""WITH RECURSIVE vocab(piece, plen) AS (
+       |  SELECT * FROM (VALUES $values) AS v(piece, plen)),
+       |pre AS (
+       |  SELECT source,
+       |    unnest(regexp_extract_all(lower(text), '$BpeTokenRe')) AS w
+       |  FROM documents),
+       |words AS (SELECT DISTINCT w FROM pre WHERE regexp_matches(w, '^[a-z]')),
+       |seg(w, pos, cnt) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM words
+       |  UNION ALL
+       |  SELECT s.w,
+       |    (s.pos + COALESCE((SELECT MAX(v.plen) FROM vocab v
+       |       WHERE (substr(s.w, CAST(s.pos AS INTEGER), v.plen) = v.piece)), 1)),
+       |    (s.cnt + 1)
+       |  FROM seg s WHERE (s.pos <= length(s.w))),
+       |wcnt AS (SELECT w, MAX(cnt) AS bpe FROM seg GROUP BY w),
+       |tok AS (
+       |  SELECT p.source,
+       |    (CASE WHEN regexp_matches(p.w, '^[a-z]')
+       |          THEN c.bpe ELSE length(p.w) END) AS t
+       |  FROM pre p LEFT JOIN wcnt c ON (p.w = c.w)),
+       |agg AS (SELECT source, SUM(t) AS b, COUNT(*) AS p FROM tok GROUP BY 1)
+       |SELECT d.source,
+       |  CAST(COALESCE(MAX(a.b), 0) AS BIGINT) AS bpe_tokens,
+       |  CAST(COALESCE(MAX(a.p), 0) AS BIGINT) AS pre_tokens,
+       |  COUNT(*) AS docs
+       |FROM documents d LEFT JOIN agg a ON (d.source = a.source)
+       |GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------- t5 fingerprinting
 
   /** t5: canonical document fingerprint — md5 over the sorted distinct
@@ -875,6 +968,7 @@ object TextOps {
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
     "t4_token_count" -> t4TokenCount _,
+    "t4b_bpe_token_count" -> t4bBpeTokenCount _,
     "t5_fingerprint" -> t5Fingerprint _,
     "t6_hash_split" -> t6HashSplit _,
     "t7_repetition" -> t7Repetition _,
@@ -890,6 +984,7 @@ object TextOps {
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,
     "t4_token_count" -> t4Sql,
+    "t4b_bpe_token_count" -> t4bSql,
     "t5_fingerprint" -> t5Sql,
     "t6_hash_split" -> t6Sql,
     "t7_repetition" -> t7Sql,

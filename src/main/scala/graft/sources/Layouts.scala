@@ -461,9 +461,11 @@ object Layouts {
     * stale store; the compact call is idempotent (metadata-only no-op on
     * an already-compact store), so it doubles as the resume step for a
     * build that crashed between fold and compact. */
-  private[graft] def compactedDocStore(s: SparkSession, dir: String): String = {
+  private[graft] def compactedDocStore(s: SparkSession, dir: String,
+      mode: GenStore.Mode = GenStore.Links): String = {
+    val tag = if (mode == GenStore.Manifest) "m" else ""
     val path = java.nio.file.Paths.get("target",
-      s"graft_doc_store_f${tableFingerprint(dir, "documents")}_" + dirTag(dir))
+      s"graft_doc_store_${tag}f${tableFingerprint(dir, "documents")}_" + dirTag(dir))
       .toAbsolutePath.toString
     docStores.getOrElseUpdate(path, {
       // Deterministic content per fingerprint-named root: a racing
@@ -476,8 +478,9 @@ object Layouts {
       if (GenStore.currentGen(path).isEmpty)
         tolerateRace(GenStore.fold(s, path,
           Tables.documents(s, dir).repartition(StoreFragFiles),
-          partCol = "source", idCol = "doc_id"))
-      tolerateRace(GenStore.compact(s, path, targetFiles = 1, maxFiles = 4))
+          partCol = "source", idCol = "doc_id", mode = mode))
+      tolerateRace(GenStore.compact(s, path, targetFiles = 1, maxFiles = 4,
+        mode = mode))
       path
     })
   }
@@ -499,6 +502,25 @@ object Layouts {
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
 
+  /** src6: src5's fold + compact round-trip run in [[GenStore.Manifest]]
+    * carry mode — the link-free, object-store-portable discipline (no
+    * hard links, so it survives stores where link counts don't exist:
+    * S3-style object stores, some network filesystems). Same content
+    * claim, same raw-documents oracle; what this row proves end-to-end
+    * is the MANIFEST read path — `GenStore.load` resolving `_MANIFEST`
+    * carry references into per-owner basePath-scoped scans — under the
+    * driver's hash gate, where src5/d8/s8 only ever exercise Links.
+    * LayoutsSpec asserts the operational half (a `_MANIFEST` exists in
+    * the committed generation; data files are nlink==1; source pruning
+    * still reaches the scan through the owner indirection). */
+  def src6StoreManifest(s: SparkSession, dir: String): DataFrame =
+    GenStore.load(s, compactedDocStore(s, dir, GenStore.Manifest))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
   private val src5Sql =
     """SELECT source,
       |  COUNT(*) AS docs,
@@ -513,12 +535,14 @@ object Layouts {
     "src2_bucketed_join" -> src2BucketedJoin _,
     "src3_zorder_prune" -> src3ZorderPrune _,
     "src4_compaction" -> src4Compaction _,
-    "src5_store_compaction" -> src5StoreCompaction _)
+    "src5_store_compaction" -> src5StoreCompaction _,
+    "src6_store_manifest" -> src6StoreManifest _)
 
   val oracleSql: Map[String, String] = Map(
     "src1_partition_prune" -> src1Sql,
     "src2_bucketed_join" -> src2Sql,
     "src3_zorder_prune" -> src3Sql,
     "src4_compaction" -> src4Sql,
-    "src5_store_compaction" -> src5Sql)
+    "src5_store_compaction" -> src5Sql,
+    "src6_store_manifest" -> src5Sql)
 }

@@ -185,6 +185,38 @@ class LayoutsSpec extends SparkSpec {
       s"expected source partition pruning on the store scan in:\n$plan")
   }
 
+  test("src6: the Manifest-mode doc store serves the same content link-free through _MANIFEST carry") {
+    import graft.sources.GenStore
+    import scala.jdk.CollectionConverters._
+    val root = Layouts.compactedDocStore(spark, sf, GenStore.Manifest)
+    val gen = GenStore.currentGen(root).get
+    assert(gen.stripPrefix("gen-").takeWhile(_.isDigit).toLong >= 2, gen)
+    // the committed generation is manifest-carried, and every data file
+    // in the store is nlink==1 — no hard links anywhere (object-store
+    // portability is the point of the mode)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, gen, "_MANIFEST")),
+      s"no _MANIFEST in committed generation $gen")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try walk.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach { f =>
+        val n = java.nio.file.Files.getAttribute(f, "unix:nlink")
+          .asInstanceOf[Number].intValue()
+        assert(n === 1, s"$f has nlink=$n — Manifest mode must not link")
+      }
+    finally walk.close()
+    // content equals the raw table exactly (every doc exactly once)
+    val a = GenStore.load(spark, root).select($"doc_id").as[Long].collect().sorted
+    val b = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+    // source pruning still reaches the scan through the owner indirection
+    val plan = GenStore.load(spark, root).where($"source" === "src3")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan).isDefined,
+      s"expected source partition pruning on the manifest store scan in:\n$plan")
+  }
+
   test("src4: compaction collapses the file count with a zero-shuffle plan") {
     def parquetFiles(path: String) = {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))

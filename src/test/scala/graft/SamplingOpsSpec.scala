@@ -89,6 +89,31 @@ class SamplingOpsSpec extends SparkSpec {
       s"some language must bind the total: ${rows.toSeq}")
   }
 
+  test("p3: the plan arithmetic holds under the BPE token counter (tokenizer-accurate supplies)") {
+    import graft.operators.TextOps
+    val bpe = graft.functions.bpeTokenCount(
+      org.apache.spark.sql.functions.col("text"), TextOps.BpeVocab)
+    val rows = SamplingOps.p3MixPlan(spark, sf, bpe)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSet === Set("en", "de", "es", "fr", "zh"))
+    val total = rows.map(_._4).sum
+    rows.foreach { case (lang, tokens, w, need, factor) =>
+      assert(math.abs(need / total - w) < 1e-12, s"$lang share")
+      assert(factor <= SamplingOps.MaxEpochs + 1e-12, s"$lang factor=$factor")
+      assert(factor === need / tokens)
+    }
+    assert(rows.exists(r => math.abs(r._5 - SamplingOps.MaxEpochs) < 1e-9),
+      s"some language must bind the total: ${rows.toSeq}")
+    // supplies are the REAL greedy-subword counts: strictly above the
+    // whitespace proxy's on every language (merge-only vocab splits)
+    val ws = SamplingOps.p3DatasetMix(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    rows.foreach { case (lang, tokens, _, _, _) =>
+      assert(tokens > ws(lang), s"$lang: bpe=$tokens <= ws=${ws(lang)}")
+    }
+  }
+
   test("p3: every corpus language carries a mix weight (the explicit filter drops nothing)") {
     val corpusLangs = graft.sources.Tables.documents(spark, sf)
       .select($"lang").distinct().as[String].collect().toSet

@@ -384,4 +384,84 @@ class TextOpsSpec extends SparkSpec {
       assert(fl === (5 * c >= n), s"doc $id flag")
     }
   }
+
+  /** Independent reference for [[graft.functions.bpeTokenCount]]: the
+    * naive substring-Set greedy segmenter (pre-tokenize, then per letter
+    * run take the longest vocab piece at each position) — a different
+    * code path from the expression's packed-long binary-search scan. */
+  private def bpeReference(text: String, vocab: Seq[String]): Int = {
+    val vs = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    val s = text.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    var i = 0; var count = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == ' ') i += 1
+      else if (c >= 'a' && c <= 'z') {
+        var best = 1
+        var l = 2
+        while (l <= maxLen && i + l <= s.length &&
+               s(i + l - 1) >= 'a' && s(i + l - 1) <= 'z') {
+          if (vs.contains(s.substring(i, i + l))) best = l
+          l += 1
+        }
+        count += 1; i += best
+      } else { count += 1; i += Character.charCount(s.codePointAt(i)) }
+    }
+    count
+  }
+
+  test("t4b: greedy segmentation on hand-checked words, and edge cases") {
+    val vocab = TextOps.BpeVocab
+    // hand-traced greedy splits under BpeVocab (merge-only, no whole words):
+    // table -> ta|ble, value -> val|ue, customer -> cu|st|om|er,
+    // window -> win|dow, spark -> s|pa|r|k
+    val cases = Seq(
+      "table" -> 2, "value" -> 2, "customer" -> 4, "window" -> 2,
+      "spark" -> 4, "" -> 0, "   " -> 0, "42" -> 2, "a" -> 1,
+      "the table" -> 3, "x!y" -> 3, "TABLE" -> 2)
+    val df = cases.map(_._1).toDF("text")
+      .select($"text", graft.functions.bpeTokenCount($"text", vocab).as("n"))
+    val got = df.as[(String, Int)].collect().toMap
+    cases.foreach { case (t, want) =>
+      assert(got(t) === want, s"'$t' expected $want got ${got(t)}")
+      assert(bpeReference(t, vocab) === want, s"reference disagrees on '$t'")
+    }
+  }
+
+  test("t4b: expression matches the independent reference on random text; codegen == interpreted") {
+    val rng = new scala.util.Random(1207L)
+    val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-"
+    val texts = Seq.fill(200)(
+      Seq.fill(rng.nextInt(80))(alpha(rng.nextInt(alpha.length))).mkString)
+    val df = texts.toDF("text")
+    def run(): Array[Int] =
+      df.select(graft.functions.bpeTokenCount($"text", TextOps.BpeVocab))
+        .as[Int].collect()
+    val gen = run()
+    assert(gen.toSeq === texts.map(bpeReference(_, TextOps.BpeVocab)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(gen.toSeq === run().toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("t4b: corpus totals are consistent with t4 and a driver recount") {
+    val rows = TextOps.t4bBpeTokenCount(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // merge-only vocab: every pre-token yields >= 1 subword, so bpe >= pre
+    rows.foreach { case (src, bpe, pre, docs) =>
+      assert(docs > 0 && pre > 0 && bpe >= pre, s"$src: bpe=$bpe pre=$pre")
+    }
+    // exact recount of one source via the independent reference
+    val (src0, bpe0, _, _) = rows.minBy(_._1)
+    val want = graft.sources.Tables.documents(spark, sf)
+      .where($"source" === src0).select($"text").as[String].collect()
+      .map(bpeReference(_, TextOps.BpeVocab).toLong).sum
+    assert(bpe0 === want, s"$src0 bpe recount")
+  }
 }
