@@ -1352,9 +1352,137 @@ object DedupOps {
        |  CAST(iv.en - iv.st AS INT) AS n_tokens
        |FROM iv JOIN long b ON iv.doc_id = b.doc_id""".stripMargin
 
+  /** d12: APPLY the cut list — keep-first span removal, the pass that
+    * closes the d10→d11 story (d10 flags duplicated-span mass, d11 emits
+    * the intervals, d12 emits the cleaned corpus). Per duplicated
+    * [[SpanN]]-token window CLASS (exact token sequence), the globally
+    * FIRST occurrence — ordered by (doc_id, pos) — is kept and every
+    * later occurrence is cut (the Lee et al. 2022 discipline: exactly
+    * one copy of every repeated span survives the corpus; cutting ALL
+    * occurrences would destroy the only copy). Cut windows island-merge
+    * per doc exactly as d11, the merged token ranges are dropped, and
+    * `clean_text` is the surviving tokens re-joined — every document
+    * appears exactly once, untouched docs (short, or no late
+    * occurrences) pass through verbatim with zero counts. A doc whose
+    * whole text is a later copy cleans to '' (its first-occurrence twin
+    * keeps the content).
+    *
+    * Scale shape: d10/d11's machinery end-to-end (windows hashed to 8
+    * bytes at the scan, map-side-combined class counts, dup relation
+    * broadcast while it fits), plus the one thing keep-first adds: a
+    * rank window keyed on the window class — taken over the SEMI-JOINED
+    * sliver only (occurrences of duplicated classes), never the full
+    * corpus window stream. Interval collection per doc is bounded by
+    * doc length; the final doc_id join prices the text rewrite exactly
+    * like d10/d11's char conversion, and the cleaned corpus streams out
+    * with no further exchange. The oracle replays the identical
+    * keep-first rule on gram STRINGS (ranking needs only class identity
+    * and (doc_id, pos) order, both hash-faithful — the d10 argument). */
+  def d12SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.documents(s, dir).select($"doc_id", $"text")
+    val docs = all.where(size(split($"text", " ")) >= SpanN)
+    val sh = docs
+      .select($"doc_id", posexplode(spanHashes($"text", SpanN)))
+      .select($"doc_id", $"pos", $"col".as("gh"))
+    val dup = sh.groupBy($"gh").agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"gh")
+    val cw = sh.join(dup, Seq("gh"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"gh").orderBy($"doc_id", $"pos")))
+      .where($"rk" >= 2)
+      .select($"doc_id", $"pos")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runEnd = max($"pos" + SpanN)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val iv = cw
+      .withColumn("brk",
+        when(runEnd.isNull || $"pos" > runEnd, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(byPos))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("st"), (max($"pos") + SpanN).as("en"))
+    val ivd = iv.groupBy($"doc_id")
+      .agg(collect_list(struct($"st", $"en")).as("ivs"),
+        count(lit(1)).cast("int").as("n_spans_cut"),
+        sum($"en" - $"st").cast("int").as("n_tokens_cut"))
+    all
+      .join(ivd, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"ivs".isNull, $"text").otherwise(
+          concat_ws(" ", filter(split($"text", " "), (t, i) =>
+            !exists($"ivs", v =>
+              i >= v.getField("st") && i < v.getField("en")))))
+          .as("clean_text"),
+        coalesce($"n_spans_cut", lit(0)).as("n_spans_cut"),
+        coalesce($"n_tokens_cut", lit(0)).as("n_tokens_cut"),
+        (size(split($"text", " ")) - coalesce($"n_tokens_cut", lit(0)))
+          .cast("int").as("n_tokens_kept"))
+  }
+
+  private val d12Sql =
+    s"""WITH long AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanN),
+       |sh AS (
+       |  SELECT doc_id, (s).p AS pos, (s).g AS gram FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'p': i - 1, 'g': array_to_string(w[i:i+${SpanN - 1}], ' ')}
+       |       for i in range(1, len(w) - ${SpanN - 2})]) AS s
+       |    FROM long)),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS c FROM sh GROUP BY 1)
+       |  WHERE c >= 2),
+       |rk AS (
+       |  SELECT sh.doc_id, sh.pos,
+       |    row_number() OVER (PARTITION BY sh.gram ORDER BY sh.doc_id, sh.pos)
+       |      AS rk
+       |  FROM sh JOIN dup d ON (sh.gram = d.gram)),
+       |cw AS (SELECT doc_id, pos FROM rk WHERE (rk >= 2)),
+       |isl AS (
+       |  SELECT doc_id, pos, CASE WHEN
+       |      max(pos + $SpanN) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > max(pos + $SpanN) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM cw),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |iv AS (
+       |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + $SpanN AS en
+       |  FROM isl2 GROUP BY 1, 2),
+       |ivd AS (
+       |  SELECT doc_id, COUNT(*) AS nspans, SUM(en - st) AS ncut
+       |  FROM iv GROUP BY 1),
+       |tok AS (
+       |  SELECT l.doc_id, (s).i AS i, (s).t AS t FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'i': i - 1, 't': w[i]} for i in range(1, len(w) + 1)]) AS s
+       |    FROM long) l),
+       |kept AS (
+       |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS clean
+       |  FROM tok t LEFT JOIN iv
+       |    ON ((t.doc_id = iv.doc_id) AND (t.i >= iv.st) AND (t.i < iv.en))
+       |  WHERE iv.doc_id IS NULL
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN ivd.doc_id IS NOT NULL THEN COALESCE(k.clean, '')
+       |       ELSE d.text END AS clean_text,
+       |  CAST(COALESCE(ivd.nspans, 0) AS INT) AS n_spans_cut,
+       |  CAST(COALESCE(ivd.ncut, 0) AS INT) AS n_tokens_cut,
+       |  CAST(len(string_split(d.text, ' ')) - COALESCE(ivd.ncut, 0) AS INT)
+       |    AS n_tokens_kept
+       |FROM documents d
+       |LEFT JOIN ivd ON (d.doc_id = ivd.doc_id)
+       |LEFT JOIN kept k ON (d.doc_id = k.doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_span_dedup" -> d10SpanDedup _,
     "d11_span_intervals" -> d11SpanIntervals _,
+    "d12_span_removal" -> d12SpanRemoval _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash_neardup" -> d3SimhashNeardup _,
@@ -1368,6 +1496,7 @@ object DedupOps {
   val oracleSql: Map[String, String] = Map(
     "d10_span_dedup" -> d10Sql,
     "d11_span_intervals" -> d11Sql,
+    "d12_span_removal" -> d12Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
     "d3_simhash_neardup" -> simhashSql(0.8),

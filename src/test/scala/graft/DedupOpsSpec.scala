@@ -546,4 +546,120 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Int, Boolean)].collect().toSet
     assert(got === expect)
   }
+
+  test("d12: keep-first span removal — the first occurrence survives, later copies are cut, untouched docs pass through") {
+    import spark.implicits._
+    val shared60 = (1 to 60).map(i => s"m$i").mkString(" ") // doc1 first, doc2 later
+    val span2 = (1 to 50).map(i => s"t$i").mkString(" ")    // twice in doc7
+    val doc1 = (1 to 8).map(i => s"p$i").mkString(" ") + " " + shared60 + " " +
+      (1 to 5).map(i => s"q$i").mkString(" ")
+    val doc2 = (1 to 4).map(i => s"r$i").mkString(" ") + " " + shared60
+    val doc3 = (1 to 70).map(i => s"z$i").mkString(" ")
+    val doc7 = (1 to 10).map(i => s"a$i").mkString(" ") + " " + span2 + " " +
+      (1 to 5).map(i => s"b$i").mkString(" ") + " " + span2
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, "short doc"),
+      (7L, doc7)).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.d12SpanRemoval(spark, dir)
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc1 holds every shared window's FIRST occurrence — fully kept
+    assert(got(1L) === ((doc1, 0, 0, 73)))
+    // doc2's copy of the shared run is the later occurrence — cut whole
+    assert(got(2L) === (("r1 r2 r3 r4", 1, 60, 4)))
+    assert(got(3L) === ((doc3, 0, 0, 70)))
+    assert(got(4L) === (("short doc", 0, 0, 2)))
+    // doc7 keeps its first span2 and loses the repeat
+    val doc7clean = (1 to 10).map(i => s"a$i").mkString(" ") + " " + span2 +
+      " " + (1 to 5).map(i => s"b$i").mkString(" ")
+    assert(got(7L) === ((doc7clean, 1, 50, 65)))
+  }
+
+  test("d12 property: equals a driver-side keep-first reference on a seeded random corpus; every span class survives somewhere") {
+    import spark.implicits._
+    val N = DedupOps.SpanN
+    val rnd = new scala.util.Random(20260815L)
+    val base = scala.collection.mutable.Map((1L to 60L).map { id =>
+      val len = 20 + rnd.nextInt(120)
+      id -> Vector.fill(len)("w" + rnd.nextInt(500))
+    }: _*)
+    (1 to 12).foreach { _ =>
+      val src = 1L + rnd.nextInt(60)
+      val dst = 1L + rnd.nextInt(60)
+      val s = base(src)
+      if (src != dst && s.length >= N) {
+        val start = rnd.nextInt(s.length - N + 1)
+        val span = s.slice(start, start + N)
+        val d = base(dst)
+        val at = rnd.nextInt(d.length + 1)
+        base(dst) = d.take(at) ++ span ++ d.drop(at)
+      }
+    }
+    val docs = base.toSeq.sortBy(_._1).map { case (id, ts) => (id, ts.mkString(" ")) }
+
+    // independent keep-first reference (token-vector arithmetic, no SQL)
+    val occ = scala.collection.mutable.Map.empty[Seq[String], List[(Long, Int)]]
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length >= N)
+        (0 to w.length - N).foreach(i =>
+          occ.updateWith(w.slice(i, i + N).toSeq)(o => Some((id, i) :: o.getOrElse(Nil))))
+    }
+    val cutStarts = occ.values.filter(_.size >= 2)
+      .flatMap(_.sorted.tail).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val expect = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      val ivs = cutStarts.getOrElse(id, Seq.empty)
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p <= e0 => (s0, math.max(e0, p + N)) :: rest
+          case (acc, p) => (p, p + N) :: acc
+        }.reverse
+      val cut = ivs.map { case (s0, e0) => e0 - s0 }.sum
+      val kept = w.zipWithIndex.collect {
+        case (tok, i) if !ivs.exists { case (s0, e0) => i >= s0 && i < e0 } => tok
+      }
+      (id, (if (ivs.nonEmpty) kept.mkString(" ") else t,
+        ivs.size, cut, w.length - cut))
+    }.toMap
+    val got = DedupOps.d12SpanRemoval(spark, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_d12p").toString
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }).as[(Long, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === expect)
+    // keep-first invariant (provable form): a duplicated class whose
+    // FIRST occurrence is untouched by its own doc's cut intervals must
+    // still occur verbatim in the cleaned corpus. (The unqualified form
+    // is NOT a theorem: a kept-first window can be destroyed by islands
+    // of OTHER classes' later occurrences overlapping it.)
+    val refIvs = docs.map { case (id, _) =>
+      id -> cutStarts.getOrElse(id, Seq.empty)
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p <= e0 => (s0, math.max(e0, p + N)) :: rest
+          case (acc, p) => (p, p + N) :: acc
+        }
+    }.toMap
+    val cleanedWindows = got.values.flatMap { case (t, _, _, _) =>
+      val w = t.split(" ")
+      if (w.length >= N) (0 to w.length - N).map(i => w.slice(i, i + N).toSeq)
+      else Seq.empty
+    }.toSet
+    var checked = 0
+    occ.filter(_._2.size >= 2).foreach { case (cls, os) =>
+      val (fid, fp) = os.min
+      val untouched = !refIvs(fid).exists { case (s0, e0) => fp < e0 && s0 < fp + N }
+      if (untouched) {
+        checked += 1
+        assert(cleanedWindows.contains(cls),
+          s"span class lost from the cleaned corpus: ${cls.take(3).mkString(" ")}…")
+      }
+    }
+    assert(checked > 0, "fixture must exercise the survival invariant")
+  }
 }
