@@ -147,6 +147,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(col#".r.findAllIn(p).hasNext, p)
   }
 
+  test("d12: the keep-first rank window runs over the semi-joined dup sliver; the rewrite never explodes tokens") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("d12_span_removal")(spark, sf).queryExecution
+    val opt = qe.optimizedPlan
+    // the scale claim: ranking happens AFTER the df >= 2 semi-join has
+    // collapsed the window stream to duplicated occurrences — the rank
+    // window's child subtree must contain the LeftSemi join
+    val rankWindows = opt.collect { case w: LWindow => w }
+    assert(rankWindows.nonEmpty, s"expected the keep-first rank window in:\n$opt")
+    assert(rankWindows.exists(_.child.collectFirst {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty),
+      s"the rank window must sit above the dup semi-join (sliver only):\n$opt")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the cleaned-text rewrite is a per-row array filter against the
+    // doc's collected interval list — token-level Generate nodes exist
+    // only for the window/pos stream (spanHashes), never for the final
+    // text reconstruction, so every Generate in the plan is a
+    // posexplode of the hashed windows
+    val gens = "Generate (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(gens.nonEmpty && gens.forall(_ == "posexplode"),
+      s"unexpected token-level explode in the rewrite: $gens\n$p")
+    // and the rewrite itself rides as a higher-order lambda, not a join
+    // of exploded tokens
+    assert(p.contains("lambdafunction"),
+      s"expected the array-filter lambda in the projection:\n$p")
+  }
+
   test("t13: the driver-known term filter sits BELOW the tf aggregate") {
     // The scale claim t13's scaladoc makes: the first exchange carries
     // only the 9 query terms' occurrences, never one partial row per
