@@ -80,6 +80,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t4/t4b: one map-side-combined exchange each; t4b's scan reads only (source, text)") {
+    for (q <- Seq("t4_token_count", "t4b_bpe_token_count")) {
+      val p = plan(q)
+      // narrow per-row map into the O(sources) aggregate: partial agg
+      // below the single exchange, final above it
+      assert(shuffles(p) === 1, s"$q must have exactly the source agg exchange:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q should not join:\n$p")
+      assert("partial_sum|partial".r.findFirstIn(p.toLowerCase).isDefined,
+        s"$q must map-side combine:\n$p")
+    }
+    // the BPE kernel needs nothing but the grouping key and the text —
+    // column pruning must reach the parquet scan
+    val p = plan("t4b_bpe_token_count")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, s"no ReadSchema in:\n$p")
+    val cols = read.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols === Set("source", "text"),
+      s"t4b must scan only (source, text), got $cols:\n$p")
+  }
+
   test("p1: exactly the two ranking exchanges, nothing over the corpus text") {
     val p = plan("p1_sample_topk")
     // stage 1 partitions by (source, physical partition), stage 2 by
