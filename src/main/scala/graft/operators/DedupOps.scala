@@ -1420,7 +1420,7 @@ object DedupOps {
           .cast("int").as("n_tokens_kept"))
   }
 
-  private val d12Sql =
+  private[operators] val d12Sql =
     s"""WITH long AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= $SpanN),

@@ -150,13 +150,46 @@ object PipelineOps {
        |JOIN boiler USING (doc_id)
        |JOIN sem USING (doc_id)""".stripMargin
 
+  /** e4: span-cleanup feeding the trainer — d12's keep-first span removal
+    * applied, then the CLEANED token counts packed into fixed-budget
+    * training sequences ([[SamplingOps.packSequences]], own salt). This is
+    * the pass e2 cannot express: e2 drops or keeps whole documents, while
+    * e4 packs documents whose token counts CHANGED (duplicated spans cut),
+    * closing the d10→d11→d12 story into the pipeline tier — the Lee et al.
+    * 2022 "dedup inside the document, then train on what's left" recipe.
+    * Documents cleaned to nothing (wholly-late copies, n_tokens_kept = 0)
+    * drop out of the pack; everything else packs at its post-cut size.
+    *
+    * Plan shape: d12's machinery end-to-end (8-byte window hashes at the
+    * scan, class counts map-side combined, keep-first rank over the
+    * semi-joined duplicated sliver only); the composition adds exactly one
+    * exchange — the per-shard packing window over (doc_id, n_tokens) —
+    * because packSequences consumes d12's n_tokens_kept column directly,
+    * never re-scanning or re-tokenizing the cleaned text. */
+  def e4CleanPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SamplingOps.packSequences(
+      DedupOps.d12SpanRemoval(s, dir)
+        .where($"n_tokens_kept" > 0)
+        .select($"doc_id", $"n_tokens_kept".as("n_tokens")),
+      "e4:")
+  }
+
+  private val e4Sql = SamplingOps.packSequencesSql(
+    s"""(SELECT doc_id, n_tokens_kept AS n_tokens
+       |    FROM (${DedupOps.d12Sql})
+       |    WHERE n_tokens_kept > 0)""".stripMargin,
+    "e4:")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
-    "e3_corpus_curation" -> e3CorpusCuration _)
+    "e3_corpus_curation" -> e3CorpusCuration _,
+    "e4_clean_pack" -> e4CleanPack _)
 
   val oracleSql: Map[String, String] = Map(
     "e1_pipeline" -> e1Sql,
     "e2_training_shards" -> e2Sql,
-    "e3_corpus_curation" -> e3Sql)
+    "e3_corpus_curation" -> e3Sql,
+    "e4_clean_pack" -> e4Sql)
 }

@@ -156,15 +156,167 @@ object SketchOps {
       |    AS n_sketches
       |FROM events""".stripMargin
 
+  // ------------------------------------------------ k5 source overlap
+
+  /** MinHash channels for the source-overlap signature. σ of the Jaccard
+    * estimate is √(J(1−J)/128) ≤ 0.0442, so the asserted ±1/4 absolute
+    * bound sits ≥ 5.6σ out (~1e-8 miss probability per pair). */
+  private[graft] val K5Channels = 128
+  /** Channel hash modulus — 2^31 − 1, prime; keeps every product in the
+    * channel formula under 2^62 so the arithmetic is exact BIGINT in both
+    * engines (DuckDB errors on overflow instead of wrapping). */
+  private[graft] val K5P = 2147483647L
+
+  /** Per-channel Carter–Wegman constants (a_i, b_i) ∈ [1, P): channel i
+    * orders the gram universe by (a_i·h1 + b_i·h2) mod P over two
+    * INDEPENDENT md5-derived 60-bit halves — mutually independent channels
+    * (the variance bound above needs cross-channel covariance ≈ 0, which a
+    * Kirsch–Mitzenmacher `h1 + i·h2` ladder does NOT give: adjacent i
+    * produce near-identical orders). Driver-side constants, embedded as
+    * literals in BOTH the Spark plan and the oracle SQL. */
+  private[graft] lazy val k5Chan: IndexedSeq[(Long, Long)] = {
+    import org.apache.spark.sql.graftext.GraftMix.splitmix64
+    (0 until K5Channels).map { i =>
+      val a = (splitmix64(0x6F766C7031L + i) & Long.MaxValue) % (K5P - 1) + 1
+      val b = (splitmix64(0x6F766C7032L + i) & Long.MaxValue) % (K5P - 1) + 1
+      (a, b)
+    }
+  }
+
+  /** k5: the source-overlap matrix — for every pair of sources, how much
+    * of their trigram content coincides (exact |A∩B| / |A∪B| plus the
+    * MinHash estimate's agreement count) — the corpus-mix-planning
+    * question ("is src A mostly a re-crawl of src B?") that document-level
+    * dedup (d1–d12) never answers because it compares documents, not
+    * collections. Set elements are md5-120-bit gram identities
+    * ([[graft.sources.Tables.Hash60]]'s device, both halves), so the
+    * DuckDB oracle reproduces signatures AND exact counts bit-for-bit;
+    * `matches` (signature agreements out of [[K5Channels]]) is itself
+    * hash-compared, and `minhash_within_bound` asserts the estimate landed
+    * within ±1/4 of the exact Jaccard (integer cross-multiplied — no
+    * division anywhere).
+    *
+    * Scale shape: the corpus is touched ONCE — the distinct (source, h1,
+    * h2) gram-identity relation is persisted and reused by all three
+    * consumers (sizes, signatures, intersection self-join); its exchange
+    * carries 24-byte rows and is VOCAB-bounded, not corpus-bounded
+    * (replicating documents adds no new grams). Signatures reduce it to
+    * sources × 128 longs via one map-side-combined aggregate; the exact
+    * intersection is the one piece that would hurt at 100 TB (Σ per-gram
+    * source-pair volume) — production keeps the signature half only
+    * (k1's sketch-alone discipline) and the estimate IS the answer. The
+    * final pair matrix is S(S−1)/2 rows, collected (driver-bounded by
+    * source cardinality, the k3 precedent) so the persisted relation can
+    * be released deterministically. */
+  def k5SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(s, Tables.documents(s, dir))
+
+  /** Kernel over any (source, text) relation — k5 binds the corpus;
+    * SketchOpsSpec drives planted synthetic corpora through it. */
+  private[graft] def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sets = docs
+      .select($"source", explode(DedupOps.shingles($"text", 3)).as("g"))
+      .select($"source", md5($"g").as("m"))
+      .select($"source",
+        conv(substring($"m", 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring($"m", 17, 15), 16, 10).cast("long").as("h2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mins = k5Chan.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * ($"h1" % K5P) % K5P + lit(b) * ($"h2" % K5P) % K5P) % K5P)
+          .as(s"m$i")
+      }
+      // one aggregate serves both the size and the full signature
+      val perSrc = sets.groupBy($"source")
+        .agg(count(lit(1)).as("n"), mins: _*)
+        .select($"source", $"n",
+          array((0 until K5Channels).map(i => col(s"m$i")): _*).as("sig"))
+      val a = perSrc.select($"source".as("source_a"), $"n".as("n_a"), $"sig".as("sig_a"))
+      val b = perSrc.select($"source".as("source_b"), $"n".as("n_b"), $"sig".as("sig_b"))
+      val ia = sets.select($"source".as("source_a"), $"h1", $"h2")
+      val ib = sets.select($"source".as("source_b"), $"h1".as("j1"), $"h2".as("j2"))
+      val inter = ia.join(ib,
+          $"h1" === $"j1" && $"h2" === $"j2" && $"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("i_cnt"))
+      val out = a.join(b, $"source_a" < $"source_b")
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select($"source_a", $"source_b", $"n_a", $"n_b",
+          coalesce($"i_cnt", lit(0L)).as("inter_cnt"),
+          ($"n_a" + $"n_b" - coalesce($"i_cnt", lit(0L))).as("union_cnt"),
+          aggregate(
+            zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).as("matches"))
+        .withColumn("minhash_within_bound",
+          abs($"matches" * $"union_cnt" - $"inter_cnt" * K5Channels) <=
+            $"union_cnt" * (K5Channels / 4))
+      // S(S-1)/2 rows — bounded by source cardinality, never by data volume
+      val rows = out.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally sets.unpersist()
+  }
+
+  private val k5Sql = {
+    val chanRows = k5Chan.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w, text
+       |  FROM documents),
+       |gr AS (
+       |  SELECT source, s AS g FROM toks,
+       |  UNNEST(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w) - 2),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [text] END) AS u(s)),
+       |hs AS (SELECT DISTINCT source,
+       |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+       |    ('0x' || substr(md5(g), 17, 15))::BIGINT AS h2
+       |  FROM gr),
+       |sz AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1),
+       |chans(i, a, b) AS (VALUES $chanRows),
+       |sig AS (
+       |  SELECT source, i,
+       |    MIN(((a * (h1 % $K5P)) % $K5P + (b * (h2 % $K5P)) % $K5P) % $K5P)
+       |      AS m
+       |  FROM hs CROSS JOIN chans GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT p.source AS sa, q.source AS sb,
+       |    CAST(SUM(CASE WHEN p.m = q.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS matches
+       |  FROM sig p JOIN sig q ON p.i = q.i AND p.source < q.source
+       |  GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |    CAST(COUNT(*) AS BIGINT) AS inter_cnt
+       |  FROM hs a JOIN hs b
+       |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  x.n AS n_a, y.n AS n_b,
+       |  COALESCE(iv.inter_cnt, 0) AS inter_cnt,
+       |  x.n + y.n - COALESCE(iv.inter_cnt, 0) AS union_cnt,
+       |  mm.matches,
+       |  abs(mm.matches * (x.n + y.n - COALESCE(iv.inter_cnt, 0))
+       |      - COALESCE(iv.inter_cnt, 0) * $K5Channels)
+       |    <= (x.n + y.n - COALESCE(iv.inter_cnt, 0)) * ${K5Channels / 4}
+       |    AS minhash_within_bound
+       |FROM sz x JOIN sz y ON x.source < y.source
+       |JOIN mm ON mm.sa = x.source AND mm.sb = y.source
+       |LEFT JOIN iv ON iv.sa = x.source AND iv.sb = y.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_hll_distinct" -> k1HllDistinct _,
     "k2_quantile_sketch" -> k2QuantileSketch _,
     "k3_cms_topk" -> k3CmsTopk _,
-    "k4_sketch_union" -> k4SketchUnion _)
+    "k4_sketch_union" -> k4SketchUnion _,
+    "k5_source_overlap" -> k5SourceOverlap _)
 
   val oracleSql: Map[String, String] = Map(
     "k1_hll_distinct" -> k1Sql,
     "k2_quantile_sketch" -> k2Sql,
     "k3_cms_topk" -> k3Sql,
-    "k4_sketch_union" -> k4Sql)
+    "k4_sketch_union" -> k4Sql,
+    "k5_source_overlap" -> k5Sql)
 }

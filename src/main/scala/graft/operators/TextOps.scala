@@ -962,8 +962,81 @@ object TextOps {
        |  FROM scored) ranked
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  // ------------------------------------------------ t14 TF-IDF terms
+
+  /** Salient terms kept per source. */
+  private[graft] val TfidfTopK = 5
+
+  /** t14: per-source salient terms — the top-[[TfidfTopK]] BIGRAM terms
+    * of each source by TF-IDF, the first question an analyst asks of a
+    * new corpus slice ("what is src7 actually about?") and the
+    * source-level complement of t13's corpus-level retrieval. Terms are
+    * word bigrams, not unigrams: on any broad-vocabulary corpus the
+    * unigram vocabulary is near-fully shared (df ≈ S for everything, idf
+    * constant, ranking degenerates to raw tf), while bigram df actually
+    * discriminates. IDF follows the t13 no-log/no-float discipline: with
+    * S sources and df(t) = sources containing t, idf_micro = (S·10⁶)
+    * div df — exact BIGINT in both engines (a log-damped variant changes
+    * the ranking constant, not the machinery; the CONTRACT is the
+    * integer-rational plumbing, the [[CommonDf]] rule). score =
+    * tf · idf_micro; ties broken by term so the top-k is total-ordered.
+    * `tf * 2·10⁷` must fit in a Long — holds to ~4·10¹¹ occurrences of
+    * one term in one source.
+    *
+    * Scale shape: ONE map-side-combined exchange on (source, term) —
+    * the aggregated relation is bigram-vocab × sources bounded, never
+    * corpus-bounded; df and S derive from that relation (no second
+    * corpus scan — S rides a 1-row broadcast), and the rank window sorts
+    * the same bounded relation partitioned by source. Text is pruned at
+    * the scan to (source, text); the bigram fold is the shingle zip_with
+    * (codegen'd, no per-element subtree re-eval), kept multiplicity-
+    * preserving (no array_distinct — tf is an occurrence count). */
+  def t14TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wds = split($"text", " ")
+    val n = size(wds) - lit(1) // bigram count; 1-token docs contribute none
+    val bg = zip_with(slice(wds, lit(1), n), slice(wds, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    val tf = Tables.documents(s, dir)
+      .select($"source", explode(bg).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nSrc = tf.select($"source").distinct()
+      .agg(count(lit(1)).as("n_src"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"term")
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("score", $"tf" * expr("(n_src * 1000000) DIV df"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= TfidfTopK)
+      .select($"source", $"rk", $"term", $"tf", $"df", $"score")
+  }
+
+  private val t14Sql =
+    s"""WITH tf AS (
+       |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT source, unnest(list_transform(
+       |      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))
+       |      AS term
+       |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src FROM tf),
+       |scored AS (
+       |  SELECT tf.source, tf.term, tf.tf, df.df,
+       |    tf.tf * ((ns.n_src * 1000000) // df.df) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN ns)
+       |SELECT source, rk, term, tf, df, score FROM (
+       |  SELECT source, term, tf, df, score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, term) AS INT) AS rk
+       |  FROM scored) ranked
+       |WHERE rk <= $TfidfTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_bm25_topk" -> t13Bm25Topk _,
+    "t14_tfidf_terms" -> t14TfidfTerms _,
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
@@ -980,6 +1053,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "t13_bm25_topk" -> t13Sql,
+    "t14_tfidf_terms" -> t14Sql,
     "t1_text_stats" -> t1Sql,
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,

@@ -111,6 +111,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("e4: packs exactly the d12 survivors at their post-cut sizes, sequentially re-packable") {
+    val packed = PipelineOps.e4CleanPack(spark, sf)
+      .select($"doc_id", $"shard", $"n_tokens", $"pack_id")
+      .as[(Long, Int, Int, Int)].collect()
+    val cleaned = graft.operators.DedupOps.d12SpanRemoval(spark, sf)
+      .select($"doc_id", $"n_tokens_kept").as[(Long, Int)].collect().toMap
+    // membership: every doc with surviving tokens, nothing else (a doc
+    // cleaned to '' must not reach the trainer)
+    assert(packed.map(_._1).toSet === cleaned.filter(_._2 > 0).keySet)
+    assert(packed.nonEmpty)
+    // sizes are d12's post-cut counts, not the raw token counts
+    packed.foreach { case (id, _, n, _) => assert(n === cleaned(id), s"doc $id") }
+    // pack ids replay as sequential concatenate-then-chunk per shard
+    packed.groupBy(_._2).foreach { case (_, ds) =>
+      var offset = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, pack) =>
+        assert(pack === (offset / graft.operators.SamplingOps.PackBudget).toInt,
+          s"doc $id at offset $offset")
+        offset += n
+      }
+    }
+  }
+
   test("e1: kept docs land in the same split t6 assigns their id") {
     val byId = PipelineOps.e1Pipeline(spark, sf)
       .where($"keep")

@@ -65,4 +65,56 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(merged - exact) <= exact * 0.05 + 1, s"merged=$merged exact=$exact")
     assert(math.abs(one - exact) <= exact * 0.05 + 1, s"one=$one exact=$exact")
   }
+
+  test("k5: full pair matrix, estimates inside the bound, exact counts match a Scala set reference") {
+    val rows = SketchOps.k5SourceOverlap(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val nSrc = docs.map(_._1).distinct.length
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    // exact counts against plain Scala string trigram sets (collision-free
+    // at fixture scale), the shingles semantics: whole text below 3 tokens
+    val sets: Map[String, Set[String]] = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq(t)
+      }.toSet
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b, "pair matrix must be upper-triangular")
+      val (sa, sb) = (sets(a), sets(b))
+      assert(r.getAs[Long]("n_a") === sa.size.toLong, s"$a size")
+      assert(r.getAs[Long]("n_b") === sb.size.toLong, s"$b size")
+      assert(r.getAs[Long]("inter_cnt") === (sa intersect sb).size.toLong, s"$a∩$b")
+      assert(r.getAs[Long]("union_cnt") === (sa union sb).size.toLong, s"$a∪$b")
+      val m = r.getAs[Long]("matches")
+      assert(m >= 0 && m <= SketchOps.K5Channels)
+      assert(r.getAs[Boolean]("minhash_within_bound"),
+        s"($a,$b): matches=$m inter=${r.getAs[Long]("inter_cnt")} union=${r.getAs[Long]("union_cnt")}")
+    }
+  }
+
+  test("k5: planted corpus — hand-computed intersections; identical sources agree on every channel") {
+    val docs = Seq(
+      ("A", "a b c d"),  // trigrams {a b c, b c d}
+      ("B", "b c d e"),  // {b c d, c d e}
+      ("C", "a b c d"),  // identical to A
+      ("D", "x y")       // short-doc fallback: {x y}
+    ).toDF("source", "text")
+    val got = SketchOps.sourceOverlap(spark, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size === 6)
+    def chk(a: String, b: String, inter: Long, union: Long): Unit = {
+      val r = got((a, b))
+      assert(r.getAs[Long]("inter_cnt") === inter, s"($a,$b) inter")
+      assert(r.getAs[Long]("union_cnt") === union, s"($a,$b) union")
+    }
+    chk("A", "B", 1, 3); chk("A", "C", 2, 2); chk("B", "C", 1, 3)
+    chk("A", "D", 0, 3); chk("B", "D", 0, 3); chk("C", "D", 0, 3)
+    // identical gram sets ⇒ identical signatures ⇒ all channels agree
+    assert(got(("A", "C")).getAs[Long]("matches") === SketchOps.K5Channels.toLong)
+    // disjoint sets can only match on hash ties — the bound must still hold
+    assert(got.values.forall(_.getAs[Boolean]("minhash_within_bound")))
+  }
 }

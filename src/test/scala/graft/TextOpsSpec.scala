@@ -464,4 +464,33 @@ class TextOpsSpec extends SparkSpec {
       .map(bpeReference(_, TextOps.BpeVocab).toLong).sum
     assert(bpe0 === want, s"$src0 bpe recount")
   }
+
+  test("t14: top-k per source equals an independent Scala TF-IDF recount") {
+    val got = TextOps.t14TfidfTerms(spark, sf)
+      .as[(String, Int, String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._2).toSeq }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    // occurrence-counting bigram tf per (source, term)
+    val tf = collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (src, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= 2) w.sliding(2).foreach { bg =>
+        val k = (src, bg.mkString(" "))
+        tf(k) = tf.getOrElse(k, 0L) + 1
+      }
+    }
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.map(_._1).toSet.size.toLong }
+    val nSrc = tf.keys.map(_._1).toSet.size.toLong
+    val want = tf.keys.groupBy(_._1).map { case (src, ks) =>
+      val scored = ks.toSeq.map { case k @ (_, term) =>
+        (term, tf(k), df(term), tf(k) * ((nSrc * 1000000L) / df(term)))
+      }.sortBy { case (term, _, _, score) => (-score, term) }
+        .take(TextOps.TfidfTopK).zipWithIndex
+        .map { case ((term, f, d, sc), i) => (src, i + 1, term, f, d, sc) }
+      src -> scored
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (src, rs) => assert(rs === want(src), src) }
+  }
 }
