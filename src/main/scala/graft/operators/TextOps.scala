@@ -983,14 +983,19 @@ object TextOps {
     * `tf * 2·10⁷` must fit in a Long — holds to ~4·10¹¹ occurrences of
     * one term in one source.
     *
-    * Scale shape: ONE map-side-combined exchange on (source, term) —
-    * the aggregated relation is bigram-vocab × sources bounded, never
-    * corpus-bounded; df and S derive from that relation (no second
-    * corpus scan — S rides a 1-row broadcast), and the rank window sorts
-    * the same bounded relation partitioned by source. Text is pruned at
-    * the scan to (source, text); the bigram fold is the shingle zip_with
-    * (codegen'd, no per-element subtree re-eval), kept multiplicity-
-    * preserving (no array_distinct — tf is an occurrence count). */
+    * Scale shape: ONE corpus-token-scale exchange — the map-side-combined
+    * (source, term) tf aggregate; everything downstream consumes that
+    * bigram-vocab × sources bounded relation. df rides a window over the
+    * term partitions of tf (no tf self-join — a join formulation plans tf
+    * twice and Catalyst's exchange reuse does NOT collapse the copies
+    * because column pruning gives each a different subtree; plan-audited
+    * in PlanAuditSpec). S = the corpus source count comes from a second,
+    * source-column-only scan of documents (a dictionary-column pass — no
+    * text read, no tokenization) broadcast as one row. Text is pruned at
+    * the main scan to (source, text); the bigram fold is the shingle
+    * zip_with (codegen'd, no per-element subtree re-eval), kept
+    * multiplicity-preserving (no array_distinct — tf is an occurrence
+    * count). */
   def t14TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -998,14 +1003,14 @@ object TextOps {
     val n = size(wds) - lit(1) // bigram count; 1-token docs contribute none
     val bg = zip_with(slice(wds, lit(1), n), slice(wds, lit(2), n),
       (a, b) => concat(a, lit(" "), b))
-    val tf = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val tf = docs
       .select($"source", explode(bg).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val nSrc = tf.select($"source").distinct()
+    val nSrc = docs.select($"source").distinct()
       .agg(count(lit(1)).as("n_src"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"term")
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
       .crossJoin(broadcast(nSrc))
       .withColumn("score", $"tf" * expr("(n_src * 1000000) DIV df"))
       .withColumn("rk", row_number().over(w))
@@ -1021,12 +1026,15 @@ object TextOps {
        |      AS term
        |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
        |  GROUP BY 1, 2),
-       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src FROM tf),
+       |ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+       |  FROM documents),
        |scored AS (
-       |  SELECT tf.source, tf.term, tf.tf, df.df,
-       |    tf.tf * ((ns.n_src * 1000000) // df.df) AS score
-       |  FROM tf JOIN df USING (term) CROSS JOIN ns)
+       |  SELECT tf.source, tf.term, tf.tf,
+       |    CAST(COUNT(*) OVER (PARTITION BY tf.term) AS BIGINT) AS df,
+       |    tf.tf * ((ns.n_src * 1000000)
+       |      // CAST(COUNT(*) OVER (PARTITION BY tf.term) AS BIGINT))
+       |      AS score
+       |  FROM tf CROSS JOIN ns)
        |SELECT source, rk, term, tf, df, score FROM (
        |  SELECT source, term, tf, df, score,
        |    CAST(row_number() OVER (PARTITION BY source

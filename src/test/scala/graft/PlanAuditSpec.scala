@@ -222,6 +222,56 @@ class PlanAuditSpec extends SparkSpec {
         s"sit below the tf aggregate:\n$opt")
   }
 
+  test("t14: tf is planned ONCE (df is a window, not a self-join); only the S scan touches documents again, source-only") {
+    // The scale claim: the only corpus-token-scale work is the single
+    // (source, text) scan + explode feeding the (source, term) tf
+    // aggregate. df rides a window over tf's term partitions — a join
+    // formulation plans tf twice (column pruning gives each copy a
+    // different subtree, so exchange reuse never fires; this test exists
+    // because the first implementation had exactly that defect). S comes
+    // from a second scan that reads ONLY the source column — a
+    // dictionary-column pass, no text, no explode.
+    val p = plan("t14_tfidf_terms")
+    assert(scansOf(p, "documents") === 2, p)
+    // exactly one token-stream explode — the bigram Generate feeding tf
+    assert("Generate explode".r.findAllIn(p).length === 1,
+      s"tf must be planned once; a second explode means a tf copy:\n$p")
+    // the source count rides a broadcast, never a shuffle of tf
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // column pruning: the text-bearing scan reads exactly (source, text);
+    // the S scan reads source alone
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1).split(",").map(_.split(":")(0).trim).toSet).toSeq
+    assert(reads.sortBy(_.size) === Seq(Set("source"), Set("source", "text")),
+      s"expected a source-only scan and a (source, text) scan, got $reads:\n$p")
+    // four hash exchanges: the tf aggregate (the one corpus-token-scale
+    // exchange, map-side combined), the term window and the source rank
+    // window (both over the vocab-bounded tf relation), and the S
+    // branch's distinct-source dedup (partial-aggregated before the
+    // exchange, so it carries at most sources×partitions rows)
+    assert(shuffles(p) === 4, p)
+    assert("partial".r.findFirstIn(p.toLowerCase).isDefined,
+      s"the tf aggregate must map-side combine:\n$p")
+    // Spark 4 pushes the top-5 below the rank exchange: the final window
+    // sorts at most 5 rows per source per input partition
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("e4: the pack adds exactly one exchange over d12's machinery, zero extra corpus scans") {
+    // The capstone claim: e4 consumes d12's n_tokens_kept column directly
+    // (never re-scanning or re-tokenizing clean_text), so its plan is
+    // d12's plus ONE per-shard packing window exchange.
+    val e4 = plan("e4_clean_pack")
+    val d12 = plan("d12_span_removal")
+    assert(scansOf(e4, "documents") === scansOf(d12, "documents"),
+      s"e4 may not re-scan the corpus beyond d12's own scans:\n$e4")
+    assert(shuffles(e4) === shuffles(d12) + 1,
+      s"e4 must add exactly the packing-window exchange " +
+        s"(d12 ${shuffles(d12)}, e4 ${shuffles(e4)}):\n$e4")
+    assert(!e4.contains("CartesianProduct"), e4)
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,

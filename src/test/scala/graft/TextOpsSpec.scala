@@ -481,7 +481,9 @@ class TextOpsSpec extends SparkSpec {
       }
     }
     val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.map(_._1).toSet.size.toLong }
-    val nSrc = tf.keys.map(_._1).toSet.size.toLong
+    // S is the corpus source count (docs, not tf keys): a source whose
+    // every doc is shorter than 2 tokens still counts toward idf's S
+    val nSrc = docs.map(_._1).distinct.length.toLong
     val want = tf.keys.groupBy(_._1).map { case (src, ks) =>
       val scored = ks.toSeq.map { case k @ (_, term) =>
         (term, tf(k), df(term), tf(k) * ((nSrc * 1000000L) / df(term)))
