@@ -551,12 +551,177 @@ object MultimodalOps {
         .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])])
   }
 
+  // ------------------------------------------------ m6 perceptual near-dup
+
+  /** aHash geometry: 64 mean-thresholded samples packed as 4 × 16-bit
+    * blocks; pairs kept at Hamming ≤ [[AHashHammingMax]]. With 4 blocks,
+    * pigeonhole guarantees any pair within Hamming 3 agrees EXACTLY on at
+    * least one block — the d3 banding argument over the image-hash
+    * domain. */
+  private[graft] val AHashSamples = 64
+  private[graft] val AHashBlocks = 4
+  private[graft] val AHashBlockBits = 16
+  private[graft] val AHashHammingMax = 3
+
+  /** [[AHashSamples]] nearest-neighbor samples of a payload: sample j =
+    * byte ⌊j·len/64⌋ (the [[FakeCodec.resize]] device, defined for every
+    * len ≥ 1; an empty payload samples all-zero). A real deployment
+    * samples 8×8 downscaled luminance pixels instead — the spec drives
+    * [[ImageIoCodec]]-decoded PNG pixels through [[aHashOf]] to prove the
+    * packing is sample-source-agnostic. */
+  private[graft] def sampleBytes(bytes: Array[Byte]): Array[Int] =
+    if (bytes.isEmpty) new Array[Int](AHashSamples)
+    else Array.tabulate(AHashSamples)(j =>
+      bytes((j.toLong * bytes.length / AHashSamples).toInt) & 0xff)
+
+  /** Average-hash of a fixed-width sample vector: bit j set iff
+    * 64·v_j ≥ Σv (the mean threshold cross-multiplied — integer-exact,
+    * no division), packed little-endian into [[AHashBlocks]] 16-bit Int
+    * blocks. Blocks, not one packed Long, so the DuckDB oracle never
+    * shifts into the BIGINT sign bit and Hamming distance is a sum of
+    * per-block bit_counts in both engines. */
+  private[graft] def aHashOf(v: Array[Int]): Array[Int] = {
+    require(v.length == AHashSamples, s"need $AHashSamples samples")
+    var tot = 0L
+    var i = 0
+    while (i < v.length) { tot += v(i); i += 1 }
+    val blocks = new Array[Int](AHashBlocks)
+    i = 0
+    while (i < v.length) {
+      if (AHashSamples.toLong * v(i) >= tot)
+        blocks(i / AHashBlockBits) |= 1 << (i % AHashBlockBits)
+      i += 1
+    }
+    blocks
+  }
+
+  /** m6: the image near-dup screen — the binary-modality member of the
+    * dedup tier (d1–d12 dedup text; a multimodal training corpus needs
+    * the same pass over its image column). Every payload's average hash
+    * (aHash — the classic perceptual-hash baseline: downscale,
+    * mean-threshold, 64 bits) ships as four 16-bit block columns next to
+    * the payload's near-dup degree: how many other payloads sit within
+    * Hamming ≤ [[AHashHammingMax]], found via d3's banded self-join. The
+    * hash columns make the oracle bit-exact over every doc regardless of
+    * whether the corpus contains perceptual dups (the d3
+    * reproduce-the-fingerprint discipline); the pair machinery is
+    * spec-exercised with planted identical/one-bit/far payloads. The
+    * stub path hashes byte samples; a real deployment hashes 8×8
+    * luminance pixels through the identical packing and plan
+    * (spec-proven via [[ImageIoCodec]] on generated PNGs).
+    *
+    * Scale shape: the blob column is read by two narrow hash-kernel
+    * scans — one feeding the banded candidate machinery, one for the
+    * hash-sheet side of the degree join — each emitting 40-byte rows, no
+    * payload bytes ever shuffling (a deployment wanting one physical
+    * read persists the hash sheet; this plan keeps the query
+    * state-free). Candidates come from the (band, block) equi-join —
+    * never all-pairs — with pair-gen and the Hamming filter applied
+    * INSIDE each bucket before anything pair-shaped shuffles (the d3
+    * device); the degree join moves (id, count) rows only. Bucket
+    * volume: 16-bit blocks give 65536 buckets per band, ample headroom
+    * at fixture scale; a billion-image deployment widens the hash (e.g.
+    * 256-bit pHash = 16 of these blocks — same machinery, more bands) to
+    * keep per-bucket quadratic cost bounded, exactly as documented for
+    * d3's 24-bit blocks. */
+  def m6ImageNeardup(s: SparkSession, dir: String): DataFrame =
+    imageNeardupOf(withBlob(s, dir))
+
+  /** Hash sheet + near-dup degree over any (doc_id, blob) relation — m6
+    * binds the corpus blobs; the spec drives planted payloads. */
+  private[graft] def imageNeardupOf(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val hashed = hashBlocks(blobs)
+    // explode, not a union of two selections — a union plans the whole
+    // pair machinery twice; exploded endpoints keep it a single subtree
+    val degree = imagePairsOf(hashed)
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).cast("int").as("n_neardups"))
+    hashed.join(degree, Seq("doc_id"), "left")
+      .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+        coalesce($"n_neardups", lit(0)).as("n_neardups"))
+  }
+
+  private def hashBlocks(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val blk = aHashOf(sampleBytes(b))
+        (id, blk(0), blk(1), blk(2), blk(3))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Verified pairs at Hamming ≤ [[AHashHammingMax]] from a hash sheet —
+    * the d3 in-bucket pair-gen over (band, block) buckets. */
+  private[graft] def imagePairsOf(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
+    hashed
+      .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("band", "key")))
+      .groupBy($"band", $"key")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"b0", $"b1", $"b2", $"b3"))).as("xs"))
+      .where(size($"xs") >= 2)
+      .select(explode(expr(
+        "flatten(transform(xs, (x, i) -> " +
+          "filter(transform(slice(xs, i + 2, size(xs) - i - 1), " +
+          "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+          "bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1) + " +
+          "bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3) AS hamming)), " +
+          s"p -> p.hamming <= $AHashHammingMax)))")).as("p"))
+      .select($"p.doc_a", $"p.doc_b", $"p.hamming".cast("int").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  // m6's stub semantics in DuckDB: sample j = codepoint of char
+  // ⌊j·len/64⌋+1 (byte == char on the ASCII corpus), mean threshold
+  // cross-multiplied, blocks assembled with shifts that stay ≤ 2^15,
+  // brute-force a<b pair scan (fine at oracle scale) with the identical
+  // per-block Hamming sum, degree = pair endpoints counted per doc.
+  private val m6Sql = {
+    val blks = (0 until AHashBlocks).map(b =>
+      s"CAST(SUM(CASE WHEN (j // $AHashBlockBits) = $b THEN (bit << (j % $AHashBlockBits)) ELSE 0 END) AS INT) AS b$b")
+      .mkString(",\n    ")
+    val ham = (0 until AHashBlocks).map(b =>
+      s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |samp AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN len = 0 THEN 0
+       |         ELSE ascii(substr(text, CAST(((j * len) // $AHashSamples) AS INT) + 1, 1))
+       |    END AS v
+       |  FROM d, UNNEST(generate_series(0, ${AHashSamples - 1})) AS u(j)),
+       |tot AS (SELECT doc_id, SUM(v) AS tot FROM samp GROUP BY 1),
+       |bits AS (
+       |  SELECT s.doc_id, s.j,
+       |    CASE WHEN ($AHashSamples * s.v) >= t.tot THEN 1 ELSE 0 END AS bit
+       |  FROM samp s JOIN tot t USING (doc_id)),
+       |blk AS (
+       |  SELECT doc_id,
+       |    $blks
+       |  FROM bits GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blk a JOIN blk b ON a.doc_id < b.doc_id
+       |  WHERE ($ham) <= $AHashHammingMax),
+       |deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_neardups FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
+       |  GROUP BY 1)
+       |SELECT blk.doc_id, blk.b0, blk.b1, blk.b2, blk.b3,
+       |  COALESCE(deg.n_neardups, 0) AS n_neardups
+       |FROM blk LEFT JOIN deg USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_image_features" -> m2ImageFeatures _,
     "m3_frame_sample" -> m3FrameSample _,
     "m4_resize" -> m4Resize _,
     "m5_audio_energy" -> m5AudioEnergy _,
+    "m6_image_neardup" -> m6ImageNeardup _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
     "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
@@ -566,6 +731,7 @@ object MultimodalOps {
     "m3_frame_sample" -> m3Sql,
     "m4_resize" -> m4Sql,
     "m5_audio_energy" -> m5Sql,
+    "m6_image_neardup" -> m6Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
     "m5r_audio_energy_real" -> m5Sql)

@@ -206,6 +206,62 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(viaReal === viaStub)
   }
 
+  test("m6: hash sheet + degrees equal a brute-force recount from independently computed hashes") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val hs = docs.map { case (id, t) =>
+      id -> MultimodalOps.aHashOf(MultimodalOps.sampleBytes(t.getBytes("UTF-8")))
+    }.toMap
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val ids = hs.keys.toSeq.sorted
+    val deg = collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      if ham(hs(ids(i)), hs(ids(j))) <= MultimodalOps.AHashHammingMax
+    } { deg(ids(i)) += 1; deg(ids(j)) += 1 }
+    val want = ids.map(id =>
+      (id, hs(id)(0), hs(id)(1), hs(id)(2), hs(id)(3), deg(id))).toSet
+    val got = MultimodalOps.m6ImageNeardup(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSet
+    assert(got === want)
+    // the hash columns must carry real signal, not a constant
+    assert(hs.values.map(_.toSeq).toSet.size > docs.length / 2)
+  }
+
+  test("m6: planted payloads — identical pair at 0, one flipped threshold bit at 1, far payload out") {
+    // 64-char payloads sample 1:1. base alternates 'a'/'z' (bits 0101…);
+    // turning ONE 'z' into 'a' moves only that sample across the mean
+    // (all other bits keep their side), so the pair sits at Hamming 1;
+    // the constant payload (all bits 1) is 32 away from base.
+    val base = Array.tabulate(64)(j => if (j % 2 == 0) 'a' else 'z').mkString
+    val near = base.updated(1, 'a')
+    val far = "a" * 64
+    val blobs = Seq(
+      (1L, base), (2L, base), (3L, near), (4L, far)
+    ).toDF("doc_id", "text").select($"doc_id", encode($"text", "UTF-8").as("blob"))
+    val pairs = MultimodalOps.imagePairsOf(
+      MultimodalOps.imageNeardupOf(blobs)
+        .select($"doc_id", $"b0", $"b1", $"b2", $"b3"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    val degrees = MultimodalOps.imageNeardupOf(blobs)
+      .select($"doc_id", $"n_neardups").as[(Long, Int)].collect().toMap
+    assert(degrees === Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 0))
+  }
+
+  test("m6: real PNG pixels hash identically through the same packing (codec-independence)") {
+    val payload = "the quick brown fox jumps over the lazy dog 0123456789"
+      .getBytes("UTF-8")
+    val lums = ImageIoCodec.frameSample(MultimodalOps.pngStrip(payload), 1)
+    // gray strip pixels decode to luminance == byte…
+    assert(lums === payload.map(_ & 0xff))
+    // …so the real-decode hash equals the stub byte hash, bit for bit
+    assert(MultimodalOps.aHashOf(MultimodalOps.sampleBytes(lums.map(_.toByte))) ===
+      MultimodalOps.aHashOf(MultimodalOps.sampleBytes(payload)))
+  }
+
   test("m5: real-corpus energies are sane letter-range values") {
     val out = MultimodalOps.m5AudioEnergy(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()

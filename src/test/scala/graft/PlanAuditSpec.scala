@@ -272,6 +272,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!e4.contains("CartesianProduct"), e4)
   }
 
+  test("m6: two narrow blob scans, id-width exchanges only, pair-gen stays inside the buckets") {
+    // the d3 discipline on the image-hash domain: candidates come from
+    // the (band, block) equi-join — the band groupBy and the pair
+    // dropDuplicates are the only exchanges, both carrying (id, 4 ints)
+    // or (id, id, hamming) rows, never payload bytes; nothing pair-shaped
+    // shuffles before the in-bucket Hamming filter
+    val p = plan("m6_image_neardup")
+    assert(scansOf(p, "documents") === 2,
+      s"hash sheet + degree join — the blob scan and its reuse:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // nothing pair-shaped shuffles before the in-bucket Hamming filter:
+    // every exchange key set is (band, key), (doc_a, doc_b) or doc_id
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k == "band, key" || k == "doc_a, doc_b" || k == "doc_id"), s"$keys\n$p")
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,
