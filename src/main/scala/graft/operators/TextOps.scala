@@ -489,12 +489,29 @@ object TextOps {
     * 8-byte bh) pairs, one count aggregation, one vocab-keyed window to
     * attach context totals — the model relation is vocab²-bounded,
     * far smaller than the corpus. */
-  private[graft] def lmModel(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lmModel(s: SparkSession, dir: String): DataFrame =
+    lmModelAt(s, lmModelPath(dir), Tables.documents(s, dir))
+
+  /** The reference-slice model for [[t15RefLmScore]]: identical
+    * training formula over ONLY the held-out slice (doc_id %
+    * [[DecontMod]] == 0 — t10's convention), persisted under its own
+    * fingerprint-named path. */
+  private[graft] def refLmModel(s: SparkSession, dir: String): DataFrame =
+    lmModelAt(s, refLmModelPath(dir),
+      Tables.documents(s, dir).where(col("doc_id") % DecontMod === 0))
+
+  private[graft] def refLmModelPath(dir: String): String =
+    java.nio.file.Paths.get("target",
+      s"graft_ref_bigram_lm_v${LmVersion}_" +
+        s"f${graft.sources.Layouts.tableFingerprint(dir, "documents")}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
+  private def lmModelAt(s: SparkSession, path: String,
+      train: DataFrame): DataFrame = {
     import s.implicits._
-    val path = lmModelPath(dir)
     if (!graft.sources.Layouts.completedTable(path)) {
       import org.apache.spark.sql.expressions.Window
-      val counts = Tables.documents(s, dir)
+      val counts = train
         .select(explode(bigramPairs($"text")).as("p"))
         .groupBy($"p.ch".as("ch"), $"p.bh".as("bh"))
         .agg(count(lit(1)).as("m"))
@@ -1042,9 +1059,88 @@ object TextOps {
        |  FROM scored) ranked
        |WHERE rk <= $TfidfTopK""".stripMargin
 
+  // ------------------------------------------------ t15 reference-LM score
+
+  /** t15: cross-corpus quality scoring against a REFERENCE language
+    * model — the actual CCNet deployment shape: train the LM on a
+    * trusted slice (Wikipedia in the paper; t10's held-out doc_id %
+    * [[DecontMod]] == 0 slice here) and score the web-scale pool
+    * against it. t8 scores the corpus against itself, so it can never
+    * see out-of-vocabulary mass; t15's scoring LEFT-joins each doc's
+    * bigram occurrences to the [[refLmModel]], counting
+    * out-of-reference-vocabulary bigrams in the denominator at
+    * probability 0 and shipping that unmeasured mass as its own
+    * `n_oov` column (for a reference doc n_oov is 0 by construction —
+    * spec-asserted). Numeric discipline is t8's verbatim: micro-unit
+    * integer probabilities, exact BIGINT sums, ONE final IEEE division.
+    *
+    * Scale shape: t8's exactly — occurrences map-side combined to
+    * (doc_id, 8-byte hashes, count) before the one corpus-scale
+    * exchange; the model side is reference-vocab²-bounded (far smaller
+    * than the t8 model: the reference is 1/[[DecontMod]] of the
+    * corpus) and broadcast by AQE when small; the persisted
+    * fingerprint-named model means a warm process pays zero training
+    * jobs. */
+  def t15RefLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val occ = docs
+      .select($"doc_id", explode(bigramPairs($"text")).as("p"))
+      .groupBy($"doc_id", $"p.ch".as("ch"), $"p.bh".as("bh"))
+      .agg(count(lit(1)).as("m"))
+    val scored = occ.join(refLmModel(s, dir), Seq("ch", "bh"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        sum(when($"pq".isNull, $"m").otherwise(0L)).as("n_oov"),
+        (sum($"m" * coalesce($"pq", lit(0L))).cast("double") /
+          (sum($"m") * lit(1000000L))).as("ref_avg_p"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_oov", lit(0L)).as("n_oov"),
+        coalesce($"ref_avg_p", lit(0.0)).as("ref_avg_p"))
+  }
+
+  // t15's oracle: the t8 spelling with the model CTEs filtered to the
+  // reference slice and the scoring join flipped to LEFT + COALESCE.
+  private val t15Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    ${graft.sources.Hash60.sql60("u.x.c")} AS ch,
+       |    ${graft.sources.Hash60.sql60("u.x.s")} AS bh,
+       |    count(*) AS m
+       |  FROM toks, UNNEST(list_transform(generate_series(1, len(w) - 1),
+       |    i -> {'c': w[i], 's': w[i] || ' ' || w[i+1]})) AS u(x)
+       |  GROUP BY 1, 2, 3),
+       |rocc AS (
+       |  SELECT ch, bh, CAST(SUM(m) AS BIGINT) AS m FROM occ
+       |  WHERE (doc_id % $DecontMod) = 0 GROUP BY 1, 2),
+       |c2 AS (SELECT bh, CAST(SUM(m) AS BIGINT) AS c2 FROM rocc GROUP BY 1),
+       |c1 AS (SELECT ch, CAST(SUM(m) AS BIGINT) AS c1 FROM rocc GROUP BY 1),
+       |model AS (
+       |  SELECT r.ch, r.bh, ((c2.c2 * 1000000) // c1.c1) AS pq
+       |  FROM rocc r JOIN c2 ON r.bh = c2.bh JOIN c1 ON r.ch = c1.ch),
+       |scored AS (
+       |  SELECT o.doc_id,
+       |    CAST(SUM(o.m) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN mo.pq IS NULL THEN o.m ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    CAST(SUM(o.m * COALESCE(mo.pq, 0)) AS DOUBLE)
+       |      / (SUM(o.m) * 1000000) AS ref_avg_p
+       |  FROM occ o LEFT JOIN model mo ON o.ch = mo.ch AND o.bh = mo.bh
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(s.n_oov, 0) AS n_oov,
+       |  COALESCE(s.ref_avg_p, 0.0) AS ref_avg_p
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_bm25_topk" -> t13Bm25Topk _,
     "t14_tfidf_terms" -> t14TfidfTerms _,
+    "t15_ref_lm_score" -> t15RefLmScore _,
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
@@ -1062,6 +1158,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "t13_bm25_topk" -> t13Sql,
     "t14_tfidf_terms" -> t14Sql,
+    "t15_ref_lm_score" -> t15Sql,
     "t1_text_stats" -> t1Sql,
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,

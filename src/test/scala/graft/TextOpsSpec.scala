@@ -151,6 +151,44 @@ class TextOpsSpec extends SparkSpec {
       "warm scoring must not republish the model")
   }
 
+  test("t15: reference-LM scores match hand-computed probabilities; OOV mass counted at 0") {
+    // ref slice (doc_id % 20 == 0): docs 0 + 20 train the model —
+    //   c2: ab=3, ba=1, bc=1; c1: a=3, b=2
+    //   micro-unit p: p(b|a)=1000000, p(a|b)=500000, p(c|b)=500000
+    // non-ref docs score against it; bx / zz are out-of-reference-vocab
+    val dir = java.nio.file.Files.createTempDirectory("graft_t15").toString
+    Seq((0L, "a b a b"), (20L, "a b c"),
+        (1L, "a b a b"), (2L, "a b x"), (3L, "z z"), (4L, "x"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t15RefLmScore(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, nb, oov, p) => id -> ((nb, oov, p)) }.toMap
+    assert(got(0L) === ((3L, 0L, 2500000.0 / 3000000)))
+    assert(got(20L) === ((2L, 0L, 0.75)))
+    assert(got(1L) === ((3L, 0L, 2500000.0 / 3000000)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((1L, 1L, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+  }
+
+  test("t15: on the fixture, reference docs have zero OOV and the pool exposes real OOV mass") {
+    val rows = TextOps.t15RefLmScore(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === n, "every doc scored exactly once")
+    rows.foreach { case (id, nb, oov, p) =>
+      assert(oov >= 0 && oov <= nb, s"doc $id oov bounds")
+      assert(p >= 0.0 && p <= 1.0, s"doc $id probability range")
+      if (id % TextOps.DecontMod == 0)
+        assert(oov === 0L, s"ref doc $id: every bigram is in its own model")
+    }
+    // the cross-corpus path must actually exercise the left-join miss
+    assert(rows.exists { case (id, _, oov, _) =>
+      id % TextOps.DecontMod != 0 && oov > 0 })
+  }
+
   test("t13: BM25 scores equal an independent integer recount on a tiny corpus; ranking invariants hold on the fixture") {
     // independent reimplementation of the exact integer formula
     def score(n: Long, avgdl: Long, docs: Map[Long, Seq[String]],
