@@ -506,8 +506,12 @@ object TextOps {
         s"f${graft.sources.Layouts.tableFingerprint(dir, "documents")}_" +
         graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
 
+  // `train` is BY-NAME: the corpus relation must not even be resolved on
+  // the warm path (building it reads parquet footers — a Spark job the
+  // zero-training-jobs contract forbids; the t8 persistence spec caught
+  // exactly this)
   private def lmModelAt(s: SparkSession, path: String,
-      train: DataFrame): DataFrame = {
+      train: => DataFrame): DataFrame = {
     import s.implicits._
     if (!graft.sources.Layouts.completedTable(path)) {
       import org.apache.spark.sql.expressions.Window
