@@ -306,17 +306,57 @@ object SketchOps {
        |LEFT JOIN iv ON iv.sa = x.source AND iv.sb = y.source""".stripMargin
   }
 
+  // ------------------------------------------------ k6 Zipf histogram
+
+  /** k6: the corpus token-frequency histogram in decimal-magnitude
+    * buckets — the Zipf audit every corpus datasheet carries ("how many
+    * token types occur 1–9 times, 10–99, 100–999, …"), the first plot a
+    * curation run makes to judge vocabulary health and crawl
+    * contamination (a hump in the high buckets = templated text). The
+    * bucket is the DIGIT COUNT of the frequency, not ⌊log₁₀⌋ via
+    * floating log — the log family is banned from hashed outputs by the
+    * determinism discipline, while `length(CAST(f AS STRING))` is
+    * integer-exact in both engines.
+    *
+    * Scale shape: one corpus-token-scale exchange keyed by token with
+    * map-side combine (partials are vocab-bounded per partition — the
+    * q4 word-count budget exactly), then a second aggregate over the
+    * vocab relation, which is vocab-bounded, not corpus-bounded
+    * (replicating documents moves mass between buckets but adds no
+    * rows to the first aggregate's output). Output is ≤ 20 rows —
+    * digit counts of a BIGINT. */
+  def k6ZipfHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+      .groupBy(length($"f".cast("string")).as("bucket"))
+      .agg(count(lit(1)).as("n_types"), sum($"f").as("n_occ"))
+  }
+
+  private val k6Sql =
+    """WITH tf AS (
+      |  SELECT s AS tok, COUNT(*) AS f
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(s)
+      |  GROUP BY 1)
+      |SELECT CAST(length(CAST(f AS VARCHAR)) AS INT) AS bucket,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(f) AS BIGINT) AS n_occ
+      |FROM tf GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_hll_distinct" -> k1HllDistinct _,
     "k2_quantile_sketch" -> k2QuantileSketch _,
     "k3_cms_topk" -> k3CmsTopk _,
     "k4_sketch_union" -> k4SketchUnion _,
-    "k5_source_overlap" -> k5SourceOverlap _)
+    "k5_source_overlap" -> k5SourceOverlap _,
+    "k6_zipf_histogram" -> k6ZipfHistogram _)
 
   val oracleSql: Map[String, String] = Map(
     "k1_hll_distinct" -> k1Sql,
     "k2_quantile_sketch" -> k2Sql,
     "k3_cms_topk" -> k3Sql,
     "k4_sketch_union" -> k4Sql,
-    "k5_source_overlap" -> k5Sql)
+    "k5_source_overlap" -> k5Sql,
+    "k6_zipf_histogram" -> k6Sql)
 }

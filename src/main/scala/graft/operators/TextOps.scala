@@ -1141,10 +1141,108 @@ object TextOps {
        |  COALESCE(s.ref_avg_p, 0.0) AS ref_avg_p
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
 
+  // ------------------------------------------------ t16 Gopher rule flags
+
+  /** The canonical Gopher stop-word octet (Rae et al. 2021 §A1.1:
+    * "the, be, to, of, and, that, have, with"). */
+  private[operators] val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t16: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) as
+    * per-rule attribute flags — the attributes-table deployment shape
+    * (one named boolean column per published rule, so a curation run can
+    * ablate rules independently and audits can ask "which rule killed
+    * this document"), where t3 collapses its battery into one score.
+    * Word-level rules only: the corpus is single-line, so the
+    * line-shaped rules (ellipsis-line ratio, bullet-line ratio) are
+    * vacuous here and deliberately omitted; the duplicate-n-gram family
+    * is t7's; cross-document boilerplate is t12's.
+    *
+    * Rules (flag = document PASSES):
+    *   - `r_word_count`:    50 ≤ words ≤ 100 000 (the Gopher band);
+    *   - `r_mean_word_len`: mean word length in [3, 10];
+    *   - `r_alpha_words`:   ≥ 80% of words contain an alphabetic char;
+    *   - `r_stopwords`:     ≥ 2 distinct [[GopherStops]] present;
+    *   - `r_symbol_ratio`:  `#`/`...`-bearing words ≤ 10% of words;
+    *   - `r_top_word_mass`: chars under the most frequent word ≤ 20%
+    *     of word chars (the n=1 member of Gopher's top-n-gram
+    *     char-fraction family — n ≥ 2 is t7's territory);
+    *   - `gopher_keep`:     AND of all six.
+    *
+    * Every comparison is an integer cross-multiplication — no division,
+    * no floats, so the oracle hash is exact by construction (the
+    * determinism discipline). Pure narrow map riding the scan: no
+    * shuffle at any scale; the top-word rule is O(distinct × words) per
+    * row — bounded by document length, never by corpus size.
+    *
+    * Fixture note: the synthetic corpus' vocabulary contains exactly ONE
+    * of the octet ("the"), so `r_stopwords` — and therefore
+    * `gopher_keep` — is false on every fixture document. That is the
+    * rule WORKING as published: word-soup without function words is
+    * precisely what the stopword gate exists to reject (the spec pins
+    * this corpus property and exercises the pass path on planted
+    * natural-shaped docs). */
+  def t16GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words($"text")
+    val nw = size(w)
+    // Σ word lengths = chars − (n−1) separators for space-joined text.
+    val twc = length($"text") - nw + lit(1)
+    val alphaW = size(filter(w, x => x.rlike("[A-Za-z]")))
+    val stopHits = size(filter(
+      array(GopherStops.map(lit): _*), x => array_contains(w, x)))
+    val symW = size(filter(w, x => x.contains("#") || x.contains("...")))
+    val topMass = array_max(transform(
+      array_distinct(w), x => size(filter(w, y => y === x)) * length(x)))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        nw.between(50, 100000).as("r_word_count"),
+        ((lit(3) * nw) <= twc && twc <= (lit(10) * nw)).as("r_mean_word_len"),
+        ((lit(5) * alphaW) >= (lit(4) * nw)).as("r_alpha_words"),
+        (stopHits >= 2).as("r_stopwords"),
+        ((lit(10) * symW) <= nw).as("r_symbol_ratio"),
+        ((lit(5) * topMass) <= twc).as("r_top_word_mass"))
+      .withColumn("gopher_keep",
+        $"r_word_count" && $"r_mean_word_len" && $"r_alpha_words" &&
+          $"r_stopwords" && $"r_symbol_ratio" && $"r_top_word_mass")
+  }
+
+  private val t16Sql = {
+    val stops = GopherStops.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS nw,
+       |    (length(text) - len(string_split(text, ' '))) + 1 AS twc
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    (nw BETWEEN 50 AND 100000) AS r_word_count,
+       |    (((3 * nw) <= twc) AND (twc <= (10 * nw))) AS r_mean_word_len,
+       |    ((5 * len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))))
+       |       >= (4 * nw)) AS r_alpha_words,
+       |    (len(list_filter($stops,
+       |       s -> list_contains(w, s))) >= 2) AS r_stopwords,
+       |    ((10 * len(list_filter(w,
+       |       x -> (contains(x, '#') OR contains(x, '...'))))) <= nw)
+       |      AS r_symbol_ratio,
+       |    ((5 * list_max(list_transform(list_distinct(w),
+       |       x -> (len(list_filter(w, y -> y = x)) * length(x))))) <= twc)
+       |      AS r_top_word_mass
+       |  FROM f)
+       |SELECT doc_id, r_word_count, r_mean_word_len, r_alpha_words,
+       |  r_stopwords, r_symbol_ratio, r_top_word_mass,
+       |  (r_word_count AND r_mean_word_len AND r_alpha_words
+       |    AND r_stopwords AND r_symbol_ratio AND r_top_word_mass)
+       |    AS gopher_keep
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_bm25_topk" -> t13Bm25Topk _,
     "t14_tfidf_terms" -> t14TfidfTerms _,
     "t15_ref_lm_score" -> t15RefLmScore _,
+    "t16_gopher_rules" -> t16GopherRules _,
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
@@ -1163,6 +1261,7 @@ object TextOps {
     "t13_bm25_topk" -> t13Sql,
     "t14_tfidf_terms" -> t14Sql,
     "t15_ref_lm_score" -> t15Sql,
+    "t16_gopher_rules" -> t16Sql,
     "t1_text_stats" -> t1Sql,
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,

@@ -64,8 +64,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) === 1, s"corpus side must not shuffle:\n$p")
   }
 
+  test("k6: token agg then vocab-bounded bucket agg — two map-side-combined exchanges, text-only scan") {
+    val p = plan("k6_zipf_histogram")
+    assert(shuffles(p) === 2,
+      s"k6 must have exactly the token and bucket exchanges:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"k6 should not join:\n$p")
+    assert("partial".r.findFirstIn(p.toLowerCase).isDefined,
+      s"k6 must map-side combine:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, s"no ReadSchema in:\n$p")
+    val cols = read.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols === Set("text"), s"k6 must scan only text, got $cols:\n$p")
+  }
+
   test("narrow text/multimodal maps shuffle nothing at all") {
-    for (q <- Seq("t1_text_stats", "t3_quality_score", "m1_binary_meta")) {
+    for (q <- Seq("t1_text_stats", "t3_quality_score", "t16_gopher_rules",
+        "m1_binary_meta")) {
       val p = plan(q)
       assert(shuffles(p) === 0, s"$q must be a pure narrow map:\n$p")
       assert(!p.contains("BroadcastExchange"), s"$q should not need a join:\n$p")

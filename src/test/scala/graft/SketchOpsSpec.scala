@@ -117,4 +117,21 @@ class SketchOpsSpec extends SparkSpec {
     // disjoint sets can only match on hash ties — the bound must still hold
     assert(got.values.forall(_.getAs[Boolean]("minhash_within_bound")))
   }
+
+  test("k6: Zipf histogram equals an independent Scala token-frequency recount") {
+    val got = SketchOps.k6ZipfHistogram(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_occ"))).toMap
+    val freq = collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .foreach(_.split(" ", -1).foreach(t => freq(t) = freq.getOrElse(t, 0L) + 1))
+    val want = freq.values.groupBy(_.toString.length)
+      .map { case (b, fs) => b -> (fs.size.toLong, fs.sum) }
+    assert(got === want)
+    // mass conservation: Σ n_occ over buckets = total token occurrences
+    assert(got.values.map(_._2).sum === freq.values.sum)
+    // type conservation: Σ n_types over buckets = vocabulary size
+    assert(got.values.map(_._1).sum === freq.size.toLong)
+  }
 }

@@ -533,4 +533,58 @@ class TextOpsSpec extends SparkSpec {
     assert(got.keySet === want.keySet)
     got.foreach { case (src, rs) => assert(rs === want(src), src) }
   }
+
+  test("t16: rule flags match hand-built planted docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t16").toString
+    val pass = (Seq("the", "of", "and") ++
+      (1 to 57).map(i => s"word$i")).mkString(" ")   // 60 words, all rules green
+    val short = "the of and tiny"                    // 4 words: r_word_count fails
+    val mono = Seq.fill(60)("batch").mkString(" ")   // no stops; top word = 100%
+    Seq((1L, pass, "en", "s", pass.length.toLong),
+        (2L, short, "en", "s", short.length.toLong),
+        (3L, mono, "en", "s", mono.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t16GopherRules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("gopher_keep"))
+    (1 to 6).foreach(i => assert(got(1L).getBoolean(i), s"doc 1 rule col $i"))
+    assert(!got(2L).getAs[Boolean]("r_word_count"))
+    assert(!got(2L).getAs[Boolean]("gopher_keep"))
+    assert(!got(3L).getAs[Boolean]("r_stopwords"))
+    assert(!got(3L).getAs[Boolean]("r_top_word_mass"))
+    assert(got(3L).getAs[Boolean]("r_word_count"))
+  }
+
+  test("t16: fixture flags equal an independent Scala recount of all six rules") {
+    val got = TextOps.t16GopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (1 to 7).map(r.getBoolean).toList).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.length === got.size)
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ", -1)
+      val nw = w.length.toLong
+      val twc = t.length - nw + 1
+      val topMass = w.groupBy(identity)
+        .map { case (x, xs) => xs.length.toLong * x.length }.max
+      val want = List(
+        nw >= 50 && nw <= 100000,
+        3 * nw <= twc && twc <= 10 * nw,
+        5L * w.count(_.exists(_.isLetter)) >= 4 * nw,
+        w.toSet.count(stops) >= 2,
+        10L * w.count(x => x.contains("#") || x.contains("...")) <= nw,
+        5L * topMass <= twc,
+      )
+      assert(got(id) === want :+ want.forall(identity), id)
+    }
+    // corpus property the scaladoc documents: only "the" of the Gopher
+    // octet occurs in the synthetic vocabulary, so the stopword gate
+    // (≥ 2 distinct) correctly rejects every word-soup document — while
+    // the length band keeps real variance on the fixture
+    assert(got.values.forall(v => !v(3) && !v.last))
+    assert(got.values.exists(_.head) && got.values.exists(!_.head))
+  }
 }
