@@ -1238,11 +1238,155 @@ object TextOps {
        |FROM r""".stripMargin
   }
 
+  // ------------------------------------------------ t17 CCNet ppl buckets
+
+  /** t17: CCNet's head/middle/tail split (Wenzek et al. 2020 §3.3) —
+    * the step CCNet actually ships AFTER reference-LM scoring: within
+    * each language, partition the pool into three quality tiers by
+    * reference-model perplexity, so downstream training mixes can take
+    * "head only" or "head + middle" per language. [[t15RefLmScore]] is
+    * the scoring half; t17 is the tiering half. Here higher
+    * `score_micro` (mean micro-unit reference probability — the exact
+    * integer analog of lower perplexity) = cleaner, so `head` is the
+    * top third.
+    *
+    * Tie discipline — the deliberate divergence from a doc-granular
+    * NTILE: bucket boundaries are drawn between score CLASSES, never
+    * through one. A class belongs to the bucket where its first
+    * (highest-ranked) document falls: with `cum_prev` = docs scoring
+    * strictly higher, a class is `head` if cum_prev < ⌈n/3⌉, `middle`
+    * if cum_prev < ⌈2n/3⌉, else `tail`. Equal scores therefore always
+    * land in the same bucket — an audit property a real curation team
+    * wants (two identical-quality docs must get identical treatment),
+    * and what makes the operator oracle-exact without a per-doc global
+    * row_number.
+    *
+    * Scale shape: scoring is t15's budget verbatim (one map-side-
+    * combined corpus-token exchange against the persisted
+    * [[refLmModel]]; warm process trains nothing). The tiering adds
+    * only BOUNDED work: `score_micro` ∈ [0, 10⁶] by construction, so
+    * the (lang, score) histogram is ≤ langs × 10⁶ rows regardless of
+    * corpus size, its per-lang cumulative window runs over that bounded
+    * relation (never a doc-granular single-lang window — the
+    * anti-pattern this formulation exists to avoid), and the final
+    * assignment joins a TWO-ROW-PER-LANG cutoff relation broadcast to
+    * the scored docs. No global sort at any scale. */
+  def t17PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val occ = docs
+      .select($"doc_id", explode(bigramPairs($"text")).as("p"))
+      .groupBy($"doc_id", $"p.ch".as("ch"), $"p.bh".as("bh"))
+      .agg(count(lit(1)).as("m"))
+    val perDoc = occ.join(refLmModel(s, dir), Seq("ch", "bh"), "left")
+      .groupBy($"doc_id")
+      .agg(expr("sum(m * coalesce(pq, 0L)) div sum(m)").as("score_micro"))
+    val scored = docs.select($"doc_id", $"lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"score_micro", lit(0L)).as("score_micro"))
+    pplBucketize(s, scored)
+  }
+
+  /** The tiering half of [[t17PplBuckets]], factored for direct spec
+    * coverage: assigns each (doc_id, lang, score_micro) row its
+    * head/middle/tail bucket under the class-cohesive boundary rule
+    * documented there. Input score domain must be bounded (t17's is
+    * ≤ 10⁶ by construction) — the histogram, its window, and the
+    * 2-values-per-lang cutoff relation are all score-domain-bounded. */
+  private[graft] def pplBucketize(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy($"lang", $"score_micro")
+      .agg(count(lit(1)).as("c"))
+    val classes = hist
+      .withColumn("n", sum($"c").over(Window.partitionBy($"lang")))
+      .withColumn("cum_prev", coalesce(
+        sum($"c").over(Window.partitionBy($"lang")
+          .orderBy($"score_micro".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"score_micro",
+        when($"cum_prev" < expr("(n + 2) div 3"), "head")
+          .when($"cum_prev" < expr("(2 * n + 2) div 3"), "middle")
+          .otherwise("tail").as("b"))
+    // bucket segments are contiguous in score order, so two cutoffs per
+    // lang reproduce the full class labeling; s_h always exists (the
+    // top class has cum_prev = 0), s_m is null when a giant head class
+    // swallows the middle target
+    val cuts = classes.groupBy($"lang").agg(
+      min(when($"b" === "head", $"score_micro")).as("s_h"),
+      min(when($"b" === "middle", $"score_micro")).as("s_m"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select($"doc_id", $"lang", $"score_micro",
+        when($"score_micro" >= $"s_h", "head")
+          .when($"s_m".isNotNull && $"score_micro" >= $"s_m", "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  // t17's oracle: t15's scoring CTEs with the mean kept as an exact
+  // integer div, then the identical histogram/cutoff construction.
+  private val t17Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    ${graft.sources.Hash60.sql60("u.x.c")} AS ch,
+       |    ${graft.sources.Hash60.sql60("u.x.s")} AS bh,
+       |    count(*) AS m
+       |  FROM toks, UNNEST(list_transform(generate_series(1, len(w) - 1),
+       |    i -> {'c': w[i], 's': w[i] || ' ' || w[i+1]})) AS u(x)
+       |  GROUP BY 1, 2, 3),
+       |rocc AS (
+       |  SELECT ch, bh, CAST(SUM(m) AS BIGINT) AS m FROM occ
+       |  WHERE (doc_id % $DecontMod) = 0 GROUP BY 1, 2),
+       |c2 AS (SELECT bh, CAST(SUM(m) AS BIGINT) AS c2 FROM rocc GROUP BY 1),
+       |c1 AS (SELECT ch, CAST(SUM(m) AS BIGINT) AS c1 FROM rocc GROUP BY 1),
+       |model AS (
+       |  SELECT r.ch, r.bh, ((c2.c2 * 1000000) // c1.c1) AS pq
+       |  FROM rocc r JOIN c2 ON r.bh = c2.bh JOIN c1 ON r.ch = c1.ch),
+       |sc AS (
+       |  SELECT o.doc_id,
+       |    (CAST(SUM(o.m * COALESCE(mo.pq, 0)) AS BIGINT)
+       |      // CAST(SUM(o.m) AS BIGINT)) AS score_micro
+       |  FROM occ o LEFT JOIN model mo ON o.ch = mo.ch AND o.bh = mo.bh
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(COALESCE(sc.score_micro, 0) AS BIGINT) AS score_micro
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |hist AS (
+       |  SELECT lang, score_micro, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM scored GROUP BY 1, 2),
+       |cls AS (
+       |  SELECT lang, score_micro,
+       |    (CASE WHEN cum_prev < ((n + 2) // 3) THEN 'head'
+       |          WHEN cum_prev < (((2 * n) + 2) // 3) THEN 'middle'
+       |          ELSE 'tail' END) AS b
+       |  FROM (
+       |    SELECT lang, score_micro,
+       |      COALESCE(CAST(SUM(c) OVER (PARTITION BY lang
+       |        ORDER BY score_micro DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        AS BIGINT), 0) AS cum_prev,
+       |      CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |    FROM hist) h),
+       |cuts AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN b = 'head' THEN score_micro END) AS s_h,
+       |    MIN(CASE WHEN b = 'middle' THEN score_micro END) AS s_m
+       |  FROM cls GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.score_micro,
+       |  (CASE WHEN s.score_micro >= c.s_h THEN 'head'
+       |        WHEN (c.s_m IS NOT NULL) AND (s.score_micro >= c.s_m)
+       |          THEN 'middle'
+       |        ELSE 'tail' END) AS ppl_bucket
+       |FROM scored s JOIN cuts c ON s.lang = c.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_bm25_topk" -> t13Bm25Topk _,
     "t14_tfidf_terms" -> t14TfidfTerms _,
     "t15_ref_lm_score" -> t15RefLmScore _,
     "t16_gopher_rules" -> t16GopherRules _,
+    "t17_ppl_buckets" -> t17PplBuckets _,
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_id" -> t2LangId _,
     "t3_quality_score" -> t3QualityScore _,
@@ -1262,6 +1406,7 @@ object TextOps {
     "t14_tfidf_terms" -> t14Sql,
     "t15_ref_lm_score" -> t15Sql,
     "t16_gopher_rules" -> t16Sql,
+    "t17_ppl_buckets" -> t17Sql,
     "t1_text_stats" -> t1Sql,
     "t2_lang_id" -> t2Sql,
     "t3_quality_score" -> t3Sql,

@@ -304,6 +304,28 @@ class PlanAuditSpec extends SparkSpec {
       k == "band, key" || k == "doc_a, doc_b" || k == "doc_id"), s"$keys\n$p")
   }
 
+  test("t17: tiering windows run over the bounded (lang, score) histogram; cutoffs broadcast") {
+    // The scale claim: scoring is t15's budget, and the TIERING half adds
+    // only score-domain-bounded work — the cumulative windows must sit
+    // above the (lang, score_micro) histogram aggregate (never a
+    // doc-granular window partitioned by lang alone, the giant-partition
+    // anti-pattern), and the 2-cutoffs-per-lang relation joins back as a
+    // broadcast.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val qe = SparkEntry.queries("t17_ppl_buckets")(spark, sf).queryExecution
+    val opt = qe.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"expected the cum_prev/n windows in:\n$opt")
+    assert(wins.forall(_.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }.nonEmpty),
+      s"every tiering window must sit above the (lang, score) histogram:\n$opt")
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-lang cutoff relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("st2: both windows and the session aggregate share one user_id shuffle") {
     val p = plan("st2_sessionize")
     assert(shuffles(p) === 1,

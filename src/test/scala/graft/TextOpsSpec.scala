@@ -587,4 +587,66 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.forall(v => !v(3) && !v.last))
     assert(got.values.exists(_.head) && got.values.exists(!_.head))
   }
+
+  test("t17: class-cohesive bucketize on planted score layouts, ties never split") {
+    val scored = Seq(
+      // en: 9 distinct scores — clean thirds
+      (Seq(90L, 80, 70, 60, 50, 40, 30, 20, 10), "en"),
+      // de: a 5-doc tie class straddling the head target (3): the whole
+      // class is head (its first doc falls at cum_prev 0), middle gets
+      // the 3-doc class at cum_prev 5 < 6, tail the last
+      (Seq(100L, 100, 100, 100, 100, 50, 50, 50, 10), "de"),
+      // fr: single doc — all head
+      (Seq(77L), "fr"),
+      // xx: one giant tie class — all head, no middle, no tail
+      (Seq.fill(10)(5L), "xx"),
+    ).flatMap { case (ss, l) => ss.zipWithIndex.map { case (v, i) =>
+      (l.hashCode.toLong * 1000 + i, l, v) } }
+      .toDF("doc_id", "lang", "score_micro")
+    val got = TextOps.pplBucketize(spark, scored).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("score_micro")) ->
+        r.getAs[String]("ppl_bucket"))
+    // ties never split: every (lang, score) class maps to ONE bucket
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1))
+    val byClass = got.toMap
+    assert(Seq(90L, 80, 70).forall(s => byClass(("en", s)) == "head"))
+    assert(Seq(60L, 50, 40).forall(s => byClass(("en", s)) == "middle"))
+    assert(Seq(30L, 20, 10).forall(s => byClass(("en", s)) == "tail"))
+    assert(byClass(("de", 100L)) == "head")
+    assert(byClass(("de", 50L)) == "middle")
+    assert(byClass(("de", 10L)) == "tail")
+    assert(byClass(("fr", 77L)) == "head")
+    assert(byClass(("xx", 5L)) == "head")
+  }
+
+  test("t17: fixture buckets equal an independent Scala replay of the boundary rule") {
+    val rows = TextOps.t17PplBuckets(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("score_micro"), r.getAs[String]("ppl_bucket")))
+    // every doc exactly once
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val hTarget = (n + 2) / 3
+      val mTarget = (2 * n + 2) / 3
+      // replay: order score classes desc, assign by cum_prev
+      var cum = 0L
+      val want = rs.groupBy(_._3).toSeq.sortBy(-_._1).map { case (s, docs) =>
+        val b = if (cum < hTarget) "head"
+          else if (cum < mTarget) "middle" else "tail"
+        cum += docs.length
+        s -> b
+      }.toMap
+      rs.foreach(r => assert(r._4 === want(r._3), s"$lang/${r._1}"))
+      // buckets are contiguous in score: min(head) > max(middle) > ...
+      def scoresOf(b: String) = rs.filter(_._4 == b).map(_._3)
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail")))
+        if (scoresOf(hi).nonEmpty && scoresOf(lo).nonEmpty)
+          assert(scoresOf(hi).min > scoresOf(lo).max, s"$lang $hi/$lo")
+    }
+    // the fixture has real score variance: at least two buckets realized
+    assert(rows.map(_._4).distinct.length >= 2)
+  }
 }
