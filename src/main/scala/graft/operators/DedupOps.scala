@@ -1228,7 +1228,7 @@ object DedupOps {
   /** DuckDB replays the windows on STRINGS with explicit positions (the
     * t10/t12 oracle discipline); equal counts and offsets prove the
     * hashed Spark plan faithful. */
-  private val d10Sql =
+  private[operators] val d10Sql =
     s"""WITH base AS (
        |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
        |sh AS (

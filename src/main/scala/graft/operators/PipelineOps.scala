@@ -181,15 +181,57 @@ object PipelineOps {
        |    WHERE n_tokens_kept > 0)""".stripMargin,
     "e4:")
 
+  /** e5: the per-document ATTRIBUTE SHEET — the artifact modern open
+    * curation stacks (Dolma's attributes files, RedPajama-v2's quality
+    * signals) materialize INSTEAD of a verdict: one row per document
+    * carrying every named signal, so downstream consumers mix rules
+    * without re-running any analysis pass. e1/e3 compute a disposition
+    * (the signals collapse into `keep`); e5 ships the signals
+    * themselves:
+    *
+    *   - t16's six Gopher rule flags + `gopher_keep`;
+    *   - t17's reference-LM quality tier (`score_micro`, `ppl_bucket`);
+    *   - d10's span-duplication attributes (`n_dup`, `has_dup`).
+    *
+    * Plan shape (the e3 discipline): every stage reduces to a
+    * (doc_id, narrow attributes) relation before joining — the heavy
+    * machinery (t17's scoring exchange against the persisted reference
+    * model, d10's hashed window aggregate) is each stage's own audited
+    * plan, and the composition's additional cost is two id-width
+    * joins. Plan-audited: e5's corpus scans equal the SUM of its
+    * stages' — the composition introduces none. */
+  def e5AttributeSheet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = TextOps.t16GopherRules(s, dir)
+    val tier = TextOps.t17PplBuckets(s, dir)
+      .select($"doc_id", $"score_micro", $"ppl_bucket")
+    val spans = DedupOps.d10SpanDedup(s, dir)
+      .select($"doc_id", $"n_dup", $"has_dup")
+    rules.join(tier, Seq("doc_id")).join(spans, Seq("doc_id"))
+  }
+
+  /** Oracle: the same composition over the stage oracles. */
+  private val e5Sql =
+    s"""WITH rules AS (SELECT * FROM (${TextOps.t16Sql})),
+       |tier AS (SELECT doc_id, score_micro, ppl_bucket
+       |         FROM (${TextOps.t17Sql})),
+       |spans AS (SELECT doc_id, n_dup, has_dup FROM (${DedupOps.d10Sql}))
+       |SELECT r.*, t.score_micro, t.ppl_bucket, s.n_dup, s.has_dup
+       |FROM rules r
+       |JOIN tier t ON r.doc_id = t.doc_id
+       |JOIN spans s ON r.doc_id = s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
     "e3_corpus_curation" -> e3CorpusCuration _,
-    "e4_clean_pack" -> e4CleanPack _)
+    "e4_clean_pack" -> e4CleanPack _,
+    "e5_attribute_sheet" -> e5AttributeSheet _)
 
   val oracleSql: Map[String, String] = Map(
     "e1_pipeline" -> e1Sql,
     "e2_training_shards" -> e2Sql,
     "e3_corpus_curation" -> e3Sql,
-    "e4_clean_pack" -> e4Sql)
+    "e4_clean_pack" -> e4Sql,
+    "e5_attribute_sheet" -> e5Sql)
 }

@@ -1207,7 +1207,7 @@ object TextOps {
           $"r_stopwords" && $"r_symbol_ratio" && $"r_top_word_mass")
   }
 
-  private val t16Sql = {
+  private[operators] val t16Sql = {
     val stops = GopherStops.map(x => s"'$x'").mkString("[", ", ", "]")
     s"""WITH f AS (
        |  SELECT doc_id,
@@ -1325,7 +1325,7 @@ object TextOps {
 
   // t17's oracle: t15's scoring CTEs with the mean kept as an exact
   // integer div, then the identical histogram/cutoff construction.
-  private val t17Sql =
+  private[operators] val t17Sql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |occ AS (
        |  SELECT doc_id,

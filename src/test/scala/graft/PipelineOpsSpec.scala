@@ -173,4 +173,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ppl.values.exists(!_), "perplexity filter drops nobody — vacuous")
   }
 
+  test("e5: every attribute column equals its standalone operator's value, per doc") {
+    val got = PipelineOps.e5AttributeSheet(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rules = TextOps.t16GopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val tier = TextOps.t17PplBuckets(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val spans = DedupOps.d10SpanDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // one attribute row per document, none lost in the joins
+    assert(got.keySet === rules.keySet)
+    assert(got.keySet === tier.keySet)
+    val flagCols = Seq("r_word_count", "r_mean_word_len", "r_alpha_words",
+      "r_stopwords", "r_symbol_ratio", "r_top_word_mass", "gopher_keep")
+    got.foreach { case (id, r) =>
+      flagCols.foreach(c => assert(
+        r.getAs[Boolean](c) === rules(id).getAs[Boolean](c), s"doc $id $c"))
+      assert(r.getAs[Long]("score_micro") ===
+        tier(id).getAs[Long]("score_micro"), s"doc $id score")
+      assert(r.getAs[String]("ppl_bucket") ===
+        tier(id).getAs[String]("ppl_bucket"), s"doc $id bucket")
+      assert(r.getAs[Long]("n_dup") === spans(id).getAs[Long]("n_dup"),
+        s"doc $id n_dup")
+      assert(r.getAs[Boolean]("has_dup") === spans(id).getAs[Boolean]("has_dup"),
+        s"doc $id has_dup")
+    }
+    // the sheet carries real variance on this corpus — attribute columns
+    // that are constant everywhere would make the equality test weak
+    assert(got.values.map(_.getAs[String]("ppl_bucket")).toSet.size >= 2)
+    assert(got.values.exists(_.getAs[Boolean]("has_dup")) ||
+      got.values.exists(!_.getAs[Boolean]("has_dup")))
+  }
+
 }

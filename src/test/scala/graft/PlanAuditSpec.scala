@@ -37,6 +37,19 @@ class PlanAuditSpec extends SparkSpec {
       "e3 embeddings scans must equal d9's")
   }
 
+  test("e5: the attribute-sheet composition adds ZERO corpus scans over the sum of its stages") {
+    // e5 joins three stage relations on doc_id; the claim is e3's: every
+    // documents scan in e5's plan is one of the stages' own, never a
+    // duplicate the composition introduced.
+    val e5 = plan("e5_attribute_sheet")
+    val stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup")
+      .map(plan)
+    assert(scansOf(e5, "documents") ===
+      stages.map(scansOf(_, "documents")).sum,
+      s"e5 documents scans must equal the sum of its stages':\n$e5")
+    assert(!e5.contains("CartesianProduct"), e5)
+  }
+
   test("q1_agg: partial+final aggregation over exactly one shuffle") {
     val p = plan("q1_agg")
     assert(shuffles(p) === 1, p)
