@@ -123,7 +123,7 @@ object TextOps {
 
   /** The pipeline's keep bit — ONE home for the ≥ 3 cutoff (t3 and e1
     * both read it; tuning it cannot desynchronize them). */
-  private[operators] def qualityKeepExpr(text: Column): Column =
+  private[graft] def qualityKeepExpr(text: Column): Column =
     qualityScoreExpr(text) >= 3
 
   /** t3: document quality scoring — the C4/Gopher-style rule battery
@@ -139,7 +139,7 @@ object TextOps {
       qualityKeepExpr($"text").as("keep"))
   }
 
-  private[operators] val t3Sql = {
+  private[graft] val t3Sql = {
     val en = langMarkers.head._2.map(x => s"'$x'").mkString("[", ", ", "]")
     """WITH f AS (
       |  SELECT doc_id,
@@ -396,7 +396,7 @@ object TextOps {
 
   /** The boilerplate flag — ONE home for the rep2 > 0.2 cutoff (t7 and
     * e1 both read it). */
-  private[operators] def repetitiveExpr(text: Column): Column =
+  private[graft] def repetitiveExpr(text: Column): Column =
     repExpr(text, 2) > 0.2
 
   /** t7: repetition ratios — the Gopher-style duplicate-n-gram filter.
@@ -414,7 +414,7 @@ object TextOps {
       repetitiveExpr($"text").as("repetitive"))
   }
 
-  private[operators] val t7Sql = {
+  private[graft] val t7Sql = {
     def g(n: Int): String =
       if (n == 1) "string_split(text, ' ')"
       else s"""CASE WHEN len(string_split(text, ' ')) >= $n
@@ -1184,30 +1184,44 @@ object TextOps {
     * natural-shaped docs). */
   def t16GopherRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words($"text")
+    Tables.documents(s, dir)
+      .select(($"doc_id" +: gopherRuleFlags($"text")
+        .map { case (n, c) => c.as(n) }): _*)
+      .withColumn("gopher_keep",
+        $"r_word_count" && $"r_mean_word_len" && $"r_alpha_words" &&
+          $"r_stopwords" && $"r_symbol_ratio" && $"r_top_word_mass")
+  }
+
+  /** The six [[t16GopherRules]] rules as named (flag, expression) pairs
+    * over a text column — factored so the streaming quality gate
+    * ([[graft.streaming.StreamingOps.qualityGate]]) applies the
+    * IDENTICAL battery per-row at ingest. */
+  private[graft] def gopherRuleFlags(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
     val nw = size(w)
     // Σ word lengths = chars − (n−1) separators for space-joined text.
-    val twc = length($"text") - nw + lit(1)
+    val twc = length(text) - nw + lit(1)
     val alphaW = size(filter(w, x => x.rlike("[A-Za-z]")))
     val stopHits = size(filter(
       array(GopherStops.map(lit): _*), x => array_contains(w, x)))
     val symW = size(filter(w, x => x.contains("#") || x.contains("...")))
     val topMass = array_max(transform(
       array_distinct(w), x => size(filter(w, y => y === x)) * length(x)))
-    Tables.documents(s, dir)
-      .select($"doc_id",
-        nw.between(50, 100000).as("r_word_count"),
-        ((lit(3) * nw) <= twc && twc <= (lit(10) * nw)).as("r_mean_word_len"),
-        ((lit(5) * alphaW) >= (lit(4) * nw)).as("r_alpha_words"),
-        (stopHits >= 2).as("r_stopwords"),
-        ((lit(10) * symW) <= nw).as("r_symbol_ratio"),
-        ((lit(5) * topMass) <= twc).as("r_top_word_mass"))
-      .withColumn("gopher_keep",
-        $"r_word_count" && $"r_mean_word_len" && $"r_alpha_words" &&
-          $"r_stopwords" && $"r_symbol_ratio" && $"r_top_word_mass")
+    Seq(
+      "r_word_count" -> nw.between(50, 100000),
+      "r_mean_word_len" -> ((lit(3) * nw) <= twc && twc <= (lit(10) * nw)),
+      "r_alpha_words" -> ((lit(5) * alphaW) >= (lit(4) * nw)),
+      "r_stopwords" -> (stopHits >= 2),
+      "r_symbol_ratio" -> ((lit(10) * symW) <= nw),
+      "r_top_word_mass" -> ((lit(5) * topMass) <= twc))
   }
 
-  private[operators] val t16Sql = {
+  /** The conjunction of [[gopherRuleFlags]] — `gopher_keep` as one
+    * composable per-row expression. */
+  private[graft] def gopherKeepExpr(text: Column): Column =
+    gopherRuleFlags(text).map(_._2).reduce(_ && _)
+
+  private[graft] val t16Sql = {
     val stops = GopherStops.map(x => s"'$x'").mkString("[", ", ", "]")
     s"""WITH f AS (
        |  SELECT doc_id,

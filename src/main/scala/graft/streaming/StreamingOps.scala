@@ -396,6 +396,62 @@ object StreamingOps {
        |WHERE (doc_a % $m = $r) <> (doc_b % $m = $r)""".stripMargin
   }
 
+  // -------------------------------------------------------------- st10
+
+  /** The QUALITY gate at the streaming front door, written once for
+    * both modes (the tier's standing discipline): every per-document
+    * quality signal the library ships that needs NO corpus context —
+    * t16's Gopher rule battery, t3's quality-score battery, t7's
+    * repetition screen — applied per row at ingest, with the admission
+    * verdict alongside the named signals. This is the screen that runs
+    * BEFORE a document enters the lake (st7/st9's dedup screens then
+    * probe the standing corpus): corpus-free by construction, so the
+    * streaming plan is a pure stateless narrow map — no state store, no
+    * watermark, no join, nothing but the row itself at ANY scale. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val admit = TextOps.gopherKeepExpr(col("text")) &&
+      TextOps.qualityKeepExpr(col("text")) &&
+      !TextOps.repetitiveExpr(col("text"))
+    docs.select(col("doc_id"),
+      TextOps.gopherKeepExpr(col("text")).as("gopher_keep"),
+      TextOps.qualityKeepExpr(col("text")).as("q_keep"),
+      TextOps.repetitiveExpr(col("text")).as("repetitive"),
+      admit.as("admit"))
+  }
+
+  /** st10: the gate in batch mode over d8's deterministic ingest slice
+    * (st7's registration device) — what the oracle checks;
+    * StreamingOpsSpec proves the same transform over a MemoryStream
+    * emits identical rows. Fixture note: `gopher_keep` — and therefore
+    * `admit` — is false on every fixture document (the t16 stop-word
+    * corpus property, pinned there); `q_keep` and `repetitive` carry
+    * real variance, and the stream spec exercises the admit path on a
+    * planted natural-shaped document. */
+  def st10StreamQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, dir)
+    qualityGate(docs.where(
+      col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem))
+  }
+
+  private val st10Sql = {
+    val m = graft.operators.DedupOps.IngestMod
+    val r = graft.operators.DedupOps.IngestRem
+    s"""WITH g AS (SELECT doc_id, gopher_keep
+       |           FROM (${graft.operators.TextOps.t16Sql})),
+       |tq AS (SELECT doc_id, keep AS q_keep
+       |       FROM (${graft.operators.TextOps.t3Sql})),
+       |tr AS (SELECT doc_id, repetitive
+       |       FROM (${graft.operators.TextOps.t7Sql}))
+       |SELECT d.doc_id, g.gopher_keep, tq.q_keep, tr.repetitive,
+       |  (g.gopher_keep AND tq.q_keep AND (NOT tr.repetitive)) AS admit
+       |FROM (SELECT doc_id FROM documents WHERE (doc_id % $m) = $r) d
+       |JOIN g ON d.doc_id = g.doc_id
+       |JOIN tq ON d.doc_id = tq.doc_id
+       |JOIN tr ON d.doc_id = tr.doc_id""".stripMargin
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -415,7 +471,8 @@ object StreamingOps {
     "st6_stream_sink" -> st6StreamSink _,
     "st7_stream_ingest_screen" -> st7StreamIngestScreen _,
     "st8_upsert_sink" -> st8UpsertSink _,
-    "st9_stream_neardup_screen" -> st9StreamNearDupScreen _)
+    "st9_stream_neardup_screen" -> st9StreamNearDupScreen _,
+    "st10_stream_quality_gate" -> st10StreamQualityGate _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -428,5 +485,6 @@ object StreamingOps {
     // deliberately q23's oracle text: the hash compare proves the
     // batch-by-batch upsert fold converges to the one-shot merge
     "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql,
-    "st9_stream_neardup_screen" -> st9Sql)
+    "st9_stream_neardup_screen" -> st9Sql,
+    "st10_stream_quality_gate" -> st10Sql)
 }

@@ -91,8 +91,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("narrow text/multimodal maps shuffle nothing at all") {
+    // st10 rides here too: the ingest quality gate is corpus-free, so
+    // its batch registration must be the same pure narrow map its
+    // streaming mode runs statelessly
     for (q <- Seq("t1_text_stats", "t3_quality_score", "t16_gopher_rules",
-        "m1_binary_meta")) {
+        "st10_stream_quality_gate", "m1_binary_meta")) {
       val p = plan(q)
       assert(shuffles(p) === 0, s"$q must be a pure narrow map:\n$p")
       assert(!p.contains("BroadcastExchange"), s"$q should not need a join:\n$p")

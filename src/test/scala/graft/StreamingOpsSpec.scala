@@ -134,6 +134,38 @@ class StreamingOpsSpec extends SparkSpec {
       s"unexpected state operators: ${q.lastProgress.stateOperators}")
   }
 
+  test("st10: streaming and batch modes of the quality gate agree; a natural doc admits statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    // a natural-shaped doc passing every battery: 60 words, 4 Gopher
+    // stopwords, marker ratio > 0.05, all bigrams distinct
+    val natural = (Seq("the", "of", "and", "that", "a") ++
+      (1 to 55).map(i => s"word$i")).mkString(" ")
+    val repetitive = ("loop " * 60).trim          // rep2 ≈ 1 ⇒ rejected
+    val short = "the of and tiny"                 // fails both word bands
+    val incoming = Seq((7L, natural), (17L, repetitive), (27L, short))
+
+    val want = StreamingOps.qualityGate(incoming.toDF("doc_id", "text"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(want(7L) === ((7L, true, true, false, true)), s"natural: ${want(7L)}")
+    assert(!want(17L)._5 && want(17L)._4, s"repetitive: ${want(17L)}")
+    assert(!want(27L)._5 && !want(27L)._2, s"short: ${want(27L)}")
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming)
+    val q = StreamingOps.qualityGate(stream.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("st10_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st10_test")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got === want)
+    // corpus-free gate ⇒ stateless plan: no state store allocated
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${q.lastProgress.stateOperators}")
+  }
+
   test("st1: streaming and batch modes of hourlyTypeCounts agree") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
