@@ -623,7 +623,10 @@ object MultimodalOps {
     * at fixture scale; a billion-image deployment widens the hash (e.g.
     * 256-bit pHash = 16 of these blocks — same machinery, more bands) to
     * keep per-bucket quadratic cost bounded, exactly as documented for
-    * d3's 24-bit blocks. */
+    * d3's 24-bit blocks; and a DEGENERATE corpus (uniform/empty payloads
+    * funneling into one bucket) trips [[AHashBucketCap]], whose join
+    * fallback spreads the quadratic pair-gen across tasks instead of
+    * one array row (see [[imagePairsOf]]). */
   def m6ImageNeardup(s: SparkSession, dir: String): DataFrame =
     imageNeardupOf(withBlob(s, dir))
 
@@ -652,13 +655,33 @@ object MultimodalOps {
       .toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
+  /** A (band, block) bucket larger than this leaves the collect_list
+    * path: a degenerate corpus (many uniform/empty payloads hashing to
+    * identical blocks) would otherwise funnel into ONE task holding an
+    * O(n) array row and running O(n²) pair-gen single-threaded. */
+  private[graft] val AHashBucketCap = 1024
+
   /** Verified pairs at Hamming ≤ [[AHashHammingMax]] from a hash sheet —
-    * the d3 in-bucket pair-gen over (band, block) buckets. */
-  private[graft] def imagePairsOf(hashed: DataFrame): DataFrame = {
+    * the d3 in-bucket pair-gen over (band, block) buckets, with a
+    * degenerate-bucket guard: buckets at or under `cap` members take the
+    * in-bucket array pair-gen (one task, zero pair-shaped shuffle);
+    * buckets OVER `cap` fall back to a (band, key) equi-join whose
+    * quadratic output is generated across tasks instead of inside one
+    * array row. Results are identical by construction (same candidate
+    * set, same Hamming filter — spec-asserted on a forced-degenerate
+    * corpus); the bucket-size split is a window count over the same
+    * (band, key) exchange the groupBy needs anyway, so the common path
+    * adds no shuffle. Not a silent cap: no candidate is dropped — only
+    * the physical strategy changes. */
+  private[graft] def imagePairsOf(hashed: DataFrame,
+      cap: Int = AHashBucketCap): DataFrame = {
     import hashed.sparkSession.implicits._
-    hashed
+    import org.apache.spark.sql.expressions.Window
+    val exploded = hashed
       .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
         posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("band", "key")))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy($"band", $"key")))
+    val small = exploded.where($"bn" <= cap)
       .groupBy($"band", $"key")
       .agg(sort_array(collect_list(
         struct($"doc_id", $"b0", $"b1", $"b2", $"b3"))).as("xs"))
@@ -671,7 +694,21 @@ object MultimodalOps {
           "bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3) AS hamming)), " +
           s"p -> p.hamming <= $AHashHammingMax)))")).as("p"))
       .select($"p.doc_a", $"p.doc_b", $"p.hamming".cast("int").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+    val big = exploded.where($"bn" > cap)
+    val bigPairs = big
+      .select($"band", $"key", $"doc_id".as("doc_a"),
+        $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      .join(big.select($"band", $"key", $"doc_id".as("doc_b"),
+          $"b0", $"b1", $"b2", $"b3"),
+        Seq("band", "key"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (bit_count($"a0".bitwiseXOR($"b0")) +
+          bit_count($"a1".bitwiseXOR($"b1")) +
+          bit_count($"a2".bitwiseXOR($"b2")) +
+          bit_count($"a3".bitwiseXOR($"b3"))).cast("int").as("hamming"))
+      .where($"hamming" <= AHashHammingMax)
+    small.unionByName(bigPairs).dropDuplicates("doc_a", "doc_b")
   }
 
   // m6's stub semantics in DuckDB: sample j = codepoint of char

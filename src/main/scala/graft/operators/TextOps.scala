@@ -1164,9 +1164,11 @@ object TextOps {
     *   - `r_alpha_words`:   ≥ 80% of words contain an alphabetic char;
     *   - `r_stopwords`:     ≥ 2 distinct [[GopherStops]] present;
     *   - `r_symbol_ratio`:  `#`/`...`-bearing words ≤ 10% of words;
-    *   - `r_top_word_mass`: chars under the most frequent word ≤ 20%
+    *   - `r_top_word_mass`: chars under the MOST FREQUENT word ≤ 20%
     *     of word chars (the n=1 member of Gopher's top-n-gram
-    *     char-fraction family — n ≥ 2 is t7's territory);
+    *     char-fraction family — n ≥ 2 is t7's territory; frequency
+    *     picks the word, ties broken by mass — see the key-packing
+    *     note in [[gopherRuleFlags]]);
     *   - `gopher_keep`:     AND of all six.
     *
     * Every comparison is an integer cross-multiplication — no division,
@@ -1205,8 +1207,14 @@ object TextOps {
     val stopHits = size(filter(
       array(GopherStops.map(lit): _*), x => array_contains(w, x)))
     val symW = size(filter(w, x => x.contains("#") || x.contains("...")))
-    val topMass = array_max(transform(
-      array_distinct(w), x => size(filter(w, y => y === x)) * length(x)))
+    // char mass of the MOST FREQUENT word (Rae et al. 2021's rule — not
+    // the max char-mass word, which a rare long word can win): per
+    // distinct word, pack (freq, mass) as freq·2³¹ + mass = freq·(2³¹ +
+    // len), so array_max orders by freq then mass and % recovers the
+    // winner's mass. Exact while mass < 2³¹ chars/doc and freq < 2³².
+    val topMass = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x)).cast("long") *
+        (lit(2147483648L) + length(x)))) % lit(2147483648L)
     Seq(
       "r_word_count" -> nw.between(50, 100000),
       "r_mean_word_len" -> ((lit(3) * nw) <= twc && twc <= (lit(10) * nw)),
@@ -1240,8 +1248,9 @@ object TextOps {
        |    ((10 * len(list_filter(w,
        |       x -> (contains(x, '#') OR contains(x, '...'))))) <= nw)
        |      AS r_symbol_ratio,
-       |    ((5 * list_max(list_transform(list_distinct(w),
-       |       x -> (len(list_filter(w, y -> y = x)) * length(x))))) <= twc)
+       |    ((5 * (list_max(list_transform(list_distinct(w),
+       |       x -> (len(list_filter(w, y -> y = x)) * (2147483648 + length(x)))))
+       |       % 2147483648)) <= twc)
        |      AS r_top_word_mass
        |  FROM f)
        |SELECT doc_id, r_word_count, r_mean_word_len, r_alpha_words,

@@ -203,13 +203,18 @@ object GenStore {
     * in [[Manifest]] mode the local `CREATE_NEW` simulation opens the
     * commit file and then writes its content — death exactly between the
     * two syscalls leaves an empty claim on that number. Readers skip it,
-    * and the next fold SELF-HEALS: an empty claim settled longer than
-    * [[DeadClaimSettleMs]] is swept and the commit retried once (a
-    * fresh empty entry — a racer possibly mid-write — still fails
-    * loudly; see [[commit]]). A real object store's conditional PUT
-    * carries the content atomically and has no such window. [[Links]]
-    * mode commits by hard-linking a fully-written temp file and is
-    * window-free. */
+    * and the next fold SELF-HEALS by numbering PAST it: an empty claim
+    * settled longer than [[DeadClaimSettleMs]] is skipped on the number
+    * line (see [[nextGenNumber]]) and removed later by commit-log
+    * retention; a fresh empty entry — a racer possibly mid-write — is
+    * NOT skipped, so the claim collides with it and fails loudly. The
+    * dead claim is deliberately never deleted in the claim path: a
+    * check-then-delete repair is a TOCTOU against a second repairer
+    * (the slower one's delete lands on the faster one's freshly
+    * committed non-empty entry and silently replaces its generation).
+    * A real object store's conditional PUT carries the content
+    * atomically and has no such window. [[Links]] mode commits by
+    * hard-linking a fully-written temp file and is window-free. */
   def fold(s: SparkSession, path: String, batch: DataFrame,
       partCol: String, idCol: String, mode: Mode = Links,
       strictReplace: Boolean = false): Unit = {
@@ -230,7 +235,7 @@ object GenStore {
         s"$path holds partition data ($stray) but no commit — not a " +
           "GenStore layout; migrate or clear it explicitly")
     }
-    val genNum = curGen.map(genNumber).getOrElse(0L) + 1
+    val genNum = nextGenNumber(path, curGen)
     val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}" +
       s"s${stagingSeq.incrementAndGet()}"
     val newPath = s"$path/$newGen"
@@ -327,7 +332,7 @@ object GenStore {
     val fragmented = owners.filter { case (d, o) =>
       parquetFiles(o, d).length > math.max(targetFiles, maxFiles) }
     if (fragmented.isEmpty) return
-    val genNum = genNumber(g) + 1
+    val genNum = nextGenNumber(path, Some(g))
     val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}" +
       s"s${stagingSeq.incrementAndGet()}"
     fragmented.toSeq.sortBy(_._1).foreach { case (d, o) =>
@@ -352,19 +357,44 @@ object GenStore {
     * settle is ~6 orders of magnitude of margin). */
   private[graft] val DeadClaimSettleMs = 10000L
 
+  private def settledDead(p: java.nio.file.Path): Boolean =
+    try java.nio.file.Files.size(p) == 0 &&
+      System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(p).toMillis > DeadClaimSettleMs
+    catch { case _: java.io.IOException => false }
+
+  /** Number for the next generation: one past BOTH the committed
+    * generation and any settled dead claims above it. The crash debris
+    * is never deleted or renamed here — the number line simply moves
+    * on, so two folds that both observed the same dead claim race onto
+    * the same FRESH number and exactly one `CREATE_NEW` wins (the old
+    * check-then-delete repair was a TOCTOU: the slower repairer's
+    * delete could land on the faster one's freshly committed non-empty
+    * entry). Fresh empty entries — a racer possibly mid-write — are
+    * deliberately NOT skipped, so the claim collides and loses loudly.
+    * The dead entry itself falls to commit-log retention once two newer
+    * commits exist ([[sweep]] keeps entries ≥ genNum − 1 only). */
+  private def nextGenNumber(path: String, curGen: Option[String]): Long = {
+    val base = curGen.map(genNumber).getOrElse(0L)
+    val deadMax = commitEntries(path).iterator
+      .filter { case (n, p) => n > base && settledDead(p) }
+      .map(_._1).maxOption.getOrElse(0L)
+    math.max(base, deadMax) + 1
+  }
+
   /** The atomic claim-and-publish of generation `genNum`. [[Links]]:
     * hard-link a fully-written temp file onto the commit name — link(2)
     * fails with EEXIST atomically, so the claim and the content arrive
     * together. [[Manifest]]: `CREATE_NEW` write, the faithful local
     * stand-in for an object store's conditional PUT (link-free by
     * design; window documented on [[fold]]). Hitting an EXISTING entry
-    * distinguishes two cases: a non-empty (or freshly created, possibly
-    * mid-write) entry is a true concurrent writer — fail loudly; an
-    * empty entry SETTLED for [[DeadClaimSettleMs]] is the documented
-    * crash window's debris — readers already skip it, so it is swept
-    * and the claim retried ONCE (crash recovery, not a race; before
-    * this, the next fold after such a crash threw
-    * [[ConcurrentFoldException]] and needed manual removal). */
+    * is ALWAYS a loss: the number was chosen past every settled dead
+    * claim ([[nextGenNumber]]), so whatever sits on it now is a true
+    * concurrent writer (possibly mid-write) — or, vanishingly, a fold
+    * that crashed between this fold's numbering read and its claim;
+    * both fail loudly and nothing on the commit log is ever deleted or
+    * renamed from the claim path (the repair-in-place alternatives are
+    * TOCTOUs against a racing repairer — see [[nextGenNumber]]). */
   private def commit(path: String, genNum: Long, newGen: String,
       mode: Mode): Unit = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -382,24 +412,14 @@ object GenStore {
         Files.write(target, newGen.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     }
-    def deadClaim(): Boolean =
-      try Files.size(target) == 0 &&
-        System.currentTimeMillis() -
-          Files.getLastModifiedTime(target).toMillis > DeadClaimSettleMs
-      catch { case _: java.io.IOException => false }
-    def lose(e: Throwable): Nothing =
-      throw new ConcurrentFoldException(
-        s"concurrent fold detected: generation $genNum at $path was " +
-          s"committed by another writer; this fold's staging directory " +
-          s"$newGen is uncommitted and will be swept by the next " +
-          "successful fold", e)
     try claim()
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        if (!deadClaim()) lose(e)
-        Files.deleteIfExists(target)
-        try claim()
-        catch { case e2: java.nio.file.FileAlreadyExistsException => lose(e2) }
+        throw new ConcurrentFoldException(
+          s"concurrent fold detected: generation $genNum at $path was " +
+            s"committed by another writer; this fold's staging directory " +
+            s"$newGen is uncommitted and will be swept by the next " +
+            "successful fold", e)
     }
   }
 

@@ -340,7 +340,7 @@ class GenStoreSpec extends SparkSpec {
     assert(content(root) === model.map { case (id, (p, v)) => (id, p, v) }.toSet)
   }
 
-  test("a settled empty claim (crashed Manifest commit) self-heals: the next fold sweeps it and commits") {
+  test("a settled empty claim (crashed Manifest commit) self-heals: the next fold numbers past it") {
     val root = freshRoot()
     GenStore.fold(spark, root, batch((1L, 1, "a")), "part", "id", GenStore.Manifest)
     // plant the documented crash debris: death between the CREATE_NEW
@@ -355,6 +355,21 @@ class GenStoreSpec extends SparkSpec {
     // manual removal — a crash-recovery path misreported as a race
     GenStore.fold(spark, root, batch((2L, 2, "b")), "part", "id", GenStore.Manifest)
     assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b")))
+    // the heal must NUMBER PAST the dead claim, never delete or rename
+    // it in the claim path — a check-then-delete repair is a TOCTOU:
+    // two repairers can interleave so the slower one's delete lands on
+    // the faster one's freshly committed NON-EMPTY entry and silently
+    // replaces its generation. The debris falls to commit-log
+    // retention once two newer commits exist.
+    assert(GenStore.currentGenNumber(root) === Some(3L),
+      "healing fold must claim the number past the dead claim")
+    assert(java.nio.file.Files.exists(claim) &&
+      java.nio.file.Files.size(claim) === 0,
+      "the dead claim must be left untouched by the healing commit")
+    GenStore.fold(spark, root, batch((3L, 3, "c")), "part", "id", GenStore.Manifest)
+    assert(!java.nio.file.Files.exists(claim),
+      "commit-log retention must sweep the settled dead claim")
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")))
   }
 
   test("a FRESH empty claim is a possible in-flight racer: the fold still fails loudly") {

@@ -251,6 +251,26 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(degrees === Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 0))
   }
 
+  test("m6: a degenerate bucket over the cap takes the join fallback with identical pairs") {
+    // 12 identical payloads funnel into ONE (band, key) bucket per band —
+    // the shape that would hand a single task an O(n) array row and O(n²)
+    // pair-gen. cap=4 forces every bucket through the equi-join fallback;
+    // a giant cap keeps the in-bucket array path. The guard must change
+    // the physical strategy only, never the candidate set.
+    val base = Array.tabulate(64)(j => if (j % 2 == 0) 'a' else 'z').mkString
+    val blobs = (1L to 12L).map(i => (i, base)).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+    val sheet = MultimodalOps.imageNeardupOf(blobs)
+      .select($"doc_id", $"b0", $"b1", $"b2", $"b3")
+    val want = (for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b, 0)).toSet
+    val viaJoin = MultimodalOps.imagePairsOf(sheet, cap = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaArray = MultimodalOps.imagePairsOf(sheet, cap = 1 << 20)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaJoin === want, "join-fallback pair set")
+    assert(viaArray === want, "array-path pair set")
+  }
+
   test("m6: real PNG pixels hash identically through the same packing (codec-independence)") {
     val payload = "the quick brown fox jumps over the lazy dog 0123456789"
       .getBytes("UTF-8")

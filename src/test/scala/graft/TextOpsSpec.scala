@@ -540,9 +540,16 @@ class TextOpsSpec extends SparkSpec {
       (1 to 57).map(i => s"word$i")).mkString(" ")   // 60 words, all rules green
     val short = "the of and tiny"                    // 4 words: r_word_count fails
     val mono = Seq.fill(60)("batch").mkString(" ")   // no stops; top word = 100%
+    // the published rule keys on the MOST FREQUENT word: "it"×30 (mass
+    // 60) is the top word, not the rare 80-char word (mass 80). twc =
+    // 340, so 5·60 ≤ 340 passes — the max-char-mass formulation this
+    // replaced failed it (5·80 > 340)
+    val rareLong = (Seq.fill(30)("it") ++ Seq("x" * 80) ++
+      (1 to 40).map(i => f"wd$i%03d")).mkString(" ")
     Seq((1L, pass, "en", "s", pass.length.toLong),
         (2L, short, "en", "s", short.length.toLong),
-        (3L, mono, "en", "s", mono.length.toLong))
+        (3L, mono, "en", "s", mono.length.toLong),
+        (4L, rareLong, "en", "s", rareLong.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = TextOps.t16GopherRules(spark, dir).collect()
@@ -554,6 +561,8 @@ class TextOpsSpec extends SparkSpec {
     assert(!got(3L).getAs[Boolean]("r_stopwords"))
     assert(!got(3L).getAs[Boolean]("r_top_word_mass"))
     assert(got(3L).getAs[Boolean]("r_word_count"))
+    assert(got(4L).getAs[Boolean]("r_top_word_mass"),
+      "most-frequent-word rule must not be failed by a rare long word")
   }
 
   test("t16: fixture flags equal an independent Scala recount of all six rules") {
@@ -568,8 +577,12 @@ class TextOpsSpec extends SparkSpec {
       val w = t.split(" ", -1)
       val nw = w.length.toLong
       val twc = t.length - nw + 1
-      val topMass = w.groupBy(identity)
-        .map { case (x, xs) => xs.length.toLong * x.length }.max
+      // most frequent word's char mass, ties by mass (the published
+      // rule); .iterator, not .map on the Map — same-freq words would
+      // collapse by key and keep an arbitrary survivor's mass
+      val topMass = w.groupBy(identity).iterator
+        .map { case (x, xs) => (xs.length.toLong, xs.length.toLong * x.length) }
+        .max._2
       val want = List(
         nw >= 50 && nw <= 100000,
         3 * nw <= twc && twc <= 10 * nw,
