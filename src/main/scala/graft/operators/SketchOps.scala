@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** M3 sketch tier — the approximate aggregates a 100 TB pipeline uses where
@@ -211,28 +211,51 @@ object SketchOps {
   def k5SourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlap(s, Tables.documents(s, dir))
 
-  /** Kernel over any (source, text) relation — k5 binds the corpus;
-    * SketchOpsSpec drives planted synthetic corpora through it. */
-  private[graft] def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** The distinct (source, h1, h2) gram-identity relation — the ONE
+    * corpus-touching pass shared by [[sourceOverlap]] (k5) and
+    * [[signatureOverlap]] (k5b). Vocab-bounded, 24-byte rows. */
+  private def gramSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sets = docs
+    docs
       .select($"source", explode(DedupOps.shingles($"text", 3)).as("g"))
       .select($"source", md5($"g").as("m"))
       .select($"source",
         conv(substring($"m", 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring($"m", 17, 15), 16, 10).cast("long").as("h2"))
       .distinct()
+  }
+
+  /** (source, n, sig) — set size and the [[K5Channels]]-long MinHash
+    * signature, both out of ONE map-side-combined aggregate over the
+    * gram-identity relation. */
+  private def perSourceSig(sets: DataFrame): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    val mins = k5Chan.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * ($"h1" % K5P) % K5P + lit(b) * ($"h2" % K5P) % K5P) % K5P)
+        .as(s"m$i")
+    }
+    sets.groupBy($"source")
+      .agg(count(lit(1)).as("n"), mins: _*)
+      .select($"source", $"n",
+        array((0 until K5Channels).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Channel-agreement count between two signature columns — exact BIGINT. */
+  private def matchesExpr(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Kernel over any (source, text) relation — k5 binds the corpus;
+    * SketchOpsSpec drives planted synthetic corpora through it. */
+  private[graft] def sourceOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sets = gramSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val mins = k5Chan.zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a) * ($"h1" % K5P) % K5P + lit(b) * ($"h2" % K5P) % K5P) % K5P)
-          .as(s"m$i")
-      }
-      // one aggregate serves both the size and the full signature
-      val perSrc = sets.groupBy($"source")
-        .agg(count(lit(1)).as("n"), mins: _*)
-        .select($"source", $"n",
-          array((0 until K5Channels).map(i => col(s"m$i")): _*).as("sig"))
+      val perSrc = perSourceSig(sets)
       val a = perSrc.select($"source".as("source_a"), $"n".as("n_a"), $"sig".as("sig_a"))
       val b = perSrc.select($"source".as("source_b"), $"n".as("n_b"), $"sig".as("sig_b"))
       val ia = sets.select($"source".as("source_a"), $"h1", $"h2")
@@ -246,9 +269,7 @@ object SketchOps {
         .select($"source_a", $"source_b", $"n_a", $"n_b",
           coalesce($"i_cnt", lit(0L)).as("inter_cnt"),
           ($"n_a" + $"n_b" - coalesce($"i_cnt", lit(0L))).as("union_cnt"),
-          aggregate(
-            zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, v) => acc + v).as("matches"))
+          matchesExpr($"sig_a", $"sig_b").as("matches"))
         .withColumn("minhash_within_bound",
           abs($"matches" * $"union_cnt" - $"inter_cnt" * K5Channels) <=
             $"union_cnt" * (K5Channels / 4))
@@ -306,6 +327,78 @@ object SketchOps {
        |LEFT JOIN iv ON iv.sa = x.source AND iv.sb = y.source""".stripMargin
   }
 
+  // ------------------------------------------- k5b signature-only overlap
+
+  /** k5b: the DEPLOYABLE half of k5 — the source-overlap matrix from
+    * MinHash signatures ALONE, with the exact-intersection self-join (the
+    * one k5 computation whose work is Σ per-gram source-pair volume)
+    * dropped. This is the plan a 100 TB deployment actually runs (k1's
+    * sketch-alone discipline): the corpus is touched once for the
+    * vocab-bounded gram-identity relation, ONE map-side-combined aggregate
+    * reduces it to sources × [[K5Channels]] longs, and the pair matrix is
+    * an S-row broadcast self-join — no data-scaled work after the first
+    * aggregate, no persist, no driver collect. k5 stays registered as the
+    * AUDIT tool that proves the estimator against exact intersections;
+    * its spec asserts k5b's `matches` equals k5's on the same corpus.
+    *
+    * `jaccard_est_micro` = (matches × 10⁶) div [[K5Channels]] — the
+    * estimator as an exact integer rational (the t13/t14 no-float
+    * discipline), hash-compared bit-for-bit. σ ≤ 0.0442 (the [[K5Channels]]
+    * bound above), so the estimate carries ~±4.4 points of Jaccard at 1σ —
+    * the resolution mix-planning needs, at a fraction of k5's cost. */
+  def k5bSignatureOverlap(s: SparkSession, dir: String): DataFrame =
+    signatureOverlap(s, Tables.documents(s, dir))
+
+  /** Kernel over any (source, text) relation — k5b binds the corpus;
+    * SketchOpsSpec drives planted corpora through it and diffs its
+    * `matches` against [[sourceOverlap]]'s. */
+  private[graft] def signatureOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val perSrc = perSourceSig(gramSets(docs))
+    val a = perSrc.select($"source".as("source_a"), $"n".as("n_a"), $"sig".as("sig_a"))
+    val b = perSrc.select($"source".as("source_b"), $"n".as("n_b"), $"sig".as("sig_b"))
+    a.join(broadcast(b), $"source_a" < $"source_b")
+      .withColumn("matches", matchesExpr($"sig_a", $"sig_b"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"matches",
+        expr(s"(matches * 1000000L) div $K5Channels").as("jaccard_est_micro"))
+  }
+
+  private val k5bSql = {
+    val chanRows = k5Chan.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w, text
+       |  FROM documents),
+       |gr AS (
+       |  SELECT source, s AS g FROM toks,
+       |  UNNEST(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w) - 2),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [text] END) AS u(s)),
+       |hs AS (SELECT DISTINCT source,
+       |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+       |    ('0x' || substr(md5(g), 17, 15))::BIGINT AS h2
+       |  FROM gr),
+       |sz AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1),
+       |chans(i, a, b) AS (VALUES $chanRows),
+       |sig AS (
+       |  SELECT source, i,
+       |    MIN(((a * (h1 % $K5P)) % $K5P + (b * (h2 % $K5P)) % $K5P) % $K5P)
+       |      AS m
+       |  FROM hs CROSS JOIN chans GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT p.source AS sa, q.source AS sb,
+       |    CAST(SUM(CASE WHEN p.m = q.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS matches
+       |  FROM sig p JOIN sig q ON p.i = q.i AND p.source < q.source
+       |  GROUP BY 1, 2)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  x.n AS n_a, y.n AS n_b,
+       |  mm.matches,
+       |  (mm.matches * 1000000) // $K5Channels AS jaccard_est_micro
+       |FROM sz x JOIN sz y ON x.source < y.source
+       |JOIN mm ON mm.sa = x.source AND mm.sb = y.source""".stripMargin
+  }
+
   // ------------------------------------------------ k6 Zipf histogram
 
   /** k6: the corpus token-frequency histogram in decimal-magnitude
@@ -350,6 +443,7 @@ object SketchOps {
     "k3_cms_topk" -> k3CmsTopk _,
     "k4_sketch_union" -> k4SketchUnion _,
     "k5_source_overlap" -> k5SourceOverlap _,
+    "k5b_signature_overlap" -> k5bSignatureOverlap _,
     "k6_zipf_histogram" -> k6ZipfHistogram _)
 
   val oracleSql: Map[String, String] = Map(
@@ -358,5 +452,6 @@ object SketchOps {
     "k3_cms_topk" -> k3Sql,
     "k4_sketch_union" -> k4Sql,
     "k5_source_overlap" -> k5Sql,
+    "k5b_signature_overlap" -> k5bSql,
     "k6_zipf_histogram" -> k6Sql)
 }

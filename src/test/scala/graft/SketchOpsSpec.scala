@@ -118,6 +118,28 @@ class SketchOpsSpec extends SparkSpec {
     assert(got.values.forall(_.getAs[Boolean]("minhash_within_bound")))
   }
 
+  test("k5b: signature-only overlap agrees with k5's matches on every pair; estimate is the exact rational") {
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "b c d e"), ("C", "a b c d"), ("D", "x y")
+    ).toDF("source", "text")
+    val audit = SketchOps.sourceOverlap(spark, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val prod = SketchOps.signatureOverlap(spark, docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(prod.keySet === audit.keySet)
+    prod.foreach { case (k, r) =>
+      // the deployable half must carry EXACTLY the audit tool's signature
+      // agreement — dropping the intersection join may not perturb it
+      assert(r.getAs[Long]("matches") === audit(k).getAs[Long]("matches"), s"$k matches")
+      assert(r.getAs[Long]("n_a") === audit(k).getAs[Long]("n_a"), s"$k n_a")
+      assert(r.getAs[Long]("n_b") === audit(k).getAs[Long]("n_b"), s"$k n_b")
+      assert(r.getAs[Long]("jaccard_est_micro") ===
+        r.getAs[Long]("matches") * 1000000L / SketchOps.K5Channels, s"$k estimate")
+    }
+    // identical sources: estimate pegs at exactly 10^6 (J = 1)
+    assert(prod(("A", "C")).getAs[Long]("jaccard_est_micro") === 1000000L)
+  }
+
   test("k6: Zipf histogram equals an independent Scala token-frequency recount") {
     val got = SketchOps.k6ZipfHistogram(spark, sf).collect()
       .map(r => r.getAs[Int]("bucket") ->
