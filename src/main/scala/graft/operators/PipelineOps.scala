@@ -191,15 +191,19 @@ object PipelineOps {
     *
     *   - t16's six Gopher rule flags + `gopher_keep`;
     *   - t17's reference-LM quality tier (`score_micro`, `ppl_bucket`);
-    *   - d10's span-duplication attributes (`n_dup`, `has_dup`).
+    *   - d10's span-duplication attributes (`n_dup`, `has_dup`);
+    *   - t18's trained-classifier verdict (`clf_score`, `clf_keep`) —
+    *     the discriminative quality column Dolma ships next to the
+    *     perplexity tier.
     *
     * Plan shape (the e3 discipline): every stage reduces to a
     * (doc_id, narrow attributes) relation before joining — the heavy
     * machinery (t17's scoring exchange against the persisted reference
-    * model, d10's hashed window aggregate) is each stage's own audited
-    * plan, and the composition's additional cost is two id-width
-    * joins. Plan-audited: e5's corpus scans equal the SUM of its
-    * stages' — the composition introduces none. */
+    * model, d10's hashed window aggregate, t18's literal-weight narrow
+    * map) is each stage's own audited plan, and the composition's
+    * additional cost is three id-width joins. Plan-audited: e5's corpus
+    * scans equal the SUM of its stages' — the composition introduces
+    * none. */
   def e5AttributeSheet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rules = TextOps.t16GopherRules(s, dir)
@@ -207,7 +211,10 @@ object PipelineOps {
       .select($"doc_id", $"score_micro", $"ppl_bucket")
     val spans = DedupOps.d10SpanDedup(s, dir)
       .select($"doc_id", $"n_dup", $"has_dup")
+    val clf = TextOps.t18QualityClassifier(s, dir)
+      .select($"doc_id", $"clf_score", $"clf_keep")
     rules.join(tier, Seq("doc_id")).join(spans, Seq("doc_id"))
+      .join(clf, Seq("doc_id"))
   }
 
   /** Oracle: the same composition over the stage oracles. */
@@ -215,11 +222,14 @@ object PipelineOps {
     s"""WITH rules AS (SELECT * FROM (${TextOps.t16Sql})),
        |tier AS (SELECT doc_id, score_micro, ppl_bucket
        |         FROM (${TextOps.t17Sql})),
-       |spans AS (SELECT doc_id, n_dup, has_dup FROM (${DedupOps.d10Sql}))
-       |SELECT r.*, t.score_micro, t.ppl_bucket, s.n_dup, s.has_dup
+       |spans AS (SELECT doc_id, n_dup, has_dup FROM (${DedupOps.d10Sql})),
+       |clf AS (SELECT doc_id, clf_score, clf_keep FROM (${TextOps.t18Sql}))
+       |SELECT r.*, t.score_micro, t.ppl_bucket, s.n_dup, s.has_dup,
+       |  c.clf_score, c.clf_keep
        |FROM rules r
        |JOIN tier t ON r.doc_id = t.doc_id
-       |JOIN spans s ON r.doc_id = s.doc_id""".stripMargin
+       |JOIN spans s ON r.doc_id = s.doc_id
+       |JOIN clf c ON r.doc_id = c.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,

@@ -1404,6 +1404,154 @@ object TextOps {
        |        ELSE 'tail' END) AS ppl_bucket
        |FROM scored s JOIN cuts c ON s.lang = c.lang""".stripMargin
 
+  // ------------------------------------------- t18 quality classifier
+
+  /** Feature-hash bucket count for [[t18QualityClassifier]] — the fixed
+    * model dimension (fastText's hashing-trick device): every token maps
+    * to [[Hash60]] mod this, so the weight table is D-bounded no matter
+    * the vocabulary. */
+  private[graft] val ClfBuckets = 4096
+  /** doc_id % [[DecontMod]] == this plays the NEGATIVE (pool) sample;
+    * == 0 is the positive reference slice (t10's held-out convention). */
+  private[graft] val ClfNegRem = 1
+  /** Trainer version — bump on any change to hashing, the bucket count,
+    * or the weight formula ([[lmModel]]'s staleness discipline). */
+  private[graft] val ClfVersion = 1
+  private val ClfMicro = 1000000L
+
+  /** t18: the TRAINED discriminative quality scorer — the CCNet/GPT-3
+    * deployment shape (Wenzek et al. 2020 §3.3; Brown et al. 2020 §A):
+    * a linear model over hashed token features, trained "reference vs
+    * pool", scores every document by how reference-like its vocabulary
+    * is. t15/t17 cover the generative (perplexity) side of quality; this
+    * is the discriminative complement those stacks ship alongside it.
+    *
+    * Model: weight of bucket b = (c⁺(b)·10⁶ div T⁺) − (c⁻(b)·10⁶ div
+    * T⁻) — the micro-unit FREQUENCY CONTRAST between the positive slice
+    * (t10's held-out doc_id % [[DecontMod]] == 0) and the negative pool
+    * sample (== [[ClfNegRem]]), i.e. the integer-exact stand-in for the
+    * naive-Bayes log-odds a fastText-style classifier converges toward
+    * on unigram features (the log is banned from hashed outputs by the
+    * determinism discipline; sign and ranking of the decision function
+    * are what the screen consumes). decision = Σ over token occurrences
+    * of w[h60(tok) mod D] with `clf_keep` at > 0 — "this document's
+    * vocabulary is more reference-typical than pool-typical".
+    *
+    * Training is ONE vocab-bounded aggregate over the two slices (counts
+    * map-side combined to ≤ D partial rows per task), published
+    * atomically under a fingerprint-named path (the [[lmModel]]
+    * discipline) — a warm process, and every later query in THIS
+    * process, loads D rows instead of re-training. Scoring is a PURE
+    * NARROW MAP: the D-bounded weight table rides the plan as ONE array
+    * literal (no join, no shuffle, no state at any corpus size) and each
+    * row folds its own tokens through it.
+    *
+    * Fixture note: the synthetic slices are draws from the same
+    * distribution, so learned weights are small-sample noise and `keep`
+    * splits the corpus arbitrarily-but-deterministically — the oracle
+    * still replays training AND scoring exactly (the t15 re-derivation
+    * device); TextOpsSpec proves real separation on a planted separable
+    * corpus and replays the scores in independent Scala. */
+  def t18QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = clfWeightVector(s, dir)
+    val docs = Tables.documents(s, dir)
+    docs.select($"doc_id",
+      size(words($"text")).as("n_toks"),
+      clfScoreExpr($"text", w).as("clf_score"))
+      .withColumn("clf_keep", $"clf_score" > 0L)
+  }
+
+  /** The decision function over a text column given the dense weight
+    * vector — factored so e5 and the spec's replay apply the IDENTICAL
+    * expression. One array literal + a per-row fold; h60 mod D is
+    * non-negative by construction (60-bit hash). */
+  private[graft] def clfScoreExpr(text: Column, w: Array[Long]): Column =
+    aggregate(
+      transform(words(text), t =>
+        element_at(typedLit(w.toSeq),
+          (h60(t) % ClfBuckets).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The trained (bucket, weight) relation over any documents frame —
+    * the spec drives planted corpora through this kernel. Buckets with
+    * zero training occurrences carry no row (weight 0 by omission). */
+  private[graft] def classifierWeightsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs
+      .where($"doc_id" % DecontMod === 0 || $"doc_id" % DecontMod === ClfNegRem)
+      .select(($"doc_id" % DecontMod === 0).as("pos"),
+        explode(words($"text")).as("tok"))
+      .select($"pos", (h60($"tok") % ClfBuckets).as("b"))
+      .groupBy($"b")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("cp"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("cn"))
+    val totals = counts.agg(sum($"cp").as("tp"), sum($"cn").as("tn"))
+    counts.crossJoin(broadcast(totals))
+      .select($"b",
+        (expr(s"(cp * $ClfMicro) div tp") - expr(s"(cn * $ClfMicro) div tn"))
+          .as("w"))
+  }
+
+  private[graft] def clfModelPath(dir: String): String =
+    java.nio.file.Paths.get("target",
+      s"graft_clf_v${ClfVersion}_d${ClfBuckets}_" +
+        s"f${graft.sources.Layouts.tableFingerprint(dir, "documents")}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
+  private val clfMemo = new graft.sources.FingerprintMemo[Array[Long]](_ => ())
+
+  /** Dense weight vector (length [[ClfBuckets]]) for `dir`'s corpus —
+    * trained once per corpus fingerprint, persisted, memoized per JVM.
+    * The collect is D-bounded (the model IS the collected artifact —
+    * the bm25QuerySide precedent). Fails loudly on an empty slice: a
+    * classifier trained on nothing must not silently score zeros. */
+  private def clfWeightVector(s: SparkSession, dir: String): Array[Long] =
+    clfMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "",
+      graft.sources.Layouts.tableFingerprint(dir, "documents")) {
+        import s.implicits._
+        val path = clfModelPath(dir)
+        if (!graft.sources.Layouts.completedTable(path)) {
+          val wdf = classifierWeightsOf(Tables.documents(s, dir))
+          graft.sources.Layouts.publishAtomically(wdf, path, files = 1)
+        }
+        val rows = s.read.schema("b LONG, w LONG").parquet(path)
+          .as[(Long, Long)].collect()
+        require(rows.nonEmpty,
+          s"t18: no training tokens in either slice at $dir — classifier undefined")
+        val w = new Array[Long](ClfBuckets)
+        rows.foreach { case (b, v) => w(b.toInt) = v }
+        w
+      }
+
+  private[operators] val t18Sql =
+    s"""WITH tb AS (
+       |  SELECT doc_id,
+       |    ${graft.sources.Hash60.sql60("tok")} % $ClfBuckets AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |cnt AS (
+       |  SELECT b,
+       |    SUM(CASE WHEN doc_id % $DecontMod = 0 THEN 1 ELSE 0 END) AS cp,
+       |    SUM(CASE WHEN doc_id % $DecontMod = $ClfNegRem THEN 1 ELSE 0 END) AS cn
+       |  FROM tb
+       |  WHERE doc_id % $DecontMod IN (0, $ClfNegRem)
+       |  GROUP BY 1),
+       |tot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM cnt),
+       |wts AS (
+       |  SELECT b, ((cp * $ClfMicro) // tp) - ((cn * $ClfMicro) // tn) AS w
+       |  FROM cnt, tot),
+       |sc AS (
+       |  SELECT tb.doc_id, CAST(SUM(COALESCE(wts.w, 0)) AS BIGINT) AS clf_score
+       |  FROM tb LEFT JOIN wts USING (b)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_toks,
+       |  sc.clf_score,
+       |  sc.clf_score > 0 AS clf_keep
+       |FROM documents d JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_bm25_topk" -> t13Bm25Topk _,
     "t14_tfidf_terms" -> t14TfidfTerms _,
@@ -1422,7 +1570,8 @@ object TextOps {
     "t9_pii_redact" -> t9PiiRedact _,
     "t10_decontaminate" -> t10Decontaminate _,
     "t11_perplexity_filter" -> t11PerplexityFilter _,
-    "t12_boilerplate" -> t12Boilerplate _)
+    "t12_boilerplate" -> t12Boilerplate _,
+    "t18_quality_classifier" -> t18QualityClassifier _)
 
   val oracleSql: Map[String, String] = Map(
     "t13_bm25_topk" -> t13Sql,
@@ -1442,5 +1591,6 @@ object TextOps {
     "t9_pii_redact" -> t9Sql,
     "t10_decontaminate" -> t10Sql,
     "t11_perplexity_filter" -> t11Sql,
-    "t12_boilerplate" -> t12Sql)
+    "t12_boilerplate" -> t12Sql,
+    "t18_quality_classifier" -> t18Sql)
 }

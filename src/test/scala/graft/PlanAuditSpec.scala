@@ -42,8 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     // documents scan in e5's plan is one of the stages' own, never a
     // duplicate the composition introduced.
     val e5 = plan("e5_attribute_sheet")
-    val stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup")
-      .map(plan)
+    val stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
+      "t18_quality_classifier").map(plan)
     assert(scansOf(e5, "documents") ===
       stages.map(scansOf(_, "documents")).sum,
       s"e5 documents scans must equal the sum of its stages':\n$e5")

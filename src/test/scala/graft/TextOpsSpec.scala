@@ -662,4 +662,89 @@ class TextOpsSpec extends SparkSpec {
     // the fixture has real score variance: at least two buckets realized
     assert(rows.map(_._4).distinct.length >= 2)
   }
+
+  test("t18: trained classifier separates a planted reference-vs-pool corpus") {
+    // positives (doc_id % 20 == 0) speak reference vocabulary; negatives
+    // (% 20 == 1) speak pool vocabulary; the UNLABELED rest lean 2:1 one
+    // way or the other — the classifier must rank them by their lean.
+    val posV = Seq("crisp", "clean", "prose", "cited")
+    val negV = Seq("spam", "junk", "noise", "clickbait")
+    val docs = (0 until 120).map { i =>
+      val id = i.toLong
+      val t =
+        if (id % 20 == 0) Seq.tabulate(12)(j => posV(j % 4)).mkString(" ")
+        else if (id % 20 == 1) Seq.tabulate(12)(j => negV(j % 4)).mkString(" ")
+        else if (id % 2 == 0) (posV ++ posV ++ negV).mkString(" ")
+        else (negV ++ negV ++ posV).mkString(" ")
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wrows = TextOps.classifierWeightsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Array.tabulate(TextOps.ClfBuckets)(b => wrows.getOrElse(b.toLong, 0L))
+    val scored = docs.select($"doc_id",
+        TextOps.clfScoreExpr($"text", w).as("clf_score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 120).map(_.toLong).foreach { id =>
+      if (id % 20 >= 2) {
+        if (id % 2 == 0) assert(scored(id) > 0, s"doc $id: pos-leaning must score > 0")
+        else assert(scored(id) < 0, s"doc $id: neg-leaning must score < 0")
+      }
+    }
+    // training docs themselves sit at the extremes of their own classes
+    assert(scored(0L) > scored(2L) && scored(1L) < scored(3L))
+  }
+
+  test("t18: weights and scores replay in independent Scala; fixture output is consistent and warm-stable") {
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val posV = Seq("alpha", "beta", "gamma")
+    val negV = Seq("delta", "epsilon", "zeta")
+    val raw = (0 until 60).map { i =>
+      val id = i.toLong
+      val t =
+        if (id % 20 == 0) (posV ++ posV).mkString(" ")
+        else if (id % 20 == 1) (negV ++ negV).mkString(" ")
+        else (posV ++ negV ++ Seq("theta")).mkString(" ")
+      (id, t)
+    }
+    val docs = raw.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // --- independent replay of the trainer ---
+    val D = TextOps.ClfBuckets
+    val cp = collection.mutable.Map.empty[Long, Long]
+    val cn = collection.mutable.Map.empty[Long, Long]
+    raw.foreach { case (id, t) =>
+      if (id % 20 == 0) t.split(" ", -1).foreach(tok =>
+        cp(h60(tok) % D) = cp.getOrElse(h60(tok) % D, 0L) + 1)
+      if (id % 20 == 1) t.split(" ", -1).foreach(tok =>
+        cn(h60(tok) % D) = cn.getOrElse(h60(tok) % D, 0L) + 1)
+    }
+    val (tp, tn) = (cp.values.sum, cn.values.sum)
+    val wantW = (cp.keySet ++ cn.keySet).map(b =>
+      b -> (cp.getOrElse(b, 0L) * 1000000L / tp - cn.getOrElse(b, 0L) * 1000000L / tn)).toMap
+    val gotW = TextOps.classifierWeightsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotW === wantW)
+    // --- independent replay of the scorer ---
+    val dense = Array.tabulate(D)(b => wantW.getOrElse(b.toLong, 0L))
+    val gotS = docs.select($"doc_id", TextOps.clfScoreExpr($"text", dense).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    raw.foreach { case (id, t) =>
+      val want = t.split(" ", -1).map(tok => dense((h60(tok) % D).toInt)).sum
+      assert(gotS(id) === want, s"doc $id score")
+    }
+    // --- registered fixture query: consistent and warm-stable ---
+    val a = TextOps.t18QualityClassifier(spark, sf).collect()
+    assert(a.length > 0)
+    a.foreach { r =>
+      assert(r.getAs[Boolean]("clf_keep") === (r.getAs[Long]("clf_score") > 0L))
+      assert(r.getAs[Int]("n_toks") > 0)
+    }
+    // second call loads the persisted model (no retrain) — identical rows
+    val b = TextOps.t18QualityClassifier(spark, sf).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+  }
 }
