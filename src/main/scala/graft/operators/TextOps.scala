@@ -104,6 +104,171 @@ object TextOps {
        |FROM scored""".stripMargin
   }
 
+  // ------------------------------------------- t2b trained char-gram lang-ID
+
+  /** Top char-trigrams kept per language profile — Cavnar–Trenkle 1994's
+    * own constant (their rank cutoff; here the retained-feature cutoff). */
+  private[graft] val ProfileTopM = 300
+  /** Profile version — bump on any change to the gram construction,
+    * padding, cutoff, or weight quantization. */
+  private[graft] val ProfileVersion = 1
+
+  /** Space-padded within-word char trigrams of lowercased text — the
+    * Cavnar–Trenkle feature set: each word `w` contributes
+    * length(w) trigrams of `' ' + w + ' '` (so boundary shapes like
+    * `" sc"` / `"ón "` are features), empty words (doubled spaces)
+    * contribute none. Built as a nested transform over the WORD array —
+    * per-word substr is O(wordlen²) on short strings, never the
+    * O(textlen²) of whole-text substr scanning (UTF8String.substring
+    * walks bytes from the start per call). */
+  private[graft] def charTrigrams(text: Column): Column = {
+    val ws = filter(split(lower(text), " "), w => length(w) >= 1)
+    flatten(transform(ws, w =>
+      transform(sequence(lit(1), length(w)), i =>
+        concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))
+  }
+
+  private[operators] val charTrigramsSql =
+    """flatten(list_transform(
+      |  list_filter(string_split(lower(text), ' '), w -> length(w) >= 1),
+      |  w -> list_transform(generate_series(1, length(w)),
+      |         i -> substr(' ' || w || ' ', i, 3))))""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** t2b: TRAINED language identification — the Cavnar–Trenkle/fastText
+    * char-n-gram profile method, the real-pipeline upgrade over t2's
+    * marker-word voting: per language, the reference slice (t10's
+    * held-out doc_id % [[DecontMod]] == 0, which carries the labeled
+    * `lang` column) trains a profile of its [[ProfileTopM]] most
+    * frequent padded char trigrams, each weighted by its micro-unit
+    * frequency w = (c·10⁶) div total(lang) — integer-exact, the t18
+    * quantization. A document's score for a language is the sum of
+    * profile weights over its own trigram OCCURRENCES; the prediction
+    * is the argmax (ties by language code ascending — both engines
+    * replay the same order). Short or marker-free documents that defeat
+    * word voting still carry dozens of char trigrams — the spec pins
+    * exactly that win on planted ambiguous docs.
+    *
+    * Scale shape: training is one map-side-combined (lang, gram)
+    * aggregate over the REFERENCE slice only, windowed per lang over
+    * the lang-vocab-bounded count relation, persisted fingerprint-named
+    * ([[lmModel]] discipline — warm processes train nothing). Scoring:
+    * the ≤ langs×[[ProfileTopM]] profile relation broadcasts; doc
+    * trigrams never shuffle as strings — the broadcast join tags them
+    * and ONE map-side-combined aggregate reduces to ≤ langs rows per
+    * doc, pivoted to per-lang columns so the argmax is t2's
+    * strictly-greater literal fold (narrow). The only exchanges move
+    * (doc_id, small ints). */
+  def t2bLangIdTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profile = langProfileRows(s, dir)
+    val langs = profile.map(_._1).distinct.sorted
+    val prof = profile.toDF("p_lang", "g", "w")
+    val docs = Tables.documents(s, dir)
+    val pivots = langs.map(l =>
+      sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
+    val hits = docs
+      .select($"doc_id", explode(charTrigrams($"text")).as("g"))
+      .join(broadcast(prof), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+    // strictly-greater fold over langs in ASC order: ties keep the
+    // earlier (smaller) code — the oracle's (score DESC, lang ASC)
+    val best = langs.map { l =>
+      struct(coalesce(col(s"s_$l"), lit(0L)).as("s"), lit(l).as("c"))
+    }.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    docs.select($"doc_id", $"lang".as("labeled_lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"labeled_lang",
+        best.getField("c").as("pred_lang"),
+        best.getField("s").as("score_micro"))
+  }
+
+  /** The trained (lang, gram, weight) profile relation over any labeled
+    * documents frame — the spec drives planted corpora through this
+    * kernel. */
+  private[graft] def langProfilesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.where($"doc_id" % DecontMod === 0)
+      .select($"lang", explode(charTrigrams($"text")).as("g"))
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy($"lang")
+    counts
+      .withColumn("tot", sum($"c").over(byLang))
+      .withColumn("rk", row_number().over(byLang.orderBy($"c".desc, $"g")))
+      .where($"rk" <= ProfileTopM)
+      .select($"lang", $"g", expr("(c * 1000000L) div tot").as("w"))
+  }
+
+  private[graft] def langProfilePath(dir: String): String =
+    java.nio.file.Paths.get("target",
+      s"graft_t2b_profiles_v${ProfileVersion}_m${ProfileTopM}_" +
+        s"f${graft.sources.Layouts.tableFingerprint(dir, "documents")}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
+  private val profileMemo =
+    new graft.sources.FingerprintMemo[Seq[(String, String, Long)]](_ => ())
+
+  /** Collected profile rows for `dir` — trained once per corpus
+    * fingerprint, persisted, memoized; the collect is bounded by
+    * langs × [[ProfileTopM]]. Fails loudly on an unlabeled/empty
+    * reference slice. */
+  private def langProfileRows(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    profileMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "",
+      graft.sources.Layouts.tableFingerprint(dir, "documents")) {
+        import s.implicits._
+        val path = langProfilePath(dir)
+        if (!graft.sources.Layouts.completedTable(path)) {
+          graft.sources.Layouts.publishAtomically(
+            langProfilesOf(Tables.documents(s, dir)), path, files = 1)
+        }
+        val rows = s.read.schema("lang STRING, g STRING, w LONG").parquet(path)
+          .as[(String, String, Long)].collect().toSeq
+          .sortBy(r => (r._1, r._2))
+        require(rows.nonEmpty,
+          s"t2b: reference slice at $dir trained an empty profile")
+        rows
+      }
+
+  // lazy: interpolates DecontMod, declared further down the object —
+  // an eager val here would read it as 0 mid-initialization
+  private lazy val t2bSql =
+    s"""WITH gr AS (
+       |  SELECT doc_id, lang, unnest($charTrigramsSql) AS g
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM gr WHERE doc_id % $DecontMod = 0
+       |  GROUP BY 1, 2),
+       |prof AS (
+       |  SELECT lang AS p_lang, g, ((c * 1000000) // tot) AS w
+       |  FROM (
+       |    SELECT lang, g, c,
+       |      CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot,
+       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+       |    FROM cnt) t
+       |  WHERE rk <= $ProfileTopM),
+       |langs AS (SELECT DISTINCT p_lang FROM prof),
+       |sc AS (
+       |  SELECT gr.doc_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS s
+       |  FROM gr JOIN prof p ON gr.g = p.g
+       |  GROUP BY 1, 2),
+       |full_sc AS (
+       |  SELECT d.doc_id, d.lang AS labeled_lang, l.p_lang,
+       |    COALESCE(sc.s, 0) AS s
+       |  FROM documents d CROSS JOIN langs l
+       |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.p_lang = l.p_lang)
+       |SELECT doc_id, labeled_lang, p_lang AS pred_lang,
+       |  CAST(s AS BIGINT) AS score_micro
+       |FROM (
+       |  SELECT doc_id, labeled_lang, p_lang, s,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY s DESC, p_lang) AS rk
+       |  FROM full_sc) r
+       |WHERE rk = 1""".stripMargin
+
   // ----------------------------------------------------- t3 quality score
 
   /** t3's rule battery as a reusable expression (score in [0,4]) — the
@@ -1571,7 +1736,8 @@ object TextOps {
     "t10_decontaminate" -> t10Decontaminate _,
     "t11_perplexity_filter" -> t11PerplexityFilter _,
     "t12_boilerplate" -> t12Boilerplate _,
-    "t18_quality_classifier" -> t18QualityClassifier _)
+    "t18_quality_classifier" -> t18QualityClassifier _,
+    "t2b_lang_id_trained" -> t2bLangIdTrained _)
 
   val oracleSql: Map[String, String] = Map(
     "t13_bm25_topk" -> t13Sql,
@@ -1592,5 +1758,6 @@ object TextOps {
     "t10_decontaminate" -> t10Sql,
     "t11_perplexity_filter" -> t11Sql,
     "t12_boilerplate" -> t12Sql,
-    "t18_quality_classifier" -> t18Sql)
+    "t18_quality_classifier" -> t18Sql,
+    "t2b_lang_id_trained" -> t2bSql)
 }

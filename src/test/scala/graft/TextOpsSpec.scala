@@ -663,6 +663,73 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length >= 2)
   }
 
+  test("t2b: trained char-gram profiles beat marker voting on planted ambiguous docs") {
+    // Reference slice (doc_id % 20 == 0): labeled docs per language with
+    // characteristic char shapes. Test docs are SHORT and contain NONE of
+    // t2's marker words — marker voting ties at 0 and defaults to 'en';
+    // the trained trigram profiles must still identify them.
+    val dir = java.nio.file.Files.createTempDirectory("graft_t2b").toString
+    val ref = Seq(
+      (0L, "schnell schreiben sprache durch macht nacht schlecht brauchen", "de"),
+      (20L, "accion nacion corazon rapido cancion pasion estacion relacion", "es"),
+      (40L, "the quick strong thing think through string bright knight", "en"))
+    val tests = Seq(
+      (3L, "sprechen schlafen", "de"),    // no 'der die das und nicht ist'
+      (7L, "estacionamiento relaciones", "es"), // no 'el la los de que y'
+      (11L, "throughout thinking", "en"))
+    (ref ++ tests).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // marker voting (t2) fails: all three test docs predict 'en'
+    val t2pred = TextOps.t2LangId(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(t2pred(3L) === "en" && t2pred(7L) === "en",
+      "fixture invariant: marker voting must be blind to these docs")
+    // trained profiles (t2b) succeed on every test doc
+    val t2bPred = TextOps.t2bLangIdTrained(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Long]("score_micro"))).toMap
+    tests.foreach { case (id, _, want) =>
+      assert(t2bPred(id)._1 === want, s"doc $id")
+      assert(t2bPred(id)._2 > 0L, s"doc $id must have profile hits")
+    }
+    // reference docs classify themselves
+    ref.foreach { case (id, _, want) => assert(t2bPred(id)._1 === want, s"ref $id") }
+  }
+
+  test("t2b: profile weights replay in independent Scala; fixture output consistent") {
+    // profile replay on a tiny labeled reference corpus
+    val docs = Seq(
+      (0L, "abc abd", "aa"), (20L, "xyz xyw", "bb"), (5L, "abc xyz", "aa"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.langProfilesOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent Scala: padded within-word trigrams of the % 20 == 0 docs
+    def grams(t: String): Seq[String] = t.split(" ", -1).filter(_.nonEmpty)
+      .flatMap { w => val p = s" $w "; (0 until w.length).map(i => p.substring(i, i + 3)) }
+    val byLang = Map("aa" -> grams("abc abd"), "bb" -> grams("xyz xyw"))
+    val want = byLang.flatMap { case (l, gs) =>
+      val tot = gs.size.toLong
+      gs.groupBy(identity).map { case (g, o) => (l, g) -> o.size.toLong * 1000000L / tot }
+    }
+    assert(got === want)
+    // registered fixture query: one row per doc, predictions drawn from
+    // the labeled language set, scores non-negative, warm-stable
+    val a = TextOps.t2bLangIdTrained(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length.toLong === nDocs)
+    val langSet = graft.sources.Tables.documents(spark, sf)
+      .where($"doc_id" % 20 === 0).select($"lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    a.foreach { r =>
+      assert(langSet.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("score_micro") >= 0L)
+    }
+    val b = TextOps.t2bLangIdTrained(spark, sf).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+  }
+
   test("t18: trained classifier separates a planted reference-vs-pool corpus") {
     // positives (doc_id % 20 == 0) speak reference vocabulary; negatives
     // (% 20 == 1) speak pool vocabulary; the UNLABELED rest lean 2:1 one
