@@ -752,6 +752,122 @@ object MultimodalOps {
        |FROM blk LEFT JOIN deg USING (doc_id)""".stripMargin
   }
 
+  // ------------------------------------------- m7 image-text alignment
+
+  /** Alignment threshold on the ROUNDED integer-arithmetic cosine.
+    * Measured on the fixture corpus: cos_align spans ≈ [-0.66, 0.69]
+    * with median ~0.02 (stub histogram vs random caption — genuinely
+    * unaligned modalities, so the distribution is centered near 0);
+    * τ = 0.2 keeps the top ~quartile, the LAION posture of admitting
+    * only clearly-aligned pairs (their CLIP-space constant is 0.28).
+    * Production calibrates τ on labeled pairs; the CONTRACT is the
+    * screen's shape, not the constant. */
+  private[graft] val AlignTau = 0.2
+
+  /** m7: the cross-modal ALIGNMENT screen — the LAION/CLIP-filter shape
+    * (Schuhmann et al. 2021): every document's image payload is scored
+    * against its caption embedding and pairs below τ are flagged
+    * misaligned (wrong image for the text, corrupt upload, watermark
+    * tiles). This is the one multimodal pass the m-tier lacked: m1–m6
+    * look at the payload alone; m7 joins the two modalities.
+    *
+    * Embedding stand-ins, both deterministic: the image side is the
+    * codec's 16-bin feature histogram ([[FakeCodec]] registered,
+    * [[ImageIoCodec]] spec-proven through the same kernel — m2's
+    * codec-agnostic discipline) quantized to micro-units
+    * (⌊fᵢ·10⁶⌋, exact in both engines because the normalizing division
+    * and multiply are identical IEEE doubles); the caption side is the
+    * `embeddings` vector pooled 64→16 by 4-block sums of per-element
+    * micro-floors (s6's quantization device) — the fixed "learned
+    * projection into the shared space" a real CLIP pipeline ships as
+    * model weights. The score is the exact-integer cosine: BIGINT dot
+    * and norms (bounded ≤ 4·10¹³ by construction), ONE final float
+    * division, rounded at 6 dp — s6's full-hash-compare discipline, no
+    * anchor+boolean.
+    *
+    * Scale shape: the image histogram rides the m2 batch path (narrow
+    * per-partition map — payload bytes never shuffle; only (doc_id,
+    * 16 longs) leaves the scan); the caption pooling is a narrow map on
+    * the embeddings scan; the join is a plain doc_id equi-join between
+    * two ~140-byte-row relations. Nothing driver-side, no window, no
+    * state. */
+  def m7ImageTextAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    imageTextAlignVia(FakeCodec)(
+      withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])],
+      Tables.embeddings(s, dir)
+        .select($"vec_id".as("doc_id"), $"embedding"))
+  }
+
+  /** Codec-generic core of m7 (the [[imageFeaturesVia]] contract):
+    * `captions` is a (doc_id, embedding float-array) relation; the spec
+    * drives [[ImageIoCodec]] with planted aligned/misaligned PNG-caption
+    * pairs through THIS kernel. */
+  private[graft] def imageTextAlignVia(codec: BlobCodec)(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      captions: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val img = blobs.mapPartitions(_.map { case (id, bytes) =>
+      (id, codec.features(bytes).map(f => math.floor(f * 1000000.0).toLong).toSeq)
+    }).toDF("doc_id", "img_q")
+    val capMicro = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0)))
+    val pooled = transform(sequence(lit(0), lit(15)), b =>
+      aggregate(slice(capMicro, b * lit(4) + lit(1), lit(4)),
+        lit(0L), (acc, x) => acc + x))
+    val joined = img.join(
+      captions.select(col("doc_id"), pooled.as("cap_q")), Seq("doc_id"))
+    val dot = aggregate(zip_with($"img_q", $"cap_q", (p, q) => p * q),
+      lit(0L), (acc, x) => acc + x)
+    val na2 = aggregate($"img_q", lit(0L), (acc, x) => acc + x * x)
+    val nb2 = aggregate($"cap_q", lit(0L), (acc, x) => acc + x * x)
+    val cos = when(na2 === 0L || nb2 === 0L, lit(0.0))
+      .otherwise(round(dot.cast("double") /
+        (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))), 6))
+    joined.select($"doc_id", cos.as("cos_align"))
+      .withColumn("aligned", $"cos_align" >= AlignTau)
+  }
+
+  // m7's oracle: m2's histogram device micro-floored, the caption pooled
+  // with s6's per-element quantization, exact BIGINT dot/norms, one
+  // final float division per row.
+  private val m7Sql =
+    s"""WITH hist AS (
+       |  SELECT doc_id, bin, CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM (SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin
+       |        FROM documents, UNNEST(generate_series(1, length(text))) AS t(i))
+       |  GROUP BY 1, 2),
+       |imgq AS (
+       |  SELECT d.doc_id, b.b AS bin,
+       |    CAST(FLOOR((COALESCE(h.c, 0) / greatest(1, length(d.text)))
+       |         * 1000000) AS BIGINT) AS qi
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+       |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.b),
+       |cap AS (
+       |  SELECT vec_id AS doc_id, CAST((pos - 1) // 4 AS INT) AS bin,
+       |    CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS BIGINT) AS qc
+       |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |               unnest(range(1, len(embedding) + 1)) AS pos
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.doc_id,
+       |    SUM(i.qi * c.qc) AS dot,
+       |    SUM(i.qi * i.qi) AS na2,
+       |    SUM(c.qc * c.qc) AS nb2
+       |  FROM imgq i JOIN cap c ON i.doc_id = c.doc_id AND i.bin = c.bin
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+       |         ELSE round(CAST(dot AS DOUBLE) /
+       |              (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+       |    END AS cos_align
+       |  FROM j)
+       |SELECT doc_id, cos_align, cos_align >= $AlignTau AS aligned
+       |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta _,
     "m2_image_features" -> m2ImageFeatures _,
@@ -759,6 +875,7 @@ object MultimodalOps {
     "m4_resize" -> m4Resize _,
     "m5_audio_energy" -> m5AudioEnergy _,
     "m6_image_neardup" -> m6ImageNeardup _,
+    "m7_image_text_align" -> m7ImageTextAlign _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
     "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
@@ -769,6 +886,7 @@ object MultimodalOps {
     "m4_resize" -> m4Sql,
     "m5_audio_energy" -> m5Sql,
     "m6_image_neardup" -> m6Sql,
+    "m7_image_text_align" -> m7Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
     "m5r_audio_energy_real" -> m5Sql)

@@ -282,6 +282,52 @@ class MultimodalOpsSpec extends SparkSpec {
       MultimodalOps.aHashOf(MultimodalOps.sampleBytes(payload)))
   }
 
+  test("m7: planted aligned/misaligned PNG-caption pairs through the real codec path") {
+    // Image 1: all white -> real luminance histogram puts ALL mass in
+    // bin 15. Its caption spreads positive mass over block 15 (pooled
+    // caption ∝ image histogram -> cos = 1). Image 2: all black (bin 0)
+    // with a caption whose mass sits in block 15 and is NEGATIVE on
+    // block 0 -> anti-aligned. Image 3: black image, caption orthogonal
+    // (mass only in block 8) -> cos exactly 0.
+    val white = png(6, 4)((_, _) => 0xffffff)
+    val black = png(5, 5)((_, _) => 0x000000)
+    def cap(block: Int, v: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i / 4 == block) v else 0.0f)
+    val blobs = Seq(1L -> white, 2L -> black, 3L -> black).toDS()
+    val captions = Seq(
+      (1L, cap(15, 0.25f)),                                  // aligned
+      (2L, cap(15, 0.25f).zip(cap(0, -0.25f)).map(p => p._1 + p._2)), // anti
+      (3L, cap(8, 0.5f)))                                    // orthogonal
+      .toDF("doc_id", "embedding")
+      .select($"doc_id", $"embedding".cast("array<float>").as("embedding"))
+    val rows = MultimodalOps.imageTextAlignVia(ImageIoCodec)(blobs, captions)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("cos_align"), r.getAs[Boolean]("aligned"))).toMap
+    assert(rows(1L)._1 === 1.0 && rows(1L)._2, "identical direction must score 1")
+    assert(rows(2L)._1 < -0.6 && !rows(2L)._2, "anti-aligned must be flagged")
+    assert(rows(3L)._1 === 0.0 && !rows(3L)._2, "orthogonal scores exactly 0")
+    // degenerate: a zero caption never divides by zero — cos defined 0
+    val zeroCap = Seq((4L, Seq.fill(64)(0.0f))).toDF("doc_id", "embedding")
+      .select($"doc_id", $"embedding".cast("array<float>").as("embedding"))
+    val z = MultimodalOps.imageTextAlignVia(ImageIoCodec)(
+      Seq(4L -> white).toDS(), zeroCap).collect()(0)
+    assert(z.getAs[Double]("cos_align") === 0.0 && !z.getAs[Boolean]("aligned"))
+  }
+
+  test("m7: fixture output — one row per doc, cosine in range, flag consistent with tau") {
+    val rows = MultimodalOps.m7ImageTextAlign(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_align")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("aligned") === (c >= 0.2))
+    }
+    // the screen is a real split on this corpus: both verdicts realized
+    assert(rows.exists(_.getAs[Boolean]("aligned")))
+    assert(rows.exists(!_.getAs[Boolean]("aligned")))
+  }
+
   test("m5: real-corpus energies are sane letter-range values") {
     val out = MultimodalOps.m5AudioEnergy(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
