@@ -452,6 +452,116 @@ object StreamingOps {
        |JOIN tr ON d.doc_id = tr.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- st11
+
+  /** The per-document ATTRIBUTE SHEET at the streaming front door —
+    * e5's deployment shape applied to INGEST: one row per incoming
+    * document carrying every signal the gate computes, so the lake can
+    * store the sheet next to the admitted doc and downstream consumers
+    * re-weigh rules without re-screening (the Dolma attributes-file
+    * pattern at the door instead of over the standing corpus):
+    *
+    *   - st10's corpus-free battery (t16 `gopher_keep`, t3 `q_keep`,
+    *     t7 `repetitive`) — pure narrow maps on the row itself;
+    *   - st7's exact-duplicate probe (`dup_exact`) — a left join of
+    *     32-byte digests against the standing corpus's DISTINCT digest
+    *     set: at most one match per digest, so exactly one output row
+    *     per doc, stateless;
+    *   - st9's verified near-dup probe (`dup_near`) — band-key
+    *     candidates from the persisted MinHash index, exact Jaccard
+    *     against stored shingle sets ([[graft.operators.DedupOps
+    *     .nearDupHits]]), collapsed to a per-doc flag by a left-SEMI /
+    *     left-ANTI union (no distinct, no aggregation — the collapse
+    *     is join-shaped);
+    *   - `admit` — the full front-door verdict: every quality bit AND
+    *     neither duplicate bit.
+    *
+    * Streaming deployment: the probes are joins against STATIC
+    * relations and the signals are row-local, but the per-doc near-dup
+    * collapse joins the batch against its own hit relation — a
+    * stream-stream self-join Structured Streaming cannot run
+    * incrementally. The sheet therefore runs through `foreachBatch`
+    * (st8's device): each micro-batch executes this exact BATCH plan —
+    * zero state store, nothing accumulates across batches (every row's
+    * sheet depends only on itself and the static corpus), and the
+    * at-least-once replay is idempotent because the sheet is a pure
+    * function of (batch row, standing corpus). StreamingOpsSpec drives
+    * a MemoryStream through that path and asserts row equality with
+    * the batch registration plus an empty state-operator set. */
+  def ingestAttributeSheet(docs: DataFrame, corpusDigests: DataFrame,
+      indexKeys: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    import graft.operators.{DedupOps, TextOps}
+    val quality = docs.select(col("doc_id"),
+      TextOps.gopherKeepExpr(col("text")).as("gopher_keep"),
+      TextOps.qualityKeepExpr(col("text")).as("q_keep"),
+      TextOps.repetitiveExpr(col("text")).as("repetitive"))
+    val exact = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpusDigests.withColumn("dup_exact", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"))
+    val hits = DedupOps.nearDupHits(docs, indexKeys, corpusShingles, 0.8)
+      .select(col("doc_id"))
+    val ids = docs.select(col("doc_id"))
+    val near = ids.join(hits, Seq("doc_id"), "left_semi")
+        .withColumn("dup_near", lit(true))
+      .unionByName(ids.join(hits, Seq("doc_id"), "left_anti")
+        .withColumn("dup_near", lit(false)))
+    quality.join(exact, Seq("doc_id")).join(near, Seq("doc_id"))
+      .withColumn("admit",
+        col("gopher_keep") && col("q_keep") && !col("repetitive") &&
+          !col("dup_exact") && !col("dup_near"))
+  }
+
+  /** st11: the sheet in batch mode over d8's deterministic ingest slice
+    * (st7's registration device), probing the standing corpus's digest
+    * set, persisted band-key index, and stored shingle sets. */
+  def st11StreamAttributeSheet(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    ingestAttributeSheet(docs.where(isBatch),
+      docs.where(!isBatch).select(sha2(col("text"), 256).as("h")).distinct(),
+      s.read.parquet(DedupOps.dedupIndexKeys(s, dir)),
+      s.read.parquet(DedupOps.dedupIndexShingles(s, dir)))
+  }
+
+  // Oracle: st10's battery subqueries joined to st7's exact CTE and
+  // d8's brute-force cross-relation near CTE over the shared all-pairs
+  // Jaccard relation.
+  private val st11Sql = {
+    val m = graft.operators.DedupOps.IngestMod
+    val r = graft.operators.DedupOps.IngestRem
+    s"""WITH g AS (SELECT doc_id, gopher_keep
+       |           FROM (${graft.operators.TextOps.t16Sql})),
+       |tq AS (SELECT doc_id, keep AS q_keep
+       |       FROM (${graft.operators.TextOps.t3Sql})),
+       |tr AS (SELECT doc_id, repetitive
+       |       FROM (${graft.operators.TextOps.t7Sql})),
+       |ex AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM documents b JOIN documents i ON b.text = i.text
+       |  WHERE b.doc_id % $m = $r AND i.doc_id % $m <> $r),
+       |pairs AS (
+       |  SELECT * FROM (${graft.operators.DedupOps.jaccardPairsSql(0.8)})),
+       |nr AS (
+       |  SELECT DISTINCT CASE WHEN doc_a % $m = $r THEN doc_a ELSE doc_b END
+       |    AS doc_id
+       |  FROM pairs
+       |  WHERE (doc_a % $m = $r) <> (doc_b % $m = $r))
+       |SELECT d.doc_id, g.gopher_keep, tq.q_keep, tr.repetitive,
+       |  ex.doc_id IS NOT NULL AS dup_exact,
+       |  nr.doc_id IS NOT NULL AS dup_near,
+       |  (g.gopher_keep AND tq.q_keep AND (NOT tr.repetitive)
+       |    AND ex.doc_id IS NULL AND nr.doc_id IS NULL) AS admit
+       |FROM (SELECT doc_id FROM documents WHERE (doc_id % $m) = $r) d
+       |JOIN g ON d.doc_id = g.doc_id
+       |JOIN tq ON d.doc_id = tq.doc_id
+       |JOIN tr ON d.doc_id = tr.doc_id
+       |LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |LEFT JOIN nr ON d.doc_id = nr.doc_id""".stripMargin
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -472,7 +582,8 @@ object StreamingOps {
     "st7_stream_ingest_screen" -> st7StreamIngestScreen _,
     "st8_upsert_sink" -> st8UpsertSink _,
     "st9_stream_neardup_screen" -> st9StreamNearDupScreen _,
-    "st10_stream_quality_gate" -> st10StreamQualityGate _)
+    "st10_stream_quality_gate" -> st10StreamQualityGate _,
+    "st11_stream_attribute_sheet" -> st11StreamAttributeSheet _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -486,5 +597,6 @@ object StreamingOps {
     // batch-by-batch upsert fold converges to the one-shot merge
     "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql,
     "st9_stream_neardup_screen" -> st9Sql,
-    "st10_stream_quality_gate" -> st10Sql)
+    "st10_stream_quality_gate" -> st10Sql,
+    "st11_stream_attribute_sheet" -> st11Sql)
 }

@@ -166,6 +166,66 @@ class StreamingOpsSpec extends SparkSpec {
       s"unexpected state operators: ${q.lastProgress.stateOperators}")
   }
 
+  test("st11: attribute sheet — planted truth in batch; foreachBatch stream equality; zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val base = ("w" + (1 to 60).mkString(" w"))        // corpus doc
+    val nearOfBase = base.split(" ").drop(2).mkString(" ")
+    val natural = (Seq("the", "of", "and", "that", "a") ++
+      (1 to 55).map(i => s"word$i")).mkString(" ")     // passes every battery
+    val repetitive = ("loop " * 60).trim               // rep2 ≈ 1
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, unrelated),                     // standing corpus
+      (7L, base),                                      // batch: exact dup
+      (17L, nearOfBase),                               // batch: near dup
+      (27L, natural),                                  // batch: clean admit
+      (37L, repetitive))                               // batch: quality reject
+    val dir = java.nio.file.Files.createTempDirectory("graft_st11").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = StreamingOps.st11StreamAttributeSheet(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("gopher_keep"), r.getAs[Boolean]("q_keep"),
+          r.getAs[Boolean]("repetitive"), r.getAs[Boolean]("dup_exact"),
+          r.getAs[Boolean]("dup_near"), r.getAs[Boolean]("admit"))).toMap
+    assert(want.keySet === Set(7L, 17L, 27L, 37L))
+    assert(want(7L)._4 && want(7L)._5 && !want(7L)._6,
+      s"exact dup: ${want(7L)}") // an exact dup is also a j=1 near dup
+    assert(!want(17L)._4 && want(17L)._5 && !want(17L)._6, s"near: ${want(17L)}")
+    assert(want(27L) === ((true, true, false, false, false, true)),
+      s"clean: ${want(27L)}")
+    assert(want(37L)._3 && !want(37L)._6, s"repetitive: ${want(37L)}")
+
+    // the IDENTICAL kernel per micro-batch through foreachBatch — two
+    // separate batches prove per-batch independence (no cross-batch state)
+    val corpus = docs.filter(_._1 % 10 != 7)
+    val digests = corpus.map(_._2).distinct.toDF("text")
+      .select(sha2($"text", 256).as("h"))
+    val indexKeys = spark.read.parquet(DedupOps.dedupIndexKeys(spark, dir))
+    val shingles = spark.read.parquet(DedupOps.dedupIndexShingles(spark, dir))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean))]
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.filter(d => d._1 == 7L || d._1 == 17L))
+    stream.addData(docs.filter(d => d._1 == 27L || d._1 == 37L))
+    val q = stream.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= StreamingOps.ingestAttributeSheet(b, digests, indexKeys, shingles)
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Boolean]("gopher_keep"), r.getAs[Boolean]("q_keep"),
+              r.getAs[Boolean]("repetitive"), r.getAs[Boolean]("dup_exact"),
+              r.getAs[Boolean]("dup_near"), r.getAs[Boolean]("admit")))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toMap === want)
+    // foreachBatch runs the sheet as a batch plan: no state store exists
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${q.lastProgress.stateOperators}")
+  }
+
   test("st1: streaming and batch modes of hourlyTypeCounts agree") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
