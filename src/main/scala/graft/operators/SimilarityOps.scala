@@ -1349,6 +1349,93 @@ object SimilarityOps {
        |SELECT vec_id, cos_center, cos_center < $OutlierTau AS is_outlier
        |FROM scored""".stripMargin
 
+  // --------------------------------------------- doc-topic clusters (s9)
+
+  /** s9: document-topic clustering — the Dolma/DCLM topic-balance
+    * primitive: every document's embedding is assigned to its cell of
+    * the PERSISTED s2 coarse quantizer ([[centroidsFor]] at the corpus'
+    * own k — zero new training; the quantizer doubles as the topic
+    * model, exactly how production stacks reuse their ANN index's
+    * k-means for mixture balancing), and each row carries its cluster's
+    * size and integer micro-unit corpus share so a mix planner (p2's
+    * hash-bucket device) can stratify by cluster.
+    *
+    * Oracle discipline — the one deliberate divergence from
+    * [[nearestCell]]: the argmax here runs over the 6-dp ROUNDED cosine
+    * (ties toward the higher cell id), because round-6 cosine equality
+    * is the established engine↔DuckDB contract (s1/d5) while unrounded
+    * argmax is not replayable. The centroids are deterministic
+    * driver-known constants of the persisted quantizer, so the oracle
+    * SQL embeds them as literals — data-derived constants spliced after
+    * the plan resolves them ([[graft.sources.TrainedOracle]]; Verify
+    * runs queries before dumping oracle SQL). Centroids are float-cast
+    * and printed as their EXACT widened-double reprs so both engines
+    * score identical values.
+    *
+    * Scale shape: one broadcast of the k-row centroid relation, one
+    * corpus-linear scan with the k-way fan-out collapsed by a
+    * map-side-combined argmax aggregate (the [[assignCells]] > cap
+    * shape), one k-bounded size aggregate broadcast back. No window
+    * over doc-granular rows, nothing driver-side beyond the k×dim
+    * centroids the quantizer already collects. */
+  def s9TopicClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = corpusCount(s, dir)
+    val k = ivfK(n)
+    val cf: Array[Array[Float]] =
+      centroidsFor(s, dir, k).map(_.map(_.toFloat))
+    graft.sources.TrainedOracle.publish("s9_topic_clusters", s9SqlFor(cf, n))
+    val cent = cf.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell_id", "c_vec")
+    val scored = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell_id",
+        round(cosineCol($"embedding", $"c_vec"), 6).as("sc"))
+    val assign = scored.groupBy($"vec_id")
+      .agg(max_by($"cell_id", struct($"sc", $"cell_id")).as("cluster"))
+    val sizes = assign.groupBy($"cluster")
+      .agg(count(lit(1)).as("cluster_docs"))
+    assign.join(broadcast(sizes), Seq("cluster"))
+      .select($"vec_id", $"cluster", $"cluster_docs",
+        expr(s"(cluster_docs * 1000000L) div ${n}L").as("cluster_share_micro"))
+  }
+
+  /** The s9 oracle with the trained centroids spliced as literals:
+    * float-cast centroid elements printed as exact widened doubles, the
+    * same values [[cosineCol]] reads after its float→double widening. */
+  private[graft] def s9SqlFor(cf: Array[Array[Float]], n: Long): String = {
+    val rows = cf.zipWithIndex.map { case (c, i) =>
+      c.map(_.toDouble.toString).mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n    ")
+    s"""WITH cent(cell_id, c_vec) AS (VALUES
+       |    $rows),
+       |sc AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                 c.c_vec), 6) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, cell_id AS cluster FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell_id DESC) AS rk
+       |    FROM sc) t
+       |  WHERE rk = 1),
+       |sz AS (SELECT cluster, COUNT(*) AS cluster_docs FROM asg GROUP BY 1)
+       |SELECT a.vec_id, a.cluster, sz.cluster_docs,
+       |  (sz.cluster_docs * 1000000) // $n AS cluster_share_micro
+       |FROM asg a JOIN sz USING (cluster)""".stripMargin
+  }
+
+  /** Loud out-of-order sentinel (see [[graft.sources.TrainedOracle]]):
+    * schema-correct, zero rows — a dump taken before the s9 query ran
+    * fails the row-count compare instead of silently passing. */
+  private val s9Fallback =
+    """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS cluster,
+      |  CAST(NULL AS BIGINT) AS cluster_docs,
+      |  CAST(NULL AS BIGINT) AS cluster_share_micro
+      |WHERE FALSE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1CosineTopk _,
     "s2_ann_ivf" -> s2AnnIvfChecked _,
@@ -1357,9 +1444,12 @@ object SimilarityOps {
     "s5_pq_rerank" -> s5PqRerankChecked _,
     "s6_centroid_outlier" -> s6CentroidOutlier _,
     "s7_ivfpq" -> s7IvfPqChecked _,
-    "s8_ivfpq_upsert_serve" -> s8IvfPqUpsertServe _)
+    "s8_ivfpq_upsert_serve" -> s8IvfPqUpsertServe _,
+    "s9_topic_clusters" -> s9TopicClusters _)
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: s9's entry reads the TrainedOracle registry, populated
+  // when the s9 query resolves its persisted quantizer (Verify's order).
+  def oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_ivf" -> s2Sql,
     "s3_ann_cell_pruned" -> s3Sql,
@@ -1367,5 +1457,7 @@ object SimilarityOps {
     "s5_pq_rerank" -> s5Sql,
     "s6_centroid_outlier" -> s6Sql,
     "s7_ivfpq" -> s7Sql,
-    "s8_ivfpq_upsert_serve" -> s8Sql)
+    "s8_ivfpq_upsert_serve" -> s8Sql,
+    "s9_topic_clusters" ->
+      graft.sources.TrainedOracle.sqlFor("s9_topic_clusters", s9Fallback))
 }

@@ -478,6 +478,76 @@ class SimilarityOpsSpec extends SparkSpec {
       s"aligned vectors flagged: ${aligned.filter(_._3).take(5).toSeq}")
   }
 
+  test("s9: cluster assignment equals an independent driver-side argmax; shares are exact rationals") {
+    import graft.operators.SimilarityOps
+    val rows = SimilarityOps.s9TopicClusters(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n)
+    // independent replay: same rounded-cosine argmax over the SAME
+    // persisted quantizer, computed in plain Scala on the driver
+    val k = SimilarityOps.ivfK(n)
+    val cf = SimilarityOps.centroidsFor(spark, sf, k).map(_.map(_.toFloat))
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], c: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, c.length)) {
+        val p = a(i).toDouble; val q = c(i).toDouble
+        dot += p * q; na += p * p; nb += q * q; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = emb.map { case (id, v) =>
+      val scored = cf.indices.map(c =>
+        (BigDecimal(cos(v, cf(c))).setScale(6, BigDecimal.RoundingMode.HALF_UP), c))
+      id -> scored.max._2 // (score, cell) max = score desc then cell desc
+    }.toMap
+    val gotAssign = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(gotAssign === want)
+    // size/share invariants: sizes recount the assignment; shares are
+    // the exact integer rational docs*10^6 div N; sizes sum to N
+    val byCluster = rows.groupBy(_.getAs[Int]("cluster"))
+    rows.foreach { r =>
+      val sz = byCluster(r.getAs[Int]("cluster")).length.toLong
+      assert(r.getAs[Long]("cluster_docs") === sz)
+      assert(r.getAs[Long]("cluster_share_micro") === sz * 1000000L / n)
+    }
+    assert(byCluster.values.map(_.length.toLong).sum === n)
+    // the corpus realizes multiple topics (k-means is not degenerate)
+    assert(byCluster.size >= 2)
+    // the trained-constants oracle is spliced once the query has run:
+    // the registered SQL embeds the centroid VALUES, not the fallback
+    val sql = SimilarityOps.oracleSql("s9_topic_clusters")
+    assert(sql.contains("VALUES") && !sql.contains("WHERE FALSE"))
+  }
+
+  test("s9: p2's stratified-sampling device composes over the cluster column") {
+    import graft.operators.SimilarityOps
+    // the topic-balance use: a deterministic hash-bucket draw at a fixed
+    // permille WITHIN each cluster (p2's mechanism keyed by s9's strata)
+    val assign = SimilarityOps.s9TopicClusters(spark, sf)
+      .select($"vec_id", $"cluster")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("s9:"), $"vec_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000))
+    val sampled = assign.withColumn("b", bucket).where($"b" < 300)
+      .groupBy($"cluster").agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("kept")).toMap
+    // deterministic: an independent recount draws exactly the same rows
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val want = assign.as[(Long, Int)].collect()
+      .filter { case (id, _) => h60(s"s9:$id") % 1000 < 300 }
+      .groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+    assert(sampled === want)
+    assert(sampled.values.sum > 0)
+  }
+
   test("s6: real-corpus outlier rate is nonzero and small") {
     val out = SimilarityOps.s6CentroidOutlier(spark, sf)
       .as[(Long, Double, Boolean)].collect()
