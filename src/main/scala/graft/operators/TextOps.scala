@@ -429,8 +429,11 @@ object TextOps {
         count(lit(1)).as("docs"))
   }
 
-  private val t4bSql = {
-    val values = BpeVocab.distinct.sorted
+  /** t4b's greedy-segmentation count oracle over an arbitrary vocab —
+    * factored so t4c replays the SAME recursive-CTE machinery under its
+    * LEARNED vocabulary (with `extra` appending its vocab-size column). */
+  private def bpeCountSqlFor(vocab: Seq[String], extra: String = ""): String = {
+    val values = vocab.distinct.sorted
       .map(p => s"('$p', ${p.length})").mkString(", ")
     s"""WITH RECURSIVE vocab(piece, plen) AS (
        |  SELECT * FROM (VALUES $values) AS v(piece, plen)),
@@ -457,10 +460,204 @@ object TextOps {
        |SELECT d.source,
        |  CAST(COALESCE(MAX(a.b), 0) AS BIGINT) AS bpe_tokens,
        |  CAST(COALESCE(MAX(a.p), 0) AS BIGINT) AS pre_tokens,
-       |  COUNT(*) AS docs
+       |  COUNT(*) AS docs$extra
        |FROM documents d LEFT JOIN agg a ON (d.source = a.source)
        |GROUP BY 1""".stripMargin
   }
+
+  private val t4bSql = bpeCountSqlFor(BpeVocab)
+
+  // ---------------------------------------------- t4c BPE vocab training
+
+  /** Merge budget for [[t4cBpeVocabTrain]] — real tokenizers run 10⁴–10⁵
+    * merges; 200 keeps the oracle's piece table and the fixture train
+    * time honest while exercising the full loop. */
+  private[graft] val BpeMerges = 200
+  /** Longest learnable piece — [[graft.functions.bpeTokenCount]]'s
+    * packed-long contract (≤ 8 ASCII letters). Pairs whose merge would
+    * exceed it are never counted as candidates. */
+  private[graft] val BpeMaxPiece = 8
+  /** Above this many distinct word types the trainer switches from the
+    * driver loop (Sennrich's own shape: the merge loop runs over the
+    * collected word-type dictionary) to [[bpeTrainMergesDistributed]] —
+    * the [[SimilarityOps.DriverTrainCap]] dispatch pattern. */
+  private[graft] val DriverBpeTypeCap = 65536
+  private[graft] val BpeTrainVersion = 1
+
+  /** One left-to-right pass replacing adjacent (a, b) with the merged
+    * symbol — the kernel BOTH trainers apply, so they cannot drift. */
+  private def applyMerge(ss: Array[String], a: String, b: String,
+      ab: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < ss.length) {
+      if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) { out += ab; i += 2 }
+      else { out += ss(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The Sennrich et al. 2016 merge loop over a word-type dictionary:
+    * start from single characters; each round counts adjacent symbol
+    * pairs weighted by word frequency (pairs whose merge would exceed
+    * [[BpeMaxPiece]] letters are skipped), merges the most frequent
+    * (ties: lexicographically smallest pair — deterministic), and
+    * records the merged piece. Returns the distinct learned pieces in
+    * merge order; stops early when no mergeable pair remains. */
+  private[graft] def bpeTrainMerges(wordCounts: Seq[(String, Long)],
+      merges: Int): Seq[String] = {
+    var words = wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val pieces = Seq.newBuilder[String]
+    var round = 0
+    var done = false
+    while (round < merges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          if (ss(i).length + ss(i + 1).length <= BpeMaxPiece) {
+            val k = (ss(i), ss(i + 1))
+            pc(k) = pc.getOrElse(k, 0L) + c
+          }
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), _) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+        pieces += (a + b)
+        words = words.map { case (ss, c) => (applyMerge(ss, a, b, a + b), c) }
+        round += 1
+      }
+    }
+    pieces.result().distinct
+  }
+
+  /** The coded scale path past [[DriverBpeTypeCap]]: the same loop with
+    * the word-type dictionary left DISTRIBUTED — each round is one
+    * vocab-bounded map-side-combined pair aggregate (the shuffle carries
+    * (pair, count) partials, never words), a 1-row collect of the
+    * winning pair, and a narrow merge-apply pass sharing [[applyMerge]];
+    * lineage is truncated every 16 rounds (the q20b localCheckpoint
+    * discipline). O(merges) sequential Spark jobs by construction —
+    * which is why the fixture path collects the dictionary instead; the
+    * spec proves the two trainers identical on the same corpus. */
+  private[graft] def bpeTrainMergesDistributed(wordCounts: DataFrame,
+      merges: Int): Seq[String] = {
+    val s = wordCounts.sparkSession
+    import s.implicits._
+    var words = wordCounts.as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toSeq, c) }
+      .toDF("ss", "c").as[(Seq[String], Long)]
+    val pieces = Seq.newBuilder[String]
+    var round = 0
+    var done = false
+    while (round < merges && !done) {
+      val n = size($"ss") - lit(1)
+      val best = words.toDF("ss", "c")
+        .select($"c", explode(zip_with(
+          slice($"ss", lit(1), n), slice($"ss", lit(2), n),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .where(length($"p.a") + length($"p.b") <= BpeMaxPiece)
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, _) = best(0)
+        pieces += (a + b)
+        words = words.map { case (ss, c) =>
+          (applyMerge(ss.toArray, a, b, a + b).toSeq, c) }
+          .toDF("ss", "c").as[(Seq[String], Long)]
+        round += 1
+        if (round % 16 == 0)
+          words = words.localCheckpoint(true).as[(Seq[String], Long)]
+      }
+    }
+    pieces.result().distinct
+  }
+
+  private[graft] def t4cVocabPath(dir: String): String =
+    java.nio.file.Paths.get("target",
+      s"graft_t4c_vocab_v${BpeTrainVersion}_n${BpeMerges}_" +
+        s"f${graft.sources.Layouts.tableFingerprint(dir, "documents")}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
+  private val t4cMemo = new graft.sources.FingerprintMemo[Seq[String]](_ => ())
+
+  /** The LEARNED vocabulary for `dir`'s corpus — trained once per corpus
+    * fingerprint (driver loop under [[DriverBpeTypeCap]] word types,
+    * distributed loop past it), persisted as a (rank, piece) table, and
+    * memoized. Content is deterministic per corpus (exact counts,
+    * lexicographic tie-break), so load ≡ retrain. */
+  private[graft] def learnedBpeVocab(s: SparkSession, dir: String): Seq[String] =
+    t4cMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "",
+      graft.sources.Layouts.tableFingerprint(dir, "documents")) {
+        import s.implicits._
+        val path = t4cVocabPath(dir)
+        if (!graft.sources.Layouts.completedTable(path)) {
+          val wc = Tables.documents(s, dir)
+            .select(explode(regexp_extract_all(
+              lower($"text"), lit(BpeTokenRe), lit(0))).as("w"))
+            .where($"w".rlike("^[a-z]"))
+            .groupBy($"w").agg(count(lit(1)).as("c"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pieces = try {
+            if (wc.count() <= DriverBpeTypeCap)
+              bpeTrainMerges(wc.as[(String, Long)].collect().toSeq, BpeMerges)
+            else bpeTrainMergesDistributed(wc, BpeMerges)
+          } finally wc.unpersist()
+          graft.sources.Layouts.publishAtomically(
+            pieces.zipWithIndex.map { case (p, i) => (i, p) }
+              .toDF("rank", "piece"), path, files = 1)
+        }
+        val rows = s.read.schema("rank INT, piece STRING").parquet(path)
+          .orderBy($"rank").as[(Int, String)].collect()
+        require(rows.nonEmpty,
+          s"t4c: corpus at $dir learned an empty merge vocabulary")
+        rows.map(_._2).toSeq
+      }
+
+  /** t4c: BPE vocabulary TRAINING — the half t4b consumes: the Sennrich
+    * merge loop learns the corpus' own subword vocabulary, persists it
+    * fingerprint-named, and the registered output scores the corpus
+    * under it with t4b's exact counter (per-source totals + the learned
+    * vocab size). This closes the tokenizer story: t4 approximates
+    * budgets with a regex, t4b counts exactly under a GIVEN vocab, t4c
+    * learns the vocab itself.
+    *
+    * Oracle: the merge list is deterministic per corpus, so the learned
+    * pieces are driver-known constants once training resolves — the
+    * [[graft.sources.TrainedOracle]] splice (s9's device) feeds them to
+    * t4b's recursive-CTE greedy-count SQL. The TRAINING itself is
+    * sequential by nature (each merge depends on the last) and is proven
+    * by spec instead: a hand-traced planted corpus, driver ≡ distributed
+    * trainer equality, and the persisted-vocab warm path. */
+  def t4cBpeVocabTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = learnedBpeVocab(s, dir)
+    graft.sources.TrainedOracle.publish("t4c_bpe_vocab_train",
+      bpeCountSqlFor(vocab, s",\n  CAST(${vocab.size} AS INT) AS vocab_pieces"))
+    Tables.documents(s, dir)
+      .select($"source",
+        graft.functions.bpeTokenCount($"text", vocab).as("bpe"),
+        size(regexp_extract_all(lower($"text"), lit(BpeTokenRe), lit(0))).as("pre"))
+      .groupBy($"source")
+      .agg(
+        sum($"bpe").as("bpe_tokens"),
+        sum($"pre").as("pre_tokens"),
+        count(lit(1)).as("docs"))
+      .withColumn("vocab_pieces", lit(vocab.size))
+  }
+
+  /** Loud out-of-order sentinel (the s9 device). */
+  private val t4cFallback =
+    """SELECT CAST(NULL AS VARCHAR) AS source,
+      |  CAST(NULL AS BIGINT) AS bpe_tokens, CAST(NULL AS BIGINT) AS pre_tokens,
+      |  CAST(NULL AS BIGINT) AS docs, CAST(NULL AS INT) AS vocab_pieces
+      |WHERE FALSE""".stripMargin
 
   // --------------------------------------------------- t5 fingerprinting
 
@@ -1737,9 +1934,14 @@ object TextOps {
     "t11_perplexity_filter" -> t11PerplexityFilter _,
     "t12_boilerplate" -> t12Boilerplate _,
     "t18_quality_classifier" -> t18QualityClassifier _,
-    "t2b_lang_id_trained" -> t2bLangIdTrained _)
+    "t2b_lang_id_trained" -> t2bLangIdTrained _,
+    "t4c_bpe_vocab_train" -> t4cBpeVocabTrain _)
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: t4c's entry reads the TrainedOracle registry, populated
+  // when the t4c query resolves its learned vocabulary (Verify's order).
+  def oracleSql: Map[String, String] = Map(
+    "t4c_bpe_vocab_train" ->
+      graft.sources.TrainedOracle.sqlFor("t4c_bpe_vocab_train", t4cFallback),
     "t13_bm25_topk" -> t13Sql,
     "t14_tfidf_terms" -> t14Sql,
     "t15_ref_lm_score" -> t15Sql,

@@ -730,6 +730,52 @@ class TextOpsSpec extends SparkSpec {
     assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
   }
 
+  test("t4c: hand-traced Sennrich merges on a planted dictionary; trainers agree") {
+    // corpus = "aaab"×2, "ab"×1. Round 1: pairs (a,a)=4, (a,b)=3 → merge
+    // "aa" (aaab → [aa,a,b]). Round 2: (aa,a)=2, (a,b)=3 → "ab"
+    // ([aa,a,b] → [aa,ab]; [a,b] → [ab]). Round 3: (aa,ab)=2 → "aaab".
+    // Round 4: no adjacent pairs anywhere → stop.
+    val dict = Seq(("aaab", 2L), ("ab", 1L))
+    assert(TextOps.bpeTrainMerges(dict, 10) === Seq("aa", "ab", "aaab"))
+    // budget binds: asking for fewer merges truncates the same prefix
+    assert(TextOps.bpeTrainMerges(dict, 2) === Seq("aa", "ab"))
+    // the distributed trainer is the same loop left distributed
+    val wc = dict.toDF("w", "c")
+    assert(TextOps.bpeTrainMergesDistributed(wc, 10) === Seq("aa", "ab", "aaab"))
+    // the max-piece bound is respected: a dictionary of long words never
+    // learns a piece past 8 letters
+    val long = Seq(("abcdefghij", 5L))
+    val learned = TextOps.bpeTrainMerges(long, 20)
+    assert(learned.nonEmpty)
+    assert(learned.forall(p => p.length >= 2 && p.length <= 8))
+  }
+
+  test("t4c: learned-vocab counts on the fixture — invariants, warm stability, spliced oracle") {
+    val a = TextOps.t4cBpeVocabTrain(spark, sf).collect()
+    val srcs = graft.sources.Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(a.length.toLong === srcs)
+    val vp = a.head.getAs[Int]("vocab_pieces")
+    assert(vp > 0 && vp <= TextOps.BpeMerges)
+    a.foreach { r =>
+      assert(r.getAs[Int]("vocab_pieces") === vp, "vocab size is one constant")
+      // every pre-token yields >= 1 subword token
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("pre_tokens"))
+    }
+    // the learned vocab satisfies the counter's piece contract
+    val vocab = TextOps.learnedBpeVocab(spark, sf)
+    assert(vocab.size === vp)
+    assert(vocab.forall(p =>
+      p.length >= 2 && p.length <= 8 && p.forall(c => c >= 'a' && c <= 'z')))
+    // warm path: the persisted vocab serves identical results
+    val b = TextOps.t4cBpeVocabTrain(spark, sf).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+    // the trained-constants oracle is spliced once the query has run
+    val sql = TextOps.oracleSql("t4c_bpe_vocab_train")
+    assert(sql.contains("WITH RECURSIVE") && !sql.contains("WHERE FALSE"))
+    assert(sql.contains(s"('${vocab.sorted.head}', ${vocab.sorted.head.length})"))
+  }
+
   test("t18: trained classifier separates a planted reference-vs-pool corpus") {
     // positives (doc_id % 20 == 0) speak reference vocabulary; negatives
     // (% 20 == 1) speak pool vocabulary; the UNLABELED rest lean 2:1 one
