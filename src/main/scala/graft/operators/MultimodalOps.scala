@@ -634,7 +634,16 @@ object MultimodalOps {
     * binds the corpus blobs; the spec drives planted payloads. */
   private[graft] def imageNeardupOf(blobs: DataFrame): DataFrame = {
     import blobs.sparkSession.implicits._
+    // The hash sheet is consumed THREE times — imagePairsOf's small- and
+    // big-bucket branches (the r12 degenerate-bucket guard split it into
+    // two filters of one relation) plus the final degree join. Persist
+    // the tiny (id, 4×int16) relation eagerly (the d5 verifiedPairs
+    // discipline) so payload bytes are read and aHash'd ONCE per corpus
+    // pass instead of once per consumer — at a billion images the blob
+    // re-scan is the whole cost; the sheet is ~36 B/row at any scale.
     val hashed = hashBlocks(blobs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count()
     // explode, not a union of two selections — a union plans the whole
     // pair machinery twice; exploded endpoints keep it a single subtree
     val degree = imagePairsOf(hashed)

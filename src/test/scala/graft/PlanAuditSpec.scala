@@ -302,15 +302,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!e4.contains("CartesianProduct"), e4)
   }
 
-  test("m6: two narrow blob scans, id-width exchanges only, pair-gen stays inside the buckets") {
+  test("m6: blobs hashed ONCE (cached sheet), id-width exchanges only, pair-gen stays inside the buckets") {
     // the d3 discipline on the image-hash domain: candidates come from
     // the (band, block) equi-join — the band groupBy and the pair
     // dropDuplicates are the only exchanges, both carrying (id, 4 ints)
     // or (id, id, hamming) rows, never payload bytes; nothing pair-shaped
     // shuffles before the in-bucket Hamming filter
     val p = plan("m6_image_neardup")
-    assert(scansOf(p, "documents") === 2,
-      s"hash sheet + degree join — the blob scan and its reuse:\n$p")
+    // the hash sheet is eagerly cached (the r12 degenerate-bucket guard
+    // split imagePairsOf into two filtered branches, so the sheet now has
+    // THREE consumers): every documents reference in this plan must be an
+    // InMemoryTableScan printing its cached repr — blobs are read and
+    // aHash'd exactly once at runtime, never once per consumer
+    assert(p.contains("InMemoryRelation"),
+      s"hash sheet must be cached — blob re-scan per consumer:\n$p")
+    assert(scansOf(p, "documents") ===
+      "InMemoryTableScan".r.findAllIn(p).length,
+      s"every documents reference must be the cached hash sheet:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // nothing pair-shaped shuffles before the in-bucket Hamming filter:
     // every exchange key set is (band, key), (doc_a, doc_b) or doc_id
