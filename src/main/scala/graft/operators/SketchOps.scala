@@ -336,8 +336,9 @@ object SketchOps {
     * sketch-alone discipline): the corpus is touched once for the
     * vocab-bounded gram-identity relation, ONE map-side-combined aggregate
     * reduces it to sources × [[K5Channels]] longs, and the pair matrix is
-    * an S-row broadcast self-join — no data-scaled work after the first
-    * aggregate, no persist, no driver collect. k5 stays registered as the
+    * an S-row broadcast self-join over the eagerly-cached signature
+    * relation (S ~KB rows — the only cached state; no data-scaled work
+    * after the first aggregate, no driver collect). k5 stays registered as the
     * AUDIT tool that proves the estimator against exact intersections;
     * its spec asserts k5b's `matches` equals k5's on the same corpus.
     *
@@ -354,7 +355,12 @@ object SketchOps {
     * `matches` against [[sourceOverlap]]'s. */
   private[graft] def signatureOverlap(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
+    // both pair-join sides read the signature relation: persist the
+    // S-row (source, n, 128 longs) result eagerly (the d5/m6 discipline)
+    // so the corpus-touching gram pass runs ONCE, not once per side
     val perSrc = perSourceSig(gramSets(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perSrc.count()
     val a = perSrc.select($"source".as("source_a"), $"n".as("n_a"), $"sig".as("sig_a"))
     val b = perSrc.select($"source".as("source_b"), $"n".as("n_b"), $"sig".as("sig_b"))
     a.join(broadcast(b), $"source_a" < $"source_b")
