@@ -308,17 +308,165 @@ object SamplingOps {
        |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
        |    FROM documents)""".stripMargin, "p4:")
 
+  // --------------------------------------------------------------- p6 DSIR
+
+  /** The neutral micro-unit importance ratio (equal smoothed reference
+    * and pool frequencies) — unseen feature buckets default to it. */
+  private[graft] val DsirMicro = 1000000L
+  /** Trainer version — bump on any change to hashing, smoothing, or the
+    * ratio formula (the t18 staleness discipline). */
+  private[graft] val DsirVersion = 1
+
+  /** p6: DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, the GPT-3/PaLM-era domain-matching pass): re-weight the raw
+    * pool toward a REFERENCE distribution by per-document importance
+    * (how much more likely the doc's features are under the reference
+    * than under the pool) and sample with probability proportional to
+    * it. t18 FILTERS on a discriminative verdict; p6 RESAMPLES to match
+    * a target distribution — the standard pairing in published stacks
+    * (quality screen + domain match).
+    *
+    * Model: hashed unigram buckets — t18's h60 mod
+    * [[TextOps.ClfBuckets]] features over the same reference/pool
+    * slices via the shared [[TextOps.clfBucketCounts]] relation (the
+    * two trained samplers cannot drift on slice or hashing
+    * conventions). Smoothed micro frequencies f⁺ = (c⁺·10⁶ div T⁺)+1
+    * and f⁻ = (c⁻·10⁶ div T⁻)+1 (add-one in micro space keeps the
+    * ratio defined and integer); per-bucket importance r = (f⁺·10⁶)
+    * div f⁻, neutral at [[DsirMicro]]. The published estimator
+    * multiplies per-feature likelihood ratios (sums log-ratios); log
+    * is banned from hashed outputs by the determinism discipline, so
+    * the per-doc weight is the integer MEAN of per-occurrence ratios —
+    * same ranking direction, bit-exact in both engines (t18's log-odds
+    * stand-in device).
+    *
+    * `dsir_weight_micro` = (Σ over token occurrences of r[b]) div
+    * n_toks; `accept` = salted hash % 10⁶ < min(weight, 10⁶) —
+    * sampling proportional to importance with density capped at 1,
+    * deterministic per document (p2's independent-channel salt).
+    *
+    * Scale shape (t18's exactly): training is ONE vocab-bounded
+    * map-side-combined aggregate over the two slices, published
+    * atomically under a fingerprint-named path — warm processes train
+    * nothing; scoring is a PURE narrow map (the D-bounded ratio table
+    * rides the plan as one array literal — zero exchanges, no state at
+    * any corpus size, plan-audit-pinned). */
+  def p6DsirResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = dsirRatioVector(s, dir)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("int").as("n_toks"),
+        dsirSumExpr($"text", r).as("rs"))
+      .select($"doc_id", $"n_toks",
+        expr("rs div n_toks").as("dsir_weight_micro"))
+      .withColumn("accept",
+        pmod(hashRank($"doc_id", "p6:"), lit(DsirMicro)) <
+          least($"dsir_weight_micro", lit(DsirMicro)))
+  }
+
+  /** Per-occurrence importance fold over a text column given the dense
+    * ratio vector — one array literal + a per-row fold (t18's
+    * clfScoreExpr shape); factored so the spec's independent replay
+    * applies the IDENTICAL expression. */
+  private[graft] def dsirSumExpr(text: Column, r: Array[Long]): Column =
+    aggregate(
+      transform(split(text, " "), t =>
+        element_at(typedLit(r.toSeq),
+          (graft.sources.Hash60.col60(t) % TextOps.ClfBuckets).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The trained (bucket, ratio) relation over any documents frame —
+    * the spec drives planted corpora through this kernel. */
+  private[graft] def dsirRatiosOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = TextOps.clfBucketCounts(docs)
+    val totals = counts.agg(sum($"cp").as("tp"), sum($"cn").as("tn"))
+    counts.crossJoin(broadcast(totals))
+      .select($"b", expr(
+        s"((((cp * $DsirMicro) div tp) + 1) * $DsirMicro)" +
+          s" div (((cn * $DsirMicro) div tn) + 1)").as("r"))
+  }
+
+  private[graft] def dsirModelPath(dir: String): String =
+    java.nio.file.Paths.get("target",
+      s"graft_dsir_v${DsirVersion}_d${TextOps.ClfBuckets}_" +
+        s"f${graft.sources.Layouts.tableFingerprint(dir, "documents")}_" +
+        graft.sources.Layouts.dirTag(dir)).toAbsolutePath.toString
+
+  private val dsirMemo = new graft.sources.FingerprintMemo[Array[Long]](_ => ())
+
+  /** Dense ratio vector (length [[TextOps.ClfBuckets]], neutral-filled)
+    * for `dir`'s corpus — trained once per corpus fingerprint,
+    * persisted, memoized per JVM (t18's clfWeightVector discipline; the
+    * collect is D-bounded — the model IS the collected artifact). Fails
+    * loudly on an empty training relation. */
+  private def dsirRatioVector(s: SparkSession, dir: String): Array[Long] =
+    dsirMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "",
+      graft.sources.Layouts.tableFingerprint(dir, "documents")) {
+        import s.implicits._
+        val path = dsirModelPath(dir)
+        if (!graft.sources.Layouts.completedTable(path)) {
+          val rdf = dsirRatiosOf(Tables.documents(s, dir))
+          graft.sources.Layouts.publishAtomically(rdf, path, files = 1)
+        }
+        val rows = s.read.schema("b LONG, r LONG").parquet(path)
+          .as[(Long, Long)].collect()
+        require(rows.nonEmpty,
+          s"p6: no training tokens in either slice at $dir — importance undefined")
+        val r = Array.fill[Long](TextOps.ClfBuckets)(DsirMicro)
+        rows.foreach { case (b, v) => r(b.toInt) = v }
+        r
+      }
+
+  private val p6Sql = {
+    import graft.sources.Hash60
+    s"""WITH tb AS (
+       |  SELECT doc_id, ${Hash60.sql60("tok")} % ${TextOps.ClfBuckets} AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |cnt AS (
+       |  SELECT b,
+       |    SUM(CASE WHEN doc_id % ${TextOps.DecontMod} = 0
+       |        THEN 1 ELSE 0 END) AS cp,
+       |    SUM(CASE WHEN doc_id % ${TextOps.DecontMod} = ${TextOps.ClfNegRem}
+       |        THEN 1 ELSE 0 END) AS cn
+       |  FROM tb
+       |  WHERE doc_id % ${TextOps.DecontMod} IN (0, ${TextOps.ClfNegRem})
+       |  GROUP BY 1),
+       |tot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM cnt),
+       |rat AS (
+       |  SELECT b, ((((cp * $DsirMicro) // tp) + 1) * $DsirMicro)
+       |    // (((cn * $DsirMicro) // tn) + 1) AS r
+       |  FROM cnt, tot),
+       |sc AS (
+       |  SELECT tb.doc_id,
+       |    CAST(SUM(COALESCE(rat.r, $DsirMicro)) AS BIGINT) AS rs,
+       |    CAST(COUNT(*) AS BIGINT) AS nt
+       |  FROM tb LEFT JOIN rat USING (b)
+       |  GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_toks,
+       |  CAST(sc.rs // sc.nt AS BIGINT) AS dsir_weight_micro,
+       |  (${hashRankSql("p6:")} % $DsirMicro)
+       |    < LEAST(sc.rs // sc.nt, $DsirMicro) AS accept
+       |FROM documents d JOIN sc USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sample_topk" -> p1SampleTopk _,
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_dataset_mix" -> p3DatasetMix _,
     "p4_pack_sequences" -> p4PackSequences _,
-    "p5_mix_materialize" -> p5MixMaterialize _)
+    "p5_mix_materialize" -> p5MixMaterialize _,
+    "p6_dsir_resample" -> p6DsirResample _)
 
   val oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
     "p2_stratified_sample" -> p2Sql,
     "p3_dataset_mix" -> p3Sql,
     "p4_pack_sequences" -> p4Sql,
-    "p5_mix_materialize" -> p5Sql)
+    "p5_mix_materialize" -> p5Sql,
+    "p6_dsir_resample" -> p6Sql)
 }

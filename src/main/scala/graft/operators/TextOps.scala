@@ -1835,13 +1835,15 @@ object TextOps {
           (h60(t) % ClfBuckets).cast("int") + 1)),
       lit(0L), (acc, x) => acc + x)
 
-  /** The trained (bucket, weight) relation over any documents frame —
-    * the spec drives planted corpora through this kernel. Buckets with
-    * zero training occurrences carry no row (weight 0 by omission). */
-  private[graft] def classifierWeightsOf(docs: DataFrame): DataFrame = {
+  /** Per-bucket (b, cp, cn) token counts over the reference (doc_id %
+    * [[DecontMod]] == 0) and pool (== [[ClfNegRem]]) slices — ONE
+    * vocab-bounded map-side-combined aggregate, shared by t18's contrast
+    * weights and p6's DSIR importance ratios so the two trained samplers
+    * cannot drift on slice or hashing conventions. */
+  private[operators] def clfBucketCounts(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val counts = docs
+    docs
       .where($"doc_id" % DecontMod === 0 || $"doc_id" % DecontMod === ClfNegRem)
       .select(($"doc_id" % DecontMod === 0).as("pos"),
         explode(words($"text")).as("tok"))
@@ -1849,6 +1851,15 @@ object TextOps {
       .groupBy($"b")
       .agg(sum(when($"pos", 1L).otherwise(0L)).as("cp"),
         sum(when(!$"pos", 1L).otherwise(0L)).as("cn"))
+  }
+
+  /** The trained (bucket, weight) relation over any documents frame —
+    * the spec drives planted corpora through this kernel. Buckets with
+    * zero training occurrences carry no row (weight 0 by omission). */
+  private[graft] def classifierWeightsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = clfBucketCounts(docs)
     val totals = counts.agg(sum($"cp").as("tp"), sum($"cn").as("tn"))
     counts.crossJoin(broadcast(totals))
       .select($"b",

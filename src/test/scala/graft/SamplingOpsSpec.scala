@@ -206,4 +206,106 @@ class SamplingOpsSpec extends SparkSpec {
     assert((p1Ids -- p2Ids).nonEmpty)
     assert((p2Ids -- p1Ids).nonEmpty)
   }
+
+  test("p6: importance up-weights reference-like docs on a planted separable corpus") {
+    // reference slice (doc_id % 20 == 0) speaks reference vocabulary,
+    // pool slice (% 20 == 1) speaks pool vocabulary; unlabeled docs made
+    // of pure reference vocab must carry weight > neutral > pure pool
+    // vocab (DSIR's defining ranking: importance ∝ p_ref / p_pool).
+    val refV = Seq("crisp", "clean", "prose", "cited")
+    val poolV = Seq("spam", "junk", "noise", "clickbait")
+    val docs = (0 until 120).map { i =>
+      val id = i.toLong
+      val t =
+        if (id % 20 == 0) Seq.tabulate(12)(j => refV(j % 4)).mkString(" ")
+        else if (id % 20 == 1) Seq.tabulate(12)(j => poolV(j % 4)).mkString(" ")
+        else if (id % 2 == 0) refV.mkString(" ")
+        else poolV.mkString(" ")
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rrows = SamplingOps.dsirRatiosOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dense = Array.tabulate(graft.operators.TextOps.ClfBuckets)(b =>
+      rrows.getOrElse(b.toLong, SamplingOps.DsirMicro))
+    val w = docs
+      .select($"doc_id", size(split($"text", " ")).as("n"),
+        SamplingOps.dsirSumExpr($"text", dense).as("rs"))
+      .select($"doc_id", expr("rs div n").as("w"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 120).map(_.toLong).filter(_ % 20 >= 2).foreach { id =>
+      if (id % 2 == 0)
+        assert(w(id) > SamplingOps.DsirMicro, s"doc $id: ref-vocab weight must exceed neutral")
+      else
+        assert(w(id) < SamplingOps.DsirMicro, s"doc $id: pool-vocab weight must undercut neutral")
+    }
+  }
+
+  test("p6: ratios and scores replay in independent Scala; accept is the salted-hash rule; unseen vocab is neutral") {
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val D = graft.operators.TextOps.ClfBuckets
+    val M = SamplingOps.DsirMicro
+    val refV = Seq("alpha", "beta", "gamma")
+    val poolV = Seq("delta", "epsilon", "zeta")
+    val raw = (0 until 60).map { i =>
+      val id = i.toLong
+      val t =
+        if (id % 20 == 0) (refV ++ refV).mkString(" ")
+        else if (id % 20 == 1) (poolV ++ poolV).mkString(" ")
+        else if (id % 3 == 2) "omicron sigma tau" // fully unseen vocab
+        else (refV ++ poolV ++ Seq("theta")).mkString(" ")
+      (id, t)
+    }
+    val docs = raw.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // --- independent replay of the trainer ---
+    val cp = collection.mutable.Map.empty[Long, Long]
+    val cn = collection.mutable.Map.empty[Long, Long]
+    raw.foreach { case (id, t) =>
+      if (id % 20 == 0) t.split(" ", -1).foreach(tok =>
+        cp(h60(tok) % D) = cp.getOrElse(h60(tok) % D, 0L) + 1)
+      if (id % 20 == 1) t.split(" ", -1).foreach(tok =>
+        cn(h60(tok) % D) = cn.getOrElse(h60(tok) % D, 0L) + 1)
+    }
+    val (tp, tn) = (cp.values.sum, cn.values.sum)
+    val wantR = (cp.keySet ++ cn.keySet).map { b =>
+      val fr = cp.getOrElse(b, 0L) * M / tp + 1
+      val fq = cn.getOrElse(b, 0L) * M / tn + 1
+      b -> fr * M / fq
+    }.toMap
+    val gotR = SamplingOps.dsirRatiosOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR === wantR)
+    // --- independent replay of the scorer + the neutral default ---
+    val dense = Array.tabulate(D)(b => wantR.getOrElse(b.toLong, M))
+    val gotW = docs
+      .select($"doc_id", size(split($"text", " ")).as("n"),
+        SamplingOps.dsirSumExpr($"text", dense).as("rs"))
+      .select($"doc_id", expr("rs div n").as("w"))
+      .as[(Long, Long)].collect().toMap
+    raw.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val want = toks.map(tok => dense((h60(tok) % D).toInt)).sum / toks.length
+      assert(gotW(id) === want, s"doc $id weight")
+      if (id % 20 >= 2 && id % 3 == 2)
+        assert(gotW(id) === M, s"doc $id: fully-unseen vocab must be exactly neutral")
+    }
+    // --- registered fixture query: accept rule + warm stability ---
+    val a = SamplingOps.p6DsirResample(spark, sf).collect()
+    assert(a.length > 0)
+    a.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val wMicro = r.getAs[Long]("dsir_weight_micro")
+      val draw = h60("p6:" + id) % M
+      assert(r.getAs[Boolean]("accept") === (draw < math.min(wMicro, M)),
+        s"doc $id accept")
+      assert(r.getAs[Int]("n_toks") > 0)
+    }
+    // second call loads the persisted model (no retrain) — identical rows
+    val b = SamplingOps.p6DsirResample(spark, sf).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+  }
 }
