@@ -231,17 +231,152 @@ object PipelineOps {
        |JOIN spans s ON r.doc_id = s.doc_id
        |JOIN clf c ON r.doc_id = c.doc_id""".stripMargin
 
+  /** e6: the per-source CORPUS REPORT CARD — the data-sheet artifact
+    * (Dolma's summary tables, the "datasheets for datasets" practice)
+    * a curation team publishes beside the corpus: one row per source
+    * with volume (docs, whitespace tokens), language make-up (distinct
+    * langs, dominant lang and its share), quality (Gopher-keep share,
+    * trained-classifier keep share, mean reference-LM score, head-tier
+    * share), and duplication (corpus-wide exact-dup share, repeated-span
+    * share). All shares are integer micro-units (share = count·10⁶ div
+    * docs — the t13/t14 no-float discipline).
+    *
+    * Plan shape: the per-doc signals come from [[e5AttributeSheet]]
+    * UNCHANGED (the rollup is the sheet's consumer, exactly how the
+    * attributes-file pattern is meant to be used), joined id-width to
+    * one full-text base scan that derives what the sheet doesn't carry
+    * (source, token count, and the corpus-wide exact-dup bit as a count
+    * over a sha2-keyed window — d1's device, one 32-byte-keyed
+    * exchange); the language mix aggregates over a second, text-free
+    * scan of the two dictionary-encoded routing columns (source, lang) —
+    * cheaper than forcing the windowed base relation to plan twice.
+    * Everything after the per-doc joins is source×lang-bounded:
+    * aggregates collapse map-side to S rows, the dominant-language
+    * argmax is min(lang) at the max count (deterministic under ties in
+    * both engines) via windows over the bounded count relation — a
+    * join-based argmax would plan the routing scan three times — and
+    * the final stitch is a broadcast join of S-row relations.
+    * Plan-audited: e6's documents
+    * scans equal e5's stages' sum + 2 (the base scan and the
+    * routing-column scan), zero composition re-scans. */
+  def e6CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).select(
+      $"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("n_toks"),
+      (count(lit(1)).over(Window.partitionBy(sha2($"text", 256))) > 1)
+        .as("exact_dup"))
+    val sheet = e5AttributeSheet(s, dir)
+      .select($"doc_id", $"gopher_keep", $"clf_keep", $"has_dup",
+        $"ppl_bucket", $"score_micro")
+    val per = base.join(sheet, Seq("doc_id"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("docs"),
+        sum($"n_toks").as("tokens"),
+        sum(when($"gopher_keep", 1L).otherwise(0L)).as("gk"),
+        sum(when($"clf_keep", 1L).otherwise(0L)).as("ck"),
+        sum(when($"has_dup", 1L).otherwise(0L)).as("sd"),
+        sum(when($"exact_dup", 1L).otherwise(0L)).as("ed"),
+        sum(when($"ppl_bucket" === "head", 1L).otherwise(0L)).as("hd"),
+        sum($"score_micro").as("ssum"))
+    // windows over the source×lang-bounded count relation (the t17
+    // bounded-histogram discipline) — la plans ONCE; a join-based
+    // max/argmax would plan the routing scan three times
+    val wn = Window.partitionBy($"source")
+    val top = Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("lc"))
+      .withColumn("n_langs", count(lit(1)).over(wn))
+      .withColumn("mx", max($"lc").over(wn))
+      .where($"lc" === $"mx")
+      .groupBy($"source")
+      .agg(min($"lang").as("top_lang"), max($"mx").as("top_docs"),
+        max($"n_langs").as("n_langs"))
+    per
+      .join(broadcast(top), Seq("source"))
+      .select($"source", $"docs", $"tokens", $"n_langs", $"top_lang",
+        expr("(top_docs * 1000000L) div docs").as("top_lang_share_micro"),
+        expr("(gk * 1000000L) div docs").as("share_gopher_keep_micro"),
+        expr("(ck * 1000000L) div docs").as("share_clf_keep_micro"),
+        expr("(sd * 1000000L) div docs").as("share_span_dup_micro"),
+        expr("(ed * 1000000L) div docs").as("share_exact_dup_micro"),
+        expr("(hd * 1000000L) div docs").as("share_head_micro"),
+        expr("ssum div docs").as("mean_score_micro"))
+  }
+
+  /** Oracle: the rollup over e5's oracle; the exact-dup window
+    * partitions by raw text (d1's device — same groups as sha2 absent a
+    * collision, fine at oracle scale). */
+  private val e6Sql =
+    s"""WITH sheet AS (
+       |  SELECT doc_id, gopher_keep, clf_keep, has_dup, ppl_bucket,
+       |    score_micro
+       |  FROM (${e5Sql})),
+       |base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    COUNT(*) OVER (PARTITION BY text) > 1 AS exact_dup
+       |  FROM documents),
+       |per AS (
+       |  SELECT b.source,
+       |    CAST(COUNT(*) AS BIGINT) AS docs,
+       |    CAST(SUM(b.n_toks) AS BIGINT) AS tokens,
+       |    CAST(SUM(CASE WHEN s.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS gk,
+       |    CAST(SUM(CASE WHEN s.clf_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ck,
+       |    CAST(SUM(CASE WHEN s.has_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS sd,
+       |    CAST(SUM(CASE WHEN b.exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ed,
+       |    CAST(SUM(CASE WHEN s.ppl_bucket = 'head' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hd,
+       |    CAST(SUM(s.score_micro) AS BIGINT) AS ssum
+       |  FROM base b JOIN sheet s USING (doc_id)
+       |  GROUP BY 1),
+       |la AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS lc
+       |  FROM documents GROUP BY 1, 2),
+       |mx AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+       |    MAX(lc) AS mx
+       |  FROM la GROUP BY 1),
+       |top AS (
+       |  SELECT la.source, MIN(la.lang) AS top_lang,
+       |    MAX(mx.mx) AS top_docs
+       |  FROM la JOIN mx ON la.source = mx.source AND la.lc = mx.mx
+       |  GROUP BY 1)
+       |SELECT p.source, p.docs, p.tokens, m.n_langs, t.top_lang,
+       |  CAST((t.top_docs * 1000000) // p.docs AS BIGINT)
+       |    AS top_lang_share_micro,
+       |  CAST((p.gk * 1000000) // p.docs AS BIGINT)
+       |    AS share_gopher_keep_micro,
+       |  CAST((p.ck * 1000000) // p.docs AS BIGINT)
+       |    AS share_clf_keep_micro,
+       |  CAST((p.sd * 1000000) // p.docs AS BIGINT)
+       |    AS share_span_dup_micro,
+       |  CAST((p.ed * 1000000) // p.docs AS BIGINT)
+       |    AS share_exact_dup_micro,
+       |  CAST((p.hd * 1000000) // p.docs AS BIGINT)
+       |    AS share_head_micro,
+       |  CAST(p.ssum // p.docs AS BIGINT) AS mean_score_micro
+       |FROM per p
+       |JOIN top t ON p.source = t.source
+       |JOIN mx m ON p.source = m.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
     "e3_corpus_curation" -> e3CorpusCuration _,
     "e4_clean_pack" -> e4CleanPack _,
-    "e5_attribute_sheet" -> e5AttributeSheet _)
+    "e5_attribute_sheet" -> e5AttributeSheet _,
+    "e6_corpus_report" -> e6CorpusReport _)
 
   val oracleSql: Map[String, String] = Map(
     "e1_pipeline" -> e1Sql,
     "e2_training_shards" -> e2Sql,
     "e3_corpus_curation" -> e3Sql,
     "e4_clean_pack" -> e4Sql,
-    "e5_attribute_sheet" -> e5Sql)
+    "e5_attribute_sheet" -> e5Sql,
+    "e6_corpus_report" -> e6Sql)
 }

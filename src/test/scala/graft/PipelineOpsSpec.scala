@@ -206,4 +206,50 @@ class PipelineOpsSpec extends SparkSpec {
       got.values.exists(!_.getAs[Boolean]("has_dup")))
   }
 
+  test("e6: the report card equals an independent rollup of e5 + base stats") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .as[(Long, String, String, String)].collect()
+    val sheet = PipelineOps.e5AttributeSheet(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("gopher_keep"), r.getAs[Boolean]("clf_keep"),
+          r.getAs[Boolean]("has_dup"), r.getAs[String]("ppl_bucket"),
+          r.getAs[Long]("score_micro")))).toMap
+    val textCount = docs.groupBy(_._4).map { case (t, ds) => t -> ds.size }
+    val bySrc = docs.groupBy(_._2)
+    val want = bySrc.map { case (src, ds) =>
+      val n = ds.size.toLong
+      val langs = ds.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val mx = langs.values.max
+      val topLang = langs.filter(_._2 == mx).keys.min
+      def share(c: Long) = c * 1000000L / n
+      src -> ((n,
+        ds.map(_._4.split(" ", -1).length.toLong).sum,
+        langs.size.toLong, topLang, share(mx),
+        share(ds.count(d => sheet(d._1)._1)),
+        share(ds.count(d => sheet(d._1)._2)),
+        share(ds.count(d => sheet(d._1)._3)),
+        share(ds.count(d => textCount(d._4) > 1)),
+        share(ds.count(d => sheet(d._1)._4 == "head")),
+        ds.map(d => sheet(d._1)._5).sum / n))
+    }
+    val got = PipelineOps.e6CorpusReport(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("n_langs"), r.getAs[String]("top_lang"),
+          r.getAs[Long]("top_lang_share_micro"),
+          r.getAs[Long]("share_gopher_keep_micro"),
+          r.getAs[Long]("share_clf_keep_micro"),
+          r.getAs[Long]("share_span_dup_micro"),
+          r.getAs[Long]("share_exact_dup_micro"),
+          r.getAs[Long]("share_head_micro"),
+          r.getAs[Long]("mean_score_micro")))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (src, w) => assert(got(src) === w, s"source $src") }
+    // the report must carry real variance — all-equal rows would make
+    // this equality test weak
+    assert(got.values.map(_._4).toSet.size >= 2 ||
+      got.values.map(_._5).toSet.size >= 2)
+  }
+
 }

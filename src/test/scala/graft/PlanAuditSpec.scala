@@ -415,6 +415,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p6: DSIR scoring is a PURE narrow map — zero exchanges, one documents scan") {
+    // the ratio table rides the plan as one array literal (t18's shape);
+    // the scan is the only data movement at any corpus size
+    val p = plan("p6_dsir_resample")
+    assert(shuffles(p) === 0, s"DSIR scoring must not shuffle:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"ratios are a literal, not a joined relation:\n$p")
+    assert(scansOf(p, "documents") === 1, p)
+  }
+
+  test("e6: the report-card rollup adds exactly the base + routing scans over e5's stages") {
+    // e6 = e5's sheet (unchanged stage plans) + one full-text base scan
+    // (tokens + the sha2-windowed exact-dup bit) + one text-free
+    // (source, lang) routing scan; the composition re-scans nothing
+    val e6 = plan("e6_corpus_report")
+    val e5Stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
+      "t18_quality_classifier").map(plan)
+    assert(scansOf(e6, "documents") ===
+      e5Stages.map(scansOf(_, "documents")).sum + 2,
+      s"e6 documents scans must be e5's stages' sum + base + routing:\n$e6")
+    assert(!e6.contains("CartesianProduct"), e6)
+    // everything past the per-doc joins is source(×lang)-bounded and the
+    // final stitches broadcast
+    assert(e6.contains("BroadcastHashJoin") || e6.contains("BroadcastNestedLoopJoin"),
+      s"the S-row stitch joins must broadcast:\n$e6")
+  }
+
   test("m7: payload bytes never shuffle — exchanges are doc_id-keyed, one equi-join") {
     val p = plan("m7_image_text_align")
     val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
