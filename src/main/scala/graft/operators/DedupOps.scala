@@ -50,6 +50,21 @@ object DedupOps {
     when(size(w) >= n, array_distinct(grams)).otherwise(array(text))
   }
 
+  /** [[shingles]] WITHOUT the distinct — grams in position order, so
+    * `posexplode` recovers each gram's 0-based token start. Same
+    * zip_with ladder (no per-element token-array re-eval), same
+    * whole-text fallback below n words (one pseudo-gram at pos 0).
+    * Shared by t19's surgical decontamination, which needs WHERE a
+    * gram hit, not just whether. */
+  private[graft] def posGrams(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    val m = size(w) - lit(n - 1)
+    val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), m), (p, c) => concat(p, lit(" "), c))
+    }
+    when(size(w) >= n, grams).otherwise(array(text))
+  }
+
   /** d1: exact dedup. Survivor = min doc_id per content-hash group; every
     * doc is flagged rather than dropped so the lineage (who was a dup of
     * whom) stays queryable. Grouping key is sha2(text) — at 100 TB the

@@ -1078,6 +1078,150 @@ object TextOps {
        |SELECT b.doc_id, b.is_eval, h.doc_id IS NOT NULL AS contaminated
        |FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
 
+  // --------------------------------------- t19 surgical decontamination
+
+  /** Tokens of context removed on EACH side of a contaminated gram —
+    * GPT-3's appendix-C discipline (they scrubbed a symmetric window
+    * around every eval collision rather than the gram alone, so partial
+    * paraphrases straddling the gram boundary die too). Driver-known
+    * literal, mirrored into the oracle. */
+  private[graft] val ScrubMargin = 4
+
+  /** t19: SURGICAL decontamination — remove the contaminated span, keep
+    * the document. t10 answers "is this doc contaminated?" (the
+    * drop-the-document screen); real pipelines (GPT-3 appendix C, PaLM)
+    * prefer the surgical variant: every [[DecontGram]]-token window
+    * shared with the held-out eval slice is cut together with
+    * [[ScrubMargin]] tokens of context on each side, overlapping cuts
+    * merge (d11's gaps-and-islands on the margin-EXPANDED bounds), and
+    * the document survives as its uncontaminated remainder. Unlike
+    * d12's keep-first there is no surviving copy: eval text must not
+    * appear in training data at all, so EVERY training-side occurrence
+    * is cut. Eval docs pass through verbatim (they are not training
+    * data; flagged `is_eval` like t10). A short (< gram) training doc
+    * equal to an eval pseudo-gram scrubs to ''.
+    *
+    * Scale shape: t10's exactly for the detection half — grams ride
+    * [[DedupOps.posGrams]] (the shingle ladder with positions), hashed
+    * to 8 bytes at the scan, eval's distinct-gram relation broadcasts
+    * when the eval set is benchmark-sized and degrades to a shuffled
+    * semi-join on 8-byte keys past that. The island pass windows over
+    * the SEMI-JOINED sliver only — (doc_id, pos) pairs of actual hits,
+    * a relation the eval join has already collapsed to ~0 rows on a
+    * clean corpus — and the rewrite is d12's per-row array filter
+    * against the broadcast-joined interval list, one doc_id-keyed
+    * exchange total. */
+  def t19SpanDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = DecontGram
+    val docs = Tables.documents(s, dir)
+    val sh = docs
+      .select($"doc_id", ($"doc_id" % DecontMod === 0).as("is_eval"),
+        posexplode(DedupOps.posGrams($"text", g)))
+      .select($"doc_id", $"is_eval", $"pos", xxhash64($"col").as("gh"))
+    val ev = sh.where($"is_eval").select($"gh").distinct()
+    val cw = sh.where(!$"is_eval")
+      .join(ev, Seq("gh"), "left_semi")
+      .select($"doc_id", $"pos")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runEnd = max($"pos" + lit(g + ScrubMargin))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val iv = cw
+      .withColumn("brk",
+        when(runEnd.isNull || ($"pos" - ScrubMargin) > runEnd, 1)
+          .otherwise(0))
+      .withColumn("island", sum($"brk").over(byPos))
+      .groupBy($"doc_id", $"island")
+      .agg(greatest(min($"pos") - ScrubMargin, lit(0)).as("st"),
+        (max($"pos") + g + ScrubMargin).as("en"))
+    val ivd = iv.groupBy($"doc_id")
+      .agg(collect_list(struct($"st", $"en")).as("ivs"),
+        count(lit(1)).cast("int").as("n_spans_cut"))
+    docs
+      .select($"doc_id", ($"doc_id" % DecontMod === 0).as("is_eval"),
+        $"text")
+      .join(ivd, Seq("doc_id"), "left")
+      .withColumn("cleanw", filter(split($"text", " "), (_, i) =>
+        !exists($"ivs", v =>
+          i >= v.getField("st") && i < v.getField("en"))))
+      .select($"doc_id", $"is_eval",
+        when($"ivs".isNull, $"text")
+          .otherwise(concat_ws(" ", $"cleanw")).as("clean_text"),
+        coalesce($"n_spans_cut", lit(0)).as("n_spans_cut"),
+        when($"ivs".isNull, lit(0))
+          .otherwise(size(split($"text", " ")) - size($"cleanw"))
+          .cast("int").as("n_tokens_cut"),
+        when($"ivs".isNull, size(split($"text", " ")))
+          .otherwise(size($"cleanw")).cast("int").as("n_tokens_kept"))
+  }
+
+  /** DuckDB replays grams on STRINGS with positions (t10's gram CTE +
+    * d12's island/rewrite CTEs, margin-expanded); equal cleaned text
+    * proves the hashed Spark plan faithful. */
+  private[operators] val t19Sql = {
+    val g = DecontGram
+    val m = ScrubMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % $DecontMod = 0 AS is_eval,
+       |         string_split(text, ' ') AS w, text
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_eval, (s).p AS pos, (s).g AS gram FROM (
+       |    SELECT doc_id, is_eval, unnest(
+       |      CASE WHEN len(w) >= $g
+       |        THEN [{'p': i - 1, 'g': array_to_string(w[i:i+${g - 1}], ' ')}
+       |              for i in range(1, len(w) - ${g - 2})]
+       |        ELSE [{'p': 0, 'g': text}] END) AS s
+       |    FROM base)),
+       |ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+       |cw AS (
+       |  SELECT g.doc_id, g.pos FROM grams g JOIN ev ON g.gram = ev.gram
+       |  WHERE NOT g.is_eval),
+       |isl AS (
+       |  SELECT doc_id, pos, CASE WHEN
+       |      max(pos + ${g + m}) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos - $m > max(pos + ${g + m}) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM cw),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |iv AS (
+       |  SELECT doc_id, island, GREATEST(MIN(pos) - $m, 0) AS st,
+       |         MAX(pos) + ${g + m} AS en
+       |  FROM isl2 GROUP BY 1, 2),
+       |ivd AS (SELECT doc_id, COUNT(*) AS nspans FROM iv GROUP BY 1),
+       |tok AS (
+       |  SELECT b.doc_id, (s).i AS i, (s).t AS t FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'i': i - 1, 't': w[i]} for i in range(1, len(w) + 1)]) AS s
+       |    FROM base WHERE NOT is_eval) b),
+       |kept AS (
+       |  SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS clean,
+       |         COUNT(*) AS nkept
+       |  FROM tok t JOIN ivd ON t.doc_id = ivd.doc_id
+       |  LEFT JOIN iv
+       |    ON t.doc_id = iv.doc_id AND t.i >= iv.st AND t.i < iv.en
+       |  WHERE iv.doc_id IS NULL
+       |  GROUP BY 1)
+       |SELECT b.doc_id, b.is_eval,
+       |  CASE WHEN ivd.doc_id IS NOT NULL THEN COALESCE(k.clean, '')
+       |       ELSE b.text END AS clean_text,
+       |  CAST(COALESCE(ivd.nspans, 0) AS INT) AS n_spans_cut,
+       |  CAST(CASE WHEN ivd.doc_id IS NULL THEN 0
+       |            ELSE len(b.w) - COALESCE(k.nkept, 0) END AS INT)
+       |    AS n_tokens_cut,
+       |  CAST(CASE WHEN ivd.doc_id IS NULL THEN len(b.w)
+       |            ELSE COALESCE(k.nkept, 0) END AS INT) AS n_tokens_kept
+       |FROM base b
+       |LEFT JOIN ivd ON b.doc_id = ivd.doc_id
+       |LEFT JOIN kept k ON b.doc_id = k.doc_id""".stripMargin
+  }
+
   // --------------------------------------------- t11 perplexity filter
 
   /** Bottom per-source quantile dropped by [[t11PerplexityFilter]]. */
@@ -1942,6 +2086,7 @@ object TextOps {
     "t8_bigram_lm" -> t8BigramLm _,
     "t9_pii_redact" -> t9PiiRedact _,
     "t10_decontaminate" -> t10Decontaminate _,
+    "t19_span_decontaminate" -> t19SpanDecontaminate _,
     "t11_perplexity_filter" -> t11PerplexityFilter _,
     "t12_boilerplate" -> t12Boilerplate _,
     "t18_quality_classifier" -> t18QualityClassifier _,
@@ -1969,6 +2114,7 @@ object TextOps {
     "t8_bigram_lm" -> t8Sql,
     "t9_pii_redact" -> t9Sql,
     "t10_decontaminate" -> t10Sql,
+    "t19_span_decontaminate" -> t19Sql,
     "t11_perplexity_filter" -> t11Sql,
     "t12_boilerplate" -> t12Sql,
     "t18_quality_classifier" -> t18Sql,

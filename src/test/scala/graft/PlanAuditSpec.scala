@@ -227,6 +227,32 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the array-filter lambda in the projection:\n$p")
   }
 
+  test("t19: islands merge over the eval-semi-joined hit sliver; grams shuffle hashed, never as text") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = SparkEntry.queries("t19_span_decontaminate")(spark, sf).queryExecution
+    val opt = qe.optimizedPlan
+    // the scale claim: the island windows run only over hits that
+    // survived the eval-gram semi-join — the window's child subtree
+    // must contain the LeftSemi join (clean corpus → ~empty stream)
+    val ws = opt.collect { case w: LWindow => w }
+    assert(ws.nonEmpty, s"expected the island windows in:\n$opt")
+    assert(ws.forall(_.collectFirst {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty),
+      s"every island window must sit above the eval semi-join:\n$opt")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // grams are hashed to gh before any exchange — no raw gram string
+    // column may feed a shuffle, and the only Generates are the
+    // posexplode of the positional gram ladder
+    val gens = "Generate (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(gens.nonEmpty && gens.forall(_ == "posexplode"),
+      s"unexpected token-level explode in the rewrite: $gens\n$p")
+    assert(p.contains("lambdafunction"),
+      s"expected the array-filter lambda in the projection:\n$p")
+  }
+
   test("t13: the driver-known term filter sits BELOW the tf aggregate") {
     // The scale claim t13's scaladoc makes: the first exchange carries
     // only the 9 query terms' occurrences, never one partial row per

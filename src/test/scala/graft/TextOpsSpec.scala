@@ -299,6 +299,103 @@ class TextOpsSpec extends SparkSpec {
     fix.foreach { case (id, ev) => assert(ev === (id % 20 == 0)) }
   }
 
+  test("t19: planted eval grams are cut with margin, islands merge, eval docs pass verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t19").toString
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // one full 8-gram
+    val pre = (1 to 10).map(i => s"p$i").mkString(" ")   // 10 tokens
+    val post = (1 to 10).map(i => s"q$i").mkString(" ")  // 10 tokens
+    val docs = Seq(
+      // doc 0: eval — the held-out side of the gram
+      (0L, s"pre $shared post", "en", "s", 0L),
+      // doc 1: hit at pos 10 → cut [10-4, 10+8+4) = [6, 22) of 28 toks
+      (1L, s"$pre $shared $post", "en", "s", 0L),
+      // doc 2: clean — passes verbatim
+      (2L, "clean words only nothing shared at all here", "en", "s", 0L),
+      // doc 3: short doc equal to an eval pseudo-gram? No — eval docs
+      // are all >= 8 words, so this short doc cannot match; verbatim
+      (3L, "tiny doc", "en", "s", 0L),
+      // doc 4: TWO separated hits → two islands
+      (4L, s"$shared $pre $pre $shared", "en", "s", 0L),
+      // doc 20: eval — passes verbatim even though it carries the gram
+      (20L, s"a b $shared c d", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t19SpanDecontaminate(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: island [6, 22): p7..p10 + gram + q1..q4 cut, 12 kept
+    val r1 = got(1L)
+    assert(r1.getAs[Boolean]("is_eval") === false)
+    assert(r1.getAs[Int]("n_spans_cut") === 1)
+    assert(r1.getAs[Int]("n_tokens_cut") === 16)
+    assert(r1.getAs[Int]("n_tokens_kept") === 12)
+    assert(r1.getAs[String]("clean_text") ===
+      "p1 p2 p3 p4 p5 p6 q5 q6 q7 q8 q9 q10")
+    // doc 2 and 3: verbatim, zero cuts
+    Seq(2L, 3L).foreach { id =>
+      val r = got(id)
+      assert(r.getAs[Int]("n_spans_cut") === 0)
+      assert(r.getAs[String]("clean_text") ===
+        docs.find(_._1 == id).get._2)
+    }
+    // doc 4 (36 toks): hits at 0 and 28 → islands [0,12) and [24,40);
+    // kept = indices 12..23 = p5..p10 of the first pre + p1..p6 of the second
+    val r4 = got(4L)
+    assert(r4.getAs[Int]("n_spans_cut") === 2)
+    assert(r4.getAs[Int]("n_tokens_cut") === 24)
+    assert(r4.getAs[Int]("n_tokens_kept") === 12)
+    assert(r4.getAs[String]("clean_text") ===
+      "p5 p6 p7 p8 p9 p10 p1 p2 p3 p4 p5 p6")
+    // eval docs verbatim with zero counts
+    Seq(0L, 20L).foreach { id =>
+      val r = got(id)
+      assert(r.getAs[Boolean]("is_eval") === true)
+      assert(r.getAs[Int]("n_spans_cut") === 0)
+      assert(r.getAs[String]("clean_text") === docs.find(_._1 == id).get._2)
+    }
+  }
+
+  test("t19: fixture run equals a brute-force Scala replay") {
+    val g = TextOps.DecontGram
+    val m = TextOps.ScrubMargin
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val evalGrams = raw.filter(_._1 % TextOps.DecontMod == 0).flatMap {
+      case (_, t) =>
+        val w = t.split(" ")
+        if (w.length >= g) w.sliding(g).map(_.mkString(" ")).toSeq
+        else Seq(t)
+    }.toSet
+    val want = raw.filter(_._1 % TextOps.DecontMod != 0).map { case (id, t) =>
+      val w = t.split(" ")
+      val hits =
+        if (w.length >= g)
+          (0 to w.length - g).filter(p =>
+            evalGrams.contains(w.slice(p, p + g).mkString(" ")))
+        else if (evalGrams.contains(t)) Seq(0) else Seq.empty
+      // margin-expanded island merge
+      val islands = hits.foldLeft(List.empty[(Int, Int)]) { case (acc, p) =>
+        val (st, en) = (math.max(p - m, 0), p + g + m)
+        acc match {
+          case (s0, e0) :: rest if p - m <= e0 =>
+            (s0, math.max(e0, en)) :: rest
+          case _ => (st, en) :: acc
+        }
+      }.reverse
+      val keep = w.zipWithIndex.collect {
+        case (t2, i) if !islands.exists(iv => i >= iv._1 && i < iv._2) => t2
+      }
+      (id, (keep.mkString(" "), islands.length, w.length - keep.length))
+    }.toMap
+    val got = TextOps.t19SpanDecontaminate(spark, sf).collect()
+    assert(got.length === raw.length)
+    got.filterNot(_.getAs[Boolean]("is_eval")).foreach { r =>
+      val (clean, nsp, ncut) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("clean_text") === clean)
+      assert(r.getAs[Int]("n_spans_cut") === nsp)
+      assert(r.getAs[Int]("n_tokens_cut") === ncut)
+    }
+  }
+
   test("t11: per-source percentile equals a Scala re-rank; bottom quartile dropped") {
     val rows = TextOps.t11PerplexityFilter(spark, sf)
       .select($"doc_id", $"source", $"avg_p", $"src_pctile", $"keep")
