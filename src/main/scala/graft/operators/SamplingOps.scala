@@ -454,13 +454,101 @@ object SamplingOps {
        |FROM documents d JOIN sc USING (doc_id)""".stripMargin
   }
 
+  // --------------------------------------------------- p7 epoch planner
+
+  /** Per-source repeat cap — a source may be epoched at most this many
+    * times (Muennighoff et al. 2023: past ~4 epochs repeated data stops
+    * buying loss). Integer so every derived quantity stays exact. */
+  private[graft] val EpochCap = 4L
+  /** The planned run consumes this many × the corpus's total tokens —
+    * with the 4× per-source cap, over-demanded sources saturate. */
+  private[graft] val BudgetFactor = 2L
+
+  /** p7: the fixed-budget EPOCH PLAN — the allocation table (LLaMA's
+    * sampling-proportion/epochs table, under the data-constrained
+    * repeat cap of Muennighoff et al. 2023) a training run is actually
+    * configured from. p3 answers "how big can the corpus get under the
+    * weights?" (max-feasible); p7 answers the converse production
+    * question: the token budget B is FIXED (here [[BudgetFactor]] × the
+    * corpus's total supply — scale-covariant and data-derived, standing
+    * in for the run's config) and each source demands its weighted
+    * share, saturating at [[EpochCap]] epochs of its own supply. A
+    * saturated source reports its unmet `deficit_tokens` EXPLICITLY
+    * (the no-silent-caps discipline: a planner that quietly re-spreads
+    * the deficit hides that the mix is infeasible; re-spreading is a
+    * policy decision the deficit column lets the caller make).
+    *
+    * Source weights stand in for run config as a deterministic literal
+    * rule on the source id (raw = 1 + suffix % 4, mirrored into the
+    * oracle); every output is exact BIGINT arithmetic — shares and
+    * epochs in micro-units via integer div (want = B·raw div ΣW, so
+    * rounding happens ONCE, never through a pre-rounded weight).
+    *
+    * Scale shape: one corpus scan collapsing map-side to S = |sources|
+    * rows (text pruned to its token count at the scan), the two scalar
+    * totals attached as a broadcast 1-row cross join (p3's device — a
+    * global window would serialize), then narrow arithmetic. Nothing
+    * downstream of the aggregate scales with data. */
+  def p7EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // both the totals and the plan read the S-row supply relation:
+    // persist it eagerly (the k5b discipline) so the corpus-touching
+    // aggregate runs ONCE, not once per consumer
+    val perSrc = Tables.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("tokens"))
+      .withColumn("raw",
+        lit(1L) + pmod(regexp_extract($"source", "(\\d+)", 1)
+          .cast("long"), lit(4L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perSrc.count()
+    val tot = perSrc.agg(sum($"tokens").as("tt"), sum($"raw").as("ww"))
+    perSrc.crossJoin(broadcast(tot))
+      .select($"source", $"tokens",
+        expr("raw * 1000000 div ww").as("weight_micro"),
+        expr(s"($BudgetFactor * tt * raw) div ww").as("want_tokens"),
+        $"raw", $"tt", $"ww")
+      .select($"source", $"tokens", $"weight_micro", $"want_tokens",
+        least($"want_tokens", lit(EpochCap) * $"tokens")
+          .as("grant_tokens"),
+        ($"want_tokens" > lit(EpochCap) * $"tokens").as("capped"),
+        ($"want_tokens" -
+          least($"want_tokens", lit(EpochCap) * $"tokens"))
+          .as("deficit_tokens"))
+      .withColumn("epochs_micro", expr("grant_tokens * 1000000 div tokens"))
+  }
+
+  private val p7Sql =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+       |    CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+       |      % 4 AS BIGINT) AS raw
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT SUM(tokens) AS tt, SUM(raw) AS ww FROM t),
+       |w AS (
+       |  SELECT source, tokens,
+       |    CAST(raw * 1000000 // ww AS BIGINT) AS weight_micro,
+       |    CAST(($BudgetFactor * tt * raw) // ww AS BIGINT) AS want_tokens
+       |  FROM t, tot)
+       |SELECT source, tokens, weight_micro, want_tokens,
+       |  CAST(LEAST(want_tokens, $EpochCap * tokens) AS BIGINT)
+       |    AS grant_tokens,
+       |  want_tokens > $EpochCap * tokens AS capped,
+       |  CAST(want_tokens - LEAST(want_tokens, $EpochCap * tokens) AS BIGINT)
+       |    AS deficit_tokens,
+       |  CAST(LEAST(want_tokens, $EpochCap * tokens) * 1000000 // tokens
+       |    AS BIGINT) AS epochs_micro
+       |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sample_topk" -> p1SampleTopk _,
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_dataset_mix" -> p3DatasetMix _,
     "p4_pack_sequences" -> p4PackSequences _,
     "p5_mix_materialize" -> p5MixMaterialize _,
-    "p6_dsir_resample" -> p6DsirResample _)
+    "p6_dsir_resample" -> p6DsirResample _,
+    "p7_epoch_plan" -> p7EpochPlan _)
 
   val oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
@@ -468,5 +556,6 @@ object SamplingOps {
     "p3_dataset_mix" -> p3Sql,
     "p4_pack_sequences" -> p4Sql,
     "p5_mix_materialize" -> p5Sql,
-    "p6_dsir_resample" -> p6Sql)
+    "p6_dsir_resample" -> p6Sql,
+    "p7_epoch_plan" -> p7Sql)
 }

@@ -253,6 +253,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the array-filter lambda in the projection:\n$p")
   }
 
+  test("p7: corpus scanned once (cached supply relation); totals broadcast") {
+    val p = plan("p7_epoch_plan")
+    // the corpus-touching aggregate lives behind the persisted S-row
+    // supply relation (filled once by the eager count) — BOTH consumers
+    // (the plan rows and the totals) must read the InMemoryRelation.
+    // (scansOf can't be used here: the cached relation's stored plan
+    // text embeds its own FileScan line.)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"both p7 consumers must read the cached supply:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must attach as a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t13: the driver-known term filter sits BELOW the tf aggregate") {
     // The scale claim t13's scaladoc makes: the first exchange carries
     // only the 9 query terms' occurrences, never one partial row per

@@ -308,4 +308,63 @@ class SamplingOpsSpec extends SparkSpec {
     val b = SamplingOps.p6DsirResample(spark, sf).collect()
     assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
   }
+
+  test("p7: planted saturation — over-demanded source caps at 4 epochs with an explicit deficit") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_p7").toString
+    // src3 (raw weight 1+3%4=4): tiny supply, big demand → saturates.
+    // src0 (raw 1): large supply → under-demanded, never capped.
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, mk(10), "en", "src3", 0L),   // src3 supply: 10 tokens
+      (2L, mk(100), "en", "src0", 0L),  // src0 supply: 200 tokens
+      (3L, mk(100), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // T=210, B=420, W=1+4=5. src3: want=420*4/5=336 > 4*10=40 → grant 40,
+    // deficit 296, epochs=4.0. src0: want=420*1/5=84 <= 800 → grant 84.
+    val got = SamplingOps.p7EpochPlan(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s3 = got("src3")
+    assert(s3.getAs[Long]("tokens") === 10L)
+    assert(s3.getAs[Long]("want_tokens") === 336L)
+    assert(s3.getAs[Boolean]("capped") === true)
+    assert(s3.getAs[Long]("grant_tokens") === 40L)
+    assert(s3.getAs[Long]("deficit_tokens") === 296L)
+    assert(s3.getAs[Long]("epochs_micro") === 4000000L)
+    val s0 = got("src0")
+    assert(s0.getAs[Long]("want_tokens") === 84L)
+    assert(s0.getAs[Boolean]("capped") === false)
+    assert(s0.getAs[Long]("deficit_tokens") === 0L)
+    assert(s0.getAs[Long]("epochs_micro") === 420000L) // 84/200 epochs
+  }
+
+  test("p7: fixture plan equals an independent Scala replay; invariants hold") {
+    val sup = graft.sources.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" ").length.toLong).sum).toMap
+    val raw = sup.keys.map(s =>
+      s -> (1L + "\\d+".r.findFirstIn(s).get.toLong % 4L)).toMap
+    val tt = sup.values.sum
+    val ww = raw.values.sum
+    val rows = SamplingOps.p7EpochPlan(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === sup.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val tokens = sup(src)
+      val want = 2L * tt * raw(src) / ww
+      val grant = math.min(want, 4L * tokens)
+      assert(r.getAs[Long]("tokens") === tokens, src)
+      assert(r.getAs[Long]("weight_micro") === raw(src) * 1000000L / ww, src)
+      assert(r.getAs[Long]("want_tokens") === want, src)
+      assert(r.getAs[Long]("grant_tokens") === grant, src)
+      assert(r.getAs[Boolean]("capped") === (want > 4L * tokens), src)
+      assert(r.getAs[Long]("deficit_tokens") === want - grant, src)
+      assert(r.getAs[Long]("epochs_micro") === grant * 1000000L / tokens, src)
+      assert(r.getAs[Long]("epochs_micro") <= 4000000L, src)
+    }
+    // the grant never over-spends the budget
+    assert(rows.map(_.getAs[Long]("grant_tokens")).sum <= 2L * tt)
+  }
 }
