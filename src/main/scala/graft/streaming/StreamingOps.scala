@@ -562,6 +562,91 @@ object StreamingOps {
        |LEFT JOIN nr ON d.doc_id = nr.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- st12
+
+  /** The DECONTAMINATION screen at the streaming front door — the one
+    * ingest-time check the st7/st9/st10/st11 battery lacks: does an
+    * incoming document overlap the held-out eval suite? (Catching this
+    * at ingest is strictly cheaper than t10/t19's corpus-wide sweeps —
+    * the benchmark set is fixed and tiny, so the probe is a
+    * broadcast-shaped stream-static join, and a contaminated doc never
+    * enters the lake in the first place.)
+    *
+    * Per incoming doc: every [[graft.operators.TextOps.DecontGram]]-token
+    * window hashed at the scan ([[graft.operators.DedupOps.posGrams]]
+    * ladder, t10's whole-text fallback below the gram size), semi-joined
+    * against the standing eval-gram digest relation, counted per doc —
+    * `n_eval_hits` is the contaminated-window mass (what t19 would cut),
+    * `contaminated` the st7-shaped verdict. The explode and semi-join
+    * are stateless; the per-doc count is an aggregation, so the stream
+    * runs through foreachBatch (st8/st11's device) — each micro-batch
+    * executes this exact batch plan, zero state store, nothing
+    * accumulates across batches. */
+  def decontScreen(incoming: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.operators.{DedupOps, TextOps}
+    val hits = incoming
+      .select(col("doc_id"),
+        explode(DedupOps.posGrams(col("text"), TextOps.DecontGram))
+          .as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_hits"))
+    incoming.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** st12: the screen in batch mode over d8's deterministic ingest
+    * slice (st7's registration device), probing the standing corpus's
+    * eval slice (t10's doc_id % DecontMod == 0 convention; the ingest
+    * slice — % 10 == 7 — can never intersect it). StreamingOpsSpec
+    * proves the same kernel through foreachBatch emits identical rows
+    * with no state store. */
+  def st12StreamDecontScreen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DedupOps, TextOps}
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    decontScreen(docs.where(isBatch),
+      docs.where(col("doc_id") % TextOps.DecontMod === 0)
+        .select(explode(
+          DedupOps.shingles(col("text"), TextOps.DecontGram)).as("g"))
+        .select(xxhash64(col("g")).as("gh")).distinct())
+  }
+
+  private val st12Sql = {
+    val m = graft.operators.DedupOps.IngestMod
+    val r = graft.operators.DedupOps.IngestRem
+    val dm = graft.operators.TextOps.DecontMod
+    val g = graft.operators.TextOps.DecontGram
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+       |ev AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(
+       |      CASE WHEN len(w) >= $g
+       |        THEN [array_to_string(w[i:i+${g - 1}], ' ')
+       |              for i in range(1, len(w) - ${g - 2})]
+       |        ELSE [text] END) AS gram
+       |    FROM base WHERE doc_id % $dm = 0)),
+       |ig AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(w) >= $g
+       |      THEN [array_to_string(w[i:i+${g - 1}], ' ')
+       |            for i in range(1, len(w) - ${g - 2})]
+       |      ELSE [text] END) AS gram
+       |  FROM base WHERE doc_id % $m = $r),
+       |hits AS (
+       |  SELECT ig.doc_id, COUNT(*) AS n
+       |  FROM ig JOIN ev ON ig.gram = ev.gram GROUP BY 1)
+       |SELECT b.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_hits,
+       |  COALESCE(h.n, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $m = $r) b
+       |LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -583,7 +668,8 @@ object StreamingOps {
     "st8_upsert_sink" -> st8UpsertSink _,
     "st9_stream_neardup_screen" -> st9StreamNearDupScreen _,
     "st10_stream_quality_gate" -> st10StreamQualityGate _,
-    "st11_stream_attribute_sheet" -> st11StreamAttributeSheet _)
+    "st11_stream_attribute_sheet" -> st11StreamAttributeSheet _,
+    "st12_stream_decont_screen" -> st12StreamDecontScreen _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -598,5 +684,6 @@ object StreamingOps {
     "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql,
     "st9_stream_neardup_screen" -> st9Sql,
     "st10_stream_quality_gate" -> st10Sql,
-    "st11_stream_attribute_sheet" -> st11Sql)
+    "st11_stream_attribute_sheet" -> st11Sql,
+    "st12_stream_decont_screen" -> st12Sql)
 }

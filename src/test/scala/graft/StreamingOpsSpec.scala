@@ -226,6 +226,56 @@ class StreamingOpsSpec extends SparkSpec {
       s"unexpected state operators: ${q.lastProgress.stateOperators}")
   }
 
+  test("st12: decont screen — planted hits counted per window; foreachBatch equality; zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = (1 to 10).map(i => s"e$i").mkString(" ")   // eval doc, 10 toks
+    val gram8 = (1 to 8).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (0L, ev),                                         // eval slice
+      (1L, "standing corpus doc with its own words"),   // corpus, not eval
+      (7L, s"x1 x2 $gram8 y1"),                         // ingest: 1 hit
+      (17L, (1 to 20).map(i => s"c$i").mkString(" ")),  // ingest: clean
+      (27L, s"$gram8 z $gram8"),                        // ingest: 2 hits
+      (37L, "tiny"))                                    // ingest: short, clean
+    val dir = java.nio.file.Files.createTempDirectory("graft_st12").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = StreamingOps.st12StreamDecontScreen(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_eval_hits"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(want.keySet === Set(7L, 17L, 27L, 37L))
+    assert(want(7L) === ((1L, true)))
+    assert(want(17L) === ((0L, false)))
+    assert(want(27L) === ((2L, true)))
+    assert(want(37L) === ((0L, false)))
+
+    // identical kernel per micro-batch through foreachBatch; two batches
+    // prove per-batch independence (no cross-batch state)
+    val evGrams = Seq(ev).toDF("text")
+      .select(explode(graft.operators.DedupOps.shingles(
+        $"text", graft.operators.TextOps.DecontGram)).as("g"))
+      .select(xxhash64($"g").as("gh")).distinct()
+    val got = collection.mutable.ArrayBuffer.empty[(Long, (Long, Boolean))]
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.filter(d => d._1 == 7L || d._1 == 17L))
+    stream.addData(docs.filter(d => d._1 == 27L || d._1 == 37L))
+    val q = stream.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= StreamingOps.decontScreen(b, evGrams).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_eval_hits"),
+              r.getAs[Boolean]("contaminated"))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toMap === want)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${q.lastProgress.stateOperators}")
+  }
+
   test("st1: streaming and batch modes of hourlyTypeCounts agree") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
