@@ -443,6 +443,68 @@ object SketchOps {
       |  CAST(SUM(f) AS BIGINT) AS n_occ
       |FROM tf GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- k7 novelty curve
+
+  /** k7: the corpus SATURATION curve — the diminishing-returns panel a
+    * corpus datasheet plots beside k6's Zipf histogram: walk the corpus
+    * in ingest order (doc_id), and per decile of that order count how
+    * many trigram types appear for the FIRST time (`new_grams`) and how
+    * many have appeared so far (`cum_grams`). A young corpus adds
+    * vocabulary linearly; a saturating one flattens — the curve is what
+    * tells a curation team whether the next 10 TB of the same source
+    * still buys new content (Heaps' law made operational; e6 reports
+    * what the corpus IS, k7 reports where it's HEADING).
+    *
+    * Scale shape: k5's vocab discipline end-to-end — grams hashed to 8
+    * bytes at the scan, ONE map-side-combined min-aggregate to the
+    * vocab-bounded (gh, first_doc) relation, the decile denominator a
+    * broadcast 1-row scalar from a doc_id-pruned scan (parquet
+    * column stats, no text read), then a 10-row aggregate + a 10-row
+    * cumulative window. Nothing after the first aggregate scales with
+    * data; replication adds no gram types, so the curve's cost is
+    * near-flat in corpus copies (k5's measured property). doc_id·10 div
+    * (max+1) < 10 always, so the decile needs no clamp. */
+  def k7NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val fs = docs
+      .select($"doc_id", explode(DedupOps.shingles($"text", 3)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("gh"))
+      .groupBy($"gh").agg(min($"doc_id").as("first_doc"))
+    val nd = docs.agg((max($"doc_id") + lit(1L)).as("nd"))
+    fs.crossJoin(broadcast(nd))
+      .select(expr("(first_doc * 10) div nd").cast("int").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("new_grams"))
+      .withColumn("cum_grams",
+        sum($"new_grams").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** DuckDB replays the first-seen relation on gram STRINGS (min doc_id
+    * per class is multiplicity- and hash-faithful — the d10 argument). */
+  private val k7Sql =
+    """WITH fs AS (
+      |  SELECT gram, MIN(doc_id) AS first_doc FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(w) >= 3
+      |        THEN [array_to_string(w[i:i+2], ' ')
+      |              for i in range(1, len(w) - 1)]
+      |        ELSE [text] END) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w, text
+      |          FROM documents))
+      |  GROUP BY 1),
+      |mx AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+      |dec AS (
+      |  SELECT CAST((first_doc * 10) // nd AS INT) AS decile,
+      |         COUNT(*) AS new_grams
+      |  FROM fs, mx GROUP BY 1)
+      |SELECT decile, new_grams,
+      |  CAST(SUM(new_grams) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_grams
+      |FROM dec""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_hll_distinct" -> k1HllDistinct _,
     "k2_quantile_sketch" -> k2QuantileSketch _,
@@ -450,7 +512,8 @@ object SketchOps {
     "k4_sketch_union" -> k4SketchUnion _,
     "k5_source_overlap" -> k5SourceOverlap _,
     "k5b_signature_overlap" -> k5bSignatureOverlap _,
-    "k6_zipf_histogram" -> k6ZipfHistogram _)
+    "k6_zipf_histogram" -> k6ZipfHistogram _,
+    "k7_novelty_curve" -> k7NoveltyCurve _)
 
   val oracleSql: Map[String, String] = Map(
     "k1_hll_distinct" -> k1Sql,
@@ -459,5 +522,6 @@ object SketchOps {
     "k4_sketch_union" -> k4Sql,
     "k5_source_overlap" -> k5Sql,
     "k5b_signature_overlap" -> k5bSql,
-    "k6_zipf_histogram" -> k6Sql)
+    "k6_zipf_histogram" -> k6Sql,
+    "k7_novelty_curve" -> k7Sql)
 }

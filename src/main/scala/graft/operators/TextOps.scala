@@ -1222,6 +1222,80 @@ object TextOps {
        |LEFT JOIN kept k ON b.doc_id = k.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ t20 ingest novelty
+
+  /** t20: per-document INGEST NOVELTY — for each incoming doc (d8's
+    * deterministic ingest slice), how much of its content the standing
+    * corpus already has: `n_windows` [[DecontGram]]-token windows,
+    * `n_seen` of them whose exact token sequence occurs anywhere in the
+    * standing corpus, and `novelty_micro` = (n_windows − n_seen)·10⁶
+    * div n_windows. The corpus-growth economics signal (k7's per-doc
+    * complement — k7 says whether the corpus is saturating, t20 says
+    * which incoming documents still add content): an ingest pipeline
+    * ranks candidates by novelty mass where st7/st9's binary screens
+    * can only drop outright copies. Per-window exact-match novelty is
+    * the Heaps/Lee-et-al. measurement, not a near-dup verdict — d8
+    * remains the similarity screen.
+    *
+    * Scale shape: st12's exactly — windows hashed to 8 bytes at the
+    * scan on BOTH sides, the standing gram-digest relation is distinct
+    * (vocab-bounded) and joins as a hash semi-probe, the per-doc
+    * aggregate is map-side combined on doc_id. Every doc has ≥ 1
+    * window (the short-doc fallback), so the final division is total.
+    * (No left-join base relation needed: the groupBy covers every
+    * incoming doc because the left join keeps unmatched windows.) */
+  def t20IngestNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = DecontGram
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      $"doc_id" % DedupOps.IngestMod === DedupOps.IngestRem
+    val standing = docs.where(!isBatch)
+      .select(explode(DedupOps.shingles($"text", g)).as("gr"))
+      .select(xxhash64($"gr").as("gh"))
+      .distinct().withColumn("seen", lit(true))
+    docs.where(isBatch)
+      .select($"doc_id", explode(DedupOps.posGrams($"text", g)).as("gr"))
+      .select($"doc_id", xxhash64($"gr").as("gh"))
+      .join(standing, Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"seen", 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty_micro",
+        expr("((n_windows - n_seen) * 1000000) div n_windows"))
+  }
+
+  private[operators] val t20Sql = {
+    val m = DedupOps.IngestMod
+    val r = DedupOps.IngestRem
+    val g = DecontGram
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+       |standing AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(
+       |      CASE WHEN len(w) >= $g
+       |        THEN [array_to_string(w[i:i+${g - 1}], ' ')
+       |              for i in range(1, len(w) - ${g - 2})]
+       |        ELSE [text] END) AS gram
+       |    FROM base WHERE doc_id % $m <> $r)),
+       |ig AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(w) >= $g
+       |      THEN [array_to_string(w[i:i+${g - 1}], ' ')
+       |            for i in range(1, len(w) - ${g - 2})]
+       |      ELSE [text] END) AS gram
+       |  FROM base WHERE doc_id % $m = $r)
+       |SELECT ig.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_seen,
+       |  CAST(((COUNT(*) - SUM(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END))
+       |    * 1000000) // COUNT(*) AS BIGINT) AS novelty_micro
+       |FROM ig LEFT JOIN standing s ON ig.gram = s.gram
+       |GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------- t11 perplexity filter
 
   /** Bottom per-source quantile dropped by [[t11PerplexityFilter]]. */
@@ -2087,6 +2161,7 @@ object TextOps {
     "t9_pii_redact" -> t9PiiRedact _,
     "t10_decontaminate" -> t10Decontaminate _,
     "t19_span_decontaminate" -> t19SpanDecontaminate _,
+    "t20_ingest_novelty" -> t20IngestNovelty _,
     "t11_perplexity_filter" -> t11PerplexityFilter _,
     "t12_boilerplate" -> t12Boilerplate _,
     "t18_quality_classifier" -> t18QualityClassifier _,
@@ -2115,6 +2190,7 @@ object TextOps {
     "t9_pii_redact" -> t9Sql,
     "t10_decontaminate" -> t10Sql,
     "t19_span_decontaminate" -> t19Sql,
+    "t20_ingest_novelty" -> t20Sql,
     "t11_perplexity_filter" -> t11Sql,
     "t12_boilerplate" -> t12Sql,
     "t18_quality_classifier" -> t18Sql,

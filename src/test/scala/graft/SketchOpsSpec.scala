@@ -156,4 +156,48 @@ class SketchOpsSpec extends SparkSpec {
     // type conservation: Σ n_types over buckets = vocabulary size
     assert(got.values.map(_._1).sum === freq.size.toLong)
   }
+
+  test("k7: planted curve — repeats add nothing; fixture equals a Scala first-seen replay") {
+    import org.apache.spark.sql.functions._
+    // 10 docs (deciles are singletons): doc 0 brings 3 new trigrams,
+    // doc 1 repeats doc 0 verbatim (0 new), docs 2-9 one new short-doc
+    // fallback gram each
+    val dir = java.nio.file.Files.createTempDirectory("graft_k7").toString
+    val five = "a b c d e" // trigrams: "a b c","b c d","c d e"
+    val rows = Seq((0L, five), (1L, five)) ++
+      (2L to 9L).map(i => (i, s"uniq$i")) // < 3 words → fallback gram
+    rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("s").as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SketchOps.k7NoveltyCurve(spark, dir).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("new_grams"), r.getAs[Long]("cum_grams")))).toMap
+    assert(got(0) === ((3L, 3L)))
+    assert(!got.contains(1), "a verbatim repeat decile adds no gram types")
+    (2 to 9).foreach(d => assert(got(d)._1 === 1L, s"decile $d"))
+    assert(got(9)._2 === 11L)
+
+    // fixture: equals a Scala first-seen replay; cum is monotone and
+    // conserves the vocabulary
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val nd = docs.map(_._1).max + 1
+    val firstSeen = collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      val w = t.split(" ")
+      val grams =
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq(t)
+      grams.foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val want = firstSeen.values.groupBy(id => ((id * 10) / nd).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    val fx = SketchOps.k7NoveltyCurve(spark, sf).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("new_grams"), r.getAs[Long]("cum_grams")))).toMap
+    assert(fx.view.mapValues(_._1).toMap === want)
+    val cums = fx.toSeq.sortBy(_._1).map(_._2._2)
+    assert(cums === cums.sorted)
+    assert(cums.last === firstSeen.size.toLong)
+  }
 }

@@ -396,6 +396,53 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t20: planted novelty mass; fixture equals a brute-force replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t20").toString
+    val known = (1 to 12).map(i => s"k$i").mkString(" ")  // standing, 12 toks
+    val fresh = (1 to 8).map(i => s"f$i").mkString(" ")   // 8 novel toks
+    val docs = Seq(
+      (1L, known, "en", "s", 0L),              // standing corpus
+      // doc 7 (ingest): "k1..k12 f1..f8" = 20 toks, 13 windows; windows
+      // 0..4 are k-windows fully inside the standing doc (seen), 5..12
+      // straddle into f-tokens (novel) → n_seen=5
+      (7L, s"$known $fresh", "en", "s", 0L),
+      // doc 17 (ingest): all novel
+      (17L, (1 to 10).map(i => s"z$i").mkString(" "), "en", "s", 0L),
+      // doc 27 (ingest): verbatim copy of standing doc → fully seen
+      (27L, known, "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.t20IngestNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_seen"),
+          r.getAs[Long]("novelty_micro")))).toMap
+    assert(got.keySet === Set(7L, 17L, 27L))
+    assert(got(7L) === ((13L, 5L, 8L * 1000000L / 13L)))
+    assert(got(17L) === ((3L, 0L, 1000000L)))
+    assert(got(27L) === ((5L, 5L, 0L)))
+
+    // fixture: brute-force replay on strings
+    val g = TextOps.DecontGram
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length >= g) w.sliding(g).map(_.mkString(" ")).toSeq else Seq(t)
+    }
+    val standing = all.filter(_._1 % 10 != 7).flatMap(d => grams(d._2)).toSet
+    val fx = TextOps.t20IngestNovelty(spark, sf).collect()
+    assert(fx.length === all.count(_._1 % 10 == 7))
+    fx.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gs = grams(all.find(_._1 == id).get._2)
+      val seen = gs.count(standing.contains)
+      assert(r.getAs[Long]("n_windows") === gs.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_seen") === seen.toLong, s"doc $id")
+      assert(r.getAs[Long]("novelty_micro") ===
+        (gs.length - seen).toLong * 1000000L / gs.length, s"doc $id")
+    }
+  }
+
   test("t11: per-source percentile equals a Scala re-rank; bottom quartile dropped") {
     val rows = TextOps.t11PerplexityFilter(spark, sf)
       .select($"doc_id", $"source", $"avg_p", $"src_pctile", $"keep")
