@@ -634,14 +634,25 @@ object MultimodalOps {
     * binds the corpus blobs; the spec drives planted payloads. */
   private[graft] def imageNeardupOf(blobs: DataFrame): DataFrame = {
     import blobs.sparkSession.implicits._
-    // The hash sheet is consumed THREE times — imagePairsOf's small- and
-    // big-bucket branches (the r12 degenerate-bucket guard split it into
-    // two filters of one relation) plus the final degree join. Persist
-    // the tiny (id, 4×int16) relation eagerly (the d5 verifiedPairs
-    // discipline) so payload bytes are read and aHash'd ONCE per corpus
-    // pass instead of once per consumer — at a billion images the blob
-    // re-scan is the whole cost; the sheet is ~36 B/row at any scale.
-    val hashed = hashBlocks(blobs)
+    neardupDegreesOf(hashBlocks(blobs))
+      .select($"doc_id", $"b0", $"b1", $"b2", $"b3", $"n_neardups")
+  }
+
+  /** Near-dup degrees over ANY fingerprint sheet exposing (doc_id,
+    * b0..b3) — the composition m6 (image aHash) and m8 (audio
+    * Haitsma–Kalker) share; extra sheet columns ride through untouched.
+    *
+    * The sheet is consumed THREE times — [[imagePairsOf]]'s small- and
+    * big-bucket branches (the r12 degenerate-bucket guard split it into
+    * two filters of one relation) plus the final degree join. Persist
+    * the tiny (id, 4×int16) relation eagerly (the d5 verifiedPairs
+    * discipline) so payload bytes are read and fingerprinted ONCE per
+    * corpus pass instead of once per consumer — at a billion blobs the
+    * payload re-scan is the whole cost; the sheet is ~36 B/row at any
+    * scale. */
+  private[graft] def neardupDegreesOf(sheet: DataFrame): DataFrame = {
+    import sheet.sparkSession.implicits._
+    val hashed = sheet
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count()
     // explode, not a union of two selections — a union plans the whole
@@ -650,8 +661,7 @@ object MultimodalOps {
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).cast("int").as("n_neardups"))
     hashed.join(degree, Seq("doc_id"), "left")
-      .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
-        coalesce($"n_neardups", lit(0)).as("n_neardups"))
+      .withColumn("n_neardups", coalesce($"n_neardups", lit(0)))
   }
 
   private def hashBlocks(blobs: DataFrame): DataFrame = {
@@ -759,6 +769,142 @@ object MultimodalOps {
        |SELECT blk.doc_id, blk.b0, blk.b1, blk.b2, blk.b3,
        |  COALESCE(deg.n_neardups, 0) AS n_neardups
        |FROM blk LEFT JOIN deg USING (doc_id)""".stripMargin
+  }
+
+  // ------------------------------------------------- m8 audio near-dup
+
+  /** Energy probes per audio fingerprint: 65 sampled window energies
+    * yield 64 consecutive-delta sign bits — the same 4×16-bit block
+    * geometry as [[aHashOf]], so the banded candidate machinery and the
+    * DuckDB block/Hamming algebra are shared verbatim. */
+  private[graft] val AudioFpProbes = AHashSamples + 1
+
+  /** Haitsma–Kalker-style audio fingerprint (Haitsma & Kalker 2002 — the
+    * published audio-ID baseline: fingerprint bits are SIGNS of energy
+    * differences, here the time-axis deltas of windowed energies; the
+    * full method adds a frequency axis, which needs an FFT this container
+    * deliberately stubs). Per payload: integer window energies
+    * E_w = Σs² over the full [[AudioWindow]]-sample windows (m5's window
+    * grid, no sqrt — deltas of exact BIGINTs), [[AudioFpProbes]] probes
+    * sampled at ⌊j·n/65⌋ (the [[sampleBytes]] device over the energy
+    * sequence; n = 0 probes all-zero), bit j set iff probe j+1 > probe j,
+    * packed into [[AHashBlocks]] 16-bit blocks.
+    *
+    * Sign-of-delta is GAIN-INVARIANT: scaling every amplitude by g > 0
+    * scales every energy by g² and preserves every strict inequality —
+    * the robustness property that makes H–K the audio-dedup baseline
+    * (the same clip at different volumes fingerprints identically;
+    * spec-asserted). Clips shorter than one window (n = 0) or with few
+    * windows carry little temporal structure and collapse toward the
+    * zero fingerprint — honest H–K behavior; `n_windows` ships beside
+    * the blocks so consumers gate (production fingerprints clips above
+    * a minimum duration). */
+  private[graft] def audioFingerprint(samples: Array[Int]): Array[Int] = {
+    val n = samples.length / AudioWindow
+    val e = new Array[Long](AudioFpProbes)
+    if (n > 0) {
+      var j = 0
+      while (j < AudioFpProbes) {
+        var i = (j.toLong * n / AudioFpProbes).toInt * AudioWindow
+        val end = i + AudioWindow
+        var acc = 0L
+        while (i < end) { acc += samples(i).toLong * samples(i); i += 1 }
+        e(j) = acc
+        j += 1
+      }
+    }
+    val blocks = new Array[Int](AHashBlocks)
+    var j = 0
+    while (j < AHashSamples) {
+      if (e(j + 1) > e(j)) blocks(j / AHashBlockBits) |= 1 << (j % AHashBlockBits)
+      j += 1
+    }
+    blocks
+  }
+
+  /** m8: the AUDIO near-dup screen — the PCM-modality member of the
+    * dedup tier (m6 covers the image column; an audio corpus needs the
+    * same pass: re-uploaded clips, volume-normalized copies, silence-
+    * padded rips). Every payload's H–K delta-sign fingerprint
+    * ([[audioFingerprint]]) ships as four 16-bit block columns beside
+    * `n_windows` (the gate for sub-fingerprint-length clips) and the
+    * payload's near-dup degree at Hamming ≤ [[AHashHammingMax]], found
+    * via the SAME banded (band, block) machinery as m6
+    * ([[neardupDegreesOf]] → [[imagePairsOf]], degenerate-bucket guard
+    * included). The registered query runs [[BytePcm]]; the spec drives
+    * [[WavPcm]]-decoded real WAV containers through the identical kernel
+    * (m5's codec-independence device) and proves gain-invariance.
+    *
+    * Scale shape: one narrow fingerprint scan per corpus pass (the sheet
+    * is persisted — payload bytes are decoded and fingerprinted ONCE, and
+    * never shuffle); candidates from the banded equi-join, never
+    * all-pairs; pair volume and the degenerate-bucket fallback are
+    * exactly m6's documented geometry. */
+  def m8AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioNeardupVia(BytePcm)(
+      withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** Codec-generic core of m8 — only the decoder changes, never the plan. */
+  private[graft] def audioNeardupVia(codec: PcmCodec)(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val sheet = blobs.mapPartitions(_.map { case (id, bytes) =>
+      val s = codec.samples(bytes)
+      val blk = audioFingerprint(s)
+      (id, (s.length / AudioWindow).toLong, blk(0), blk(1), blk(2), blk(3))
+    }).toDF("doc_id", "n_windows", "b0", "b1", "b2", "b3")
+    neardupDegreesOf(sheet)
+      .select($"doc_id", $"n_windows", $"b0", $"b1", $"b2", $"b3", $"n_neardups")
+  }
+
+  // m8's stub semantics in DuckDB: m5's window grid without the sqrt
+  // (exact BIGINT energies), 65 probes at (j*n)//65 via a left join
+  // (missing windows — n = 0 — probe as 0), delta-sign bits, m6's block
+  // assembly and brute-force a<b Hamming pair scan (fine at oracle
+  // scale), degree = pair endpoints counted per doc.
+  private val m8Sql = {
+    val blks = (0 until AHashBlocks).map(b =>
+      s"CAST(SUM(CASE WHEN (j // $AHashBlockBits) = $b THEN (bit << (j % $AHashBlockBits)) ELSE 0 END) AS INT) AS b$b")
+      .mkString(",\n    ")
+    val ham = (0 until AHashBlocks).map(b =>
+      s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $AudioWindow AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, (i - 1) // $AudioWindow AS win,
+       |         ascii(substr(text, i, 1)) AS s
+       |  FROM d, UNNEST(generate_series(1, n * $AudioWindow)) AS t(i)),
+       |e AS (SELECT doc_id, win, SUM(s * s) AS en FROM w GROUP BY 1, 2),
+       |js AS (
+       |  SELECT d.doc_id, d.n, j
+       |  FROM d, UNNEST(generate_series(0, ${AudioFpProbes - 1})) AS u(j)),
+       |samp AS (
+       |  SELECT js.doc_id, js.j, COALESCE(e.en, 0) AS v
+       |  FROM js LEFT JOIN e
+       |    ON e.doc_id = js.doc_id AND e.win = (js.j * js.n) // $AudioFpProbes),
+       |bits AS (
+       |  SELECT a.doc_id, a.j, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+       |  FROM samp a JOIN samp b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+       |  WHERE a.j < $AHashSamples),
+       |blk AS (
+       |  SELECT doc_id,
+       |    $blks
+       |  FROM bits GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blk a JOIN blk b ON a.doc_id < b.doc_id
+       |  WHERE ($ham) <= $AHashHammingMax),
+       |deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_neardups FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_windows,
+       |  blk.b0, blk.b1, blk.b2, blk.b3,
+       |  COALESCE(deg.n_neardups, 0) AS n_neardups
+       |FROM d JOIN blk USING (doc_id) LEFT JOIN deg USING (doc_id)""".stripMargin
   }
 
   // ------------------------------------------- m7 image-text alignment
@@ -885,6 +1031,7 @@ object MultimodalOps {
     "m5_audio_energy" -> m5AudioEnergy _,
     "m6_image_neardup" -> m6ImageNeardup _,
     "m7_image_text_align" -> m7ImageTextAlign _,
+    "m8_audio_neardup" -> m8AudioNeardup _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
     "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
@@ -896,6 +1043,7 @@ object MultimodalOps {
     "m5_audio_energy" -> m5Sql,
     "m6_image_neardup" -> m6Sql,
     "m7_image_text_align" -> m7Sql,
+    "m8_audio_neardup" -> m8Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
     "m5r_audio_energy_real" -> m5Sql)

@@ -337,4 +337,74 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.forall(r => r._3 > 80000000L && r._3 < 120000000L))
     assert(out.forall(_._5 === 0L), "corpus plants no silence")
   }
+
+  test("m8: sheet + degrees equal a brute-force recount from independently computed fingerprints") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val fp = docs.map { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      id -> (bytes.length / MultimodalOps.AudioWindow,
+        MultimodalOps.audioFingerprint(bytes.map(_ & 0xff)))
+    }.toMap
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val ids = fp.keys.toSeq.sorted
+    val deg = collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      if ham(fp(ids(i))._2, fp(ids(j))._2) <= MultimodalOps.AHashHammingMax
+    } { deg(ids(i)) += 1; deg(ids(j)) += 1 }
+    val want = ids.map { id =>
+      val (n, b) = fp(id)
+      (id, n.toLong, b(0), b(1), b(2), b(3), deg(id))
+    }.toSet
+    val got = MultimodalOps.m8AudioNeardup(spark, sf)
+      .as[(Long, Long, Int, Int, Int, Int, Int)].collect().toSet
+    assert(got === want)
+    // delta-sign fingerprints over real text carry signal, not a constant
+    assert(fp.values.map(_._2.toSeq).toSet.size > docs.length / 2)
+  }
+
+  test("m8: planted clips — identical pair at 0, one flipped delta bit at 1, monotone clip out") {
+    // 65 constant-amplitude blocks of one 32-sample window each -> probe
+    // j IS window j and bit j = [amp(j+1) > amp(j)]. base alternates
+    // 'a'/'z' (bits 1 at even j); near raises ONLY the last block 'a'->'~'
+    // (> 'z'), flipping ONLY bit 63; far ramps 65 strictly increasing
+    // amplitudes (all 64 bits set, Hamming 32 from base).
+    val w = MultimodalOps.AudioWindow
+    val base = (0 until 65).map(j => (if (j % 2 == 0) "a" else "z") * w).mkString
+    val near = base.dropRight(w) + ("~" * w)
+    val far = (0 until 65).map(j => ('0' + j).toChar.toString * w).mkString
+    val blobs = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val out = MultimodalOps.audioNeardupVia(MultimodalOps.BytePcm)(blobs)
+    val rows = out.as[(Long, Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.values.forall(_._2 === 65L), "65 full windows each")
+    assert(rows(1L)._7 === 2 && rows(2L)._7 === 2, "base pair + near at Hamming 1")
+    assert(rows(3L)._7 === 2, "near reaches both base copies")
+    assert(rows(4L)._7 === 0, "monotone ramp is far from the alternation")
+    val hamNear = (3 to 6).map(i => Integer.bitCount(
+      rows(1L).productElement(i - 1).asInstanceOf[Int] ^
+        rows(3L).productElement(i - 1).asInstanceOf[Int])).sum
+    assert(hamNear === 1, "exactly one delta bit flips")
+  }
+
+  test("m8: fingerprint is gain-invariant and the real WAV decode fingerprints identically") {
+    val samples = Array.tabulate(65 * MultimodalOps.AudioWindow)(i =>
+      40 + (i * 7) % 60)
+    assert(MultimodalOps.audioFingerprint(samples) ===
+      MultimodalOps.audioFingerprint(samples.map(_ * 2)),
+      "doubling every amplitude preserves every delta sign")
+    val payload = "the quick brown fox jumps over the lazy dog 0123456789 " * 8
+    val bytes = payload.getBytes("UTF-8")
+    val viaWav = MultimodalOps.audioFingerprint(
+      MultimodalOps.WavPcm.samples(MultimodalOps.wavContainer(bytes)))
+    val viaStub = MultimodalOps.audioFingerprint(
+      MultimodalOps.BytePcm.samples(bytes))
+    assert(viaWav === viaStub, "WAV round-trip fingerprints bit-identically")
+  }
 }
