@@ -364,13 +364,109 @@ object PipelineOps {
        |JOIN top t ON p.source = t.source
        |JOIN mx m ON p.source = m.source""".stripMargin
 
+  /** The named ablation rules of [[e7RuleAblation]] — ONE list drives
+    * both engines (name, Spark fail-predicate over the e5 sheet, DuckDB
+    * fail-predicate over the aliased sheet `s`). A rule's FAIL predicate
+    * is the negation of its pass condition in the e5 attribute sheet. */
+  private[graft] val ablationRules: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("r_word_count", not(col("r_word_count")), "NOT s.r_word_count"),
+    ("r_mean_word_len", not(col("r_mean_word_len")), "NOT s.r_mean_word_len"),
+    ("r_alpha_words", not(col("r_alpha_words")), "NOT s.r_alpha_words"),
+    ("r_stopwords", not(col("r_stopwords")), "NOT s.r_stopwords"),
+    ("r_symbol_ratio", not(col("r_symbol_ratio")), "NOT s.r_symbol_ratio"),
+    ("r_top_word_mass", not(col("r_top_word_mass")), "NOT s.r_top_word_mass"),
+    ("clf_keep", not(col("clf_keep")), "NOT s.clf_keep"),
+    ("ppl_not_tail", col("ppl_bucket") === "tail", "s.ppl_bucket = 'tail'"),
+    ("no_span_dup", col("has_dup"), "s.has_dup"))
+
+  /** e7: the RULE-ABLATION table — the filter-tuning artifact every
+    * published curation stack reports (Gopher's per-rule removal rates,
+    * Rae et al. 2021 §A1.2; FineWeb's per-filter ablations; Dolma's
+    * taggers-vs-removal tables): for each named rule in the e5 attribute
+    * sheet, how much of the corpus it kills SOLO (`docs_failing`,
+    * `tokens_failing`) and how much it kills UNIQUELY (`docs_unique` —
+    * docs failing this rule and NO other; a rule with a high solo kill
+    * but near-zero unique kill is redundant and can be dropped without
+    * changing the surviving corpus). Shares are integer micro-units
+    * (count·10⁶ div docs, the e6 discipline); `docs`/`tokens` totals ride
+    * every row so each row is a self-contained datasheet line.
+    *
+    * Plan shape: the per-doc signals come from [[e5AttributeSheet]]
+    * UNCHANGED; one extra text scan derives whitespace token counts
+    * (e6's base device, joined id-width); the 9×4 per-rule sums collapse
+    * in ONE aggregate to a single row (no per-rule passes, no row
+    * explosion — the unpivot to 9 output rows happens AFTER the
+    * aggregate, on one row). Composition cost over e5: one narrow scan +
+    * one id-width join + one 1-row aggregate, at any corpus size. */
+  def e7RuleAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"))
+    val f = e5AttributeSheet(s, dir).join(toks, Seq("doc_id"))
+      .select($"doc_id" +: $"n_toks" +:
+        ablationRules.zipWithIndex.map { case ((_, c, _), i) =>
+          when(c, 1L).otherwise(0L).as(s"f$i")
+        }: _*)
+      .withColumn("nf", ablationRules.indices.map(i => col(s"f$i")).reduce(_ + _))
+    val sums = ablationRules.indices.flatMap(i => Seq(
+      sum(col(s"f$i")).as(s"fd$i"),
+      sum(col(s"f$i") * $"n_toks").as(s"ft$i"),
+      sum(when(col(s"f$i") === 1L && $"nf" === 1L, 1L).otherwise(0L)).as(s"ud$i"),
+      sum(when(col(s"f$i") === 1L && $"nf" === 1L, $"n_toks").otherwise(0L)).as(s"ut$i")))
+    val agg = f.agg(count(lit(1)).as("docs"), (sum($"n_toks").as("tokens") +: sums): _*)
+    agg.select(explode(array(ablationRules.zipWithIndex.map { case ((n, _, _), i) =>
+        struct(lit(n).as("rule"), $"docs", $"tokens",
+          col(s"fd$i").as("docs_failing"), col(s"ft$i").as("tokens_failing"),
+          col(s"ud$i").as("docs_unique"), col(s"ut$i").as("tokens_unique"))
+      }: _*)).as("r"))
+      .select($"r.*")
+      .withColumn("share_fail_micro", expr("(docs_failing * 1000000L) div docs"))
+      .withColumn("share_unique_micro", expr("(docs_unique * 1000000L) div docs"))
+  }
+
+  /** Oracle: the identical rule list unpivoted as UNION ALL arms over
+    * one flags CTE (generated from [[ablationRules]] — the two engines
+    * cannot drift on the rule set). */
+  private val e7Sql = {
+    val failCols = ablationRules.zipWithIndex.map { case ((_, _, sql), i) =>
+      s"CASE WHEN $sql THEN 1 ELSE 0 END AS f$i" }.mkString(",\n    ")
+    val nf = ablationRules.indices.map(i => s"f$i").mkString(" + ")
+    val arms = ablationRules.zipWithIndex.map { case ((n, _, _), i) =>
+      s"""SELECT '$n' AS rule,
+         |  CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS tokens,
+         |  CAST(SUM(f$i) AS BIGINT) AS docs_failing,
+         |  CAST(SUM(f$i * n_toks) AS BIGINT) AS tokens_failing,
+         |  CAST(SUM(CASE WHEN f$i = 1 AND nf = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_unique,
+         |  CAST(SUM(CASE WHEN f$i = 1 AND nf = 1 THEN n_toks ELSE 0 END)
+         |    AS BIGINT) AS tokens_unique,
+         |  CAST((SUM(f$i) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS share_fail_micro,
+         |  CAST((SUM(CASE WHEN f$i = 1 AND nf = 1 THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS BIGINT) AS share_unique_micro
+         |FROM g""".stripMargin }.mkString("\nUNION ALL\n")
+    s"""WITH sheet AS (SELECT * FROM (${e5Sql})),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT s.doc_id, b.n_toks,
+       |    $failCols
+       |  FROM sheet s JOIN base b USING (doc_id)),
+       |g AS (SELECT *, $nf AS nf FROM f)
+       |$arms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
     "e3_corpus_curation" -> e3CorpusCuration _,
     "e4_clean_pack" -> e4CleanPack _,
     "e5_attribute_sheet" -> e5AttributeSheet _,
-    "e6_corpus_report" -> e6CorpusReport _)
+    "e6_corpus_report" -> e6CorpusReport _,
+    "e7_rule_ablation" -> e7RuleAblation _)
 
   val oracleSql: Map[String, String] = Map(
     "e1_pipeline" -> e1Sql,
@@ -378,5 +474,6 @@ object PipelineOps {
     "e3_corpus_curation" -> e3Sql,
     "e4_clean_pack" -> e4Sql,
     "e5_attribute_sheet" -> e5Sql,
-    "e6_corpus_report" -> e6Sql)
+    "e6_corpus_report" -> e6Sql,
+    "e7_rule_ablation" -> e7Sql)
 }

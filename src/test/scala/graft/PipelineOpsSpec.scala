@@ -252,4 +252,50 @@ class PipelineOpsSpec extends SparkSpec {
       got.values.map(_._5).toSet.size >= 2)
   }
 
+  test("e7: the ablation table equals an independent per-rule recount over e5 + token counts") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val sheet = PipelineOps.e5AttributeSheet(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the rule list, re-stated independently (not via ablationRules — a
+    // drift in the operator's list must FAIL here, not follow it)
+    val fails: Seq[(String, org.apache.spark.sql.Row => Boolean)] = Seq(
+      "r_word_count" -> (r => !r.getAs[Boolean]("r_word_count")),
+      "r_mean_word_len" -> (r => !r.getAs[Boolean]("r_mean_word_len")),
+      "r_alpha_words" -> (r => !r.getAs[Boolean]("r_alpha_words")),
+      "r_stopwords" -> (r => !r.getAs[Boolean]("r_stopwords")),
+      "r_symbol_ratio" -> (r => !r.getAs[Boolean]("r_symbol_ratio")),
+      "r_top_word_mass" -> (r => !r.getAs[Boolean]("r_top_word_mass")),
+      "clf_keep" -> (r => !r.getAs[Boolean]("clf_keep")),
+      "ppl_not_tail" -> (r => r.getAs[String]("ppl_bucket") == "tail"),
+      "no_span_dup" -> (r => r.getAs[Boolean]("has_dup")))
+    val ids = sheet.keys.toSeq
+    val docs = ids.length.toLong
+    val tokens = ids.map(toks).sum
+    val nFails = ids.map(id => id -> fails.count(_._2(sheet(id)))).toMap
+    val want = fails.map { case (name, p) =>
+      val failing = ids.filter(id => p(sheet(id)))
+      val unique = failing.filter(id => nFails(id) == 1)
+      name -> ((docs, tokens, failing.length.toLong, failing.map(toks).sum,
+        unique.length.toLong, unique.map(toks).sum,
+        failing.length.toLong * 1000000L / docs,
+        unique.length.toLong * 1000000L / docs))
+    }.toMap
+    val got = PipelineOps.e7RuleAblation(spark, sf).collect()
+      .map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("docs_failing"), r.getAs[Long]("tokens_failing"),
+          r.getAs[Long]("docs_unique"), r.getAs[Long]("tokens_unique"),
+          r.getAs[Long]("share_fail_micro"),
+          r.getAs[Long]("share_unique_micro")))).toMap
+    assert(got.keySet === want.keySet, "one row per rule")
+    want.foreach { case (rule, w) => assert(got(rule) === w, s"rule $rule") }
+    // the table carries signal on this corpus: some rule bites, and
+    // unique-kill is a strict subset somewhere (else redundancy analysis
+    // is vacuous here)
+    assert(got.values.exists(_._3 > 0), "no rule fails any doc — vacuous")
+    assert(got.values.forall(v => v._5 <= v._3), "unique ≤ failing")
+  }
+
 }
