@@ -1427,6 +1427,119 @@ object SimilarityOps {
        |FROM asg a JOIN sz USING (cluster)""".stripMargin
   }
 
+  // ------------------------------------------ prototype pruning (s10)
+
+  /** Fraction of each cluster pruned as prototypical: ⌈docs/4⌉ (by the
+    * class-boundary rule below, the realized cut can exceed this when
+    * the boundary score class is wide — the t17 semantics). */
+  private[graft] val ProtoPruneDen = 4
+
+  /** s10: prototypicality pruning — the D4 diversification pass
+    * (Tirumala et al. 2023: after SemDeDup, drop the documents CLOSEST
+    * to their cluster centroid; near-centroid points are the templated/
+    * boilerplate core of a cluster, and keeping the diverse tail beats
+    * training on the redundant center). Every embedding is assigned to
+    * its s9 cluster (same persisted quantizer, same rounded-cosine
+    * argmax), `cos_proto` = its cosine to that centroid, and within each
+    * cluster the top ⌈docs/4⌉ most-prototypical documents are cut by
+    * t17's CLASS-BOUNDARY rule: a document is pruned iff documents
+    * scoring strictly HIGHER in its cluster number < ⌈docs/4⌉ — equal
+    * scores never split across the keep/prune line (no arbitrary
+    * tie-break enters the contract), at the cost of the realized cut
+    * overshooting when the boundary class is wide.
+    *
+    * Scale shape: s9's assignment machinery verbatim (broadcast k-row
+    * centroids, map-side-combined argmax — no doc-granular window);
+    * pruning works over the (cluster, cos_proto) HISTOGRAM — bounded by
+    * k × the rounded-cosine domain, never by corpus size — with the
+    * cumulative window on that bounded relation only and the verdict
+    * applied as a broadcast boundary join (t17's cutoff device). Cluster
+    * count grows as √n under [[ivfK]], so per-cluster histogram slices
+    * stay balanced as the corpus scales. */
+  def s10ProtoPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = corpusCount(s, dir)
+    val k = ivfK(n)
+    val cf: Array[Array[Float]] =
+      centroidsFor(s, dir, k).map(_.map(_.toFloat))
+    graft.sources.TrainedOracle.publish("s10_proto_prune", s10SqlFor(cf))
+    val cent = cf.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell_id", "c_vec")
+    val scored = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell_id",
+        round(cosineCol($"embedding", $"c_vec"), 6).as("sc"))
+    // the winning sc IS max(sc): max_by orders by (sc, cell_id), so the
+    // chosen cell's score is maximal (score ties pick the higher cell,
+    // same score)
+    val assign = scored.groupBy($"vec_id").agg(
+      max_by($"cell_id", struct($"sc", $"cell_id")).as("cluster"),
+      max($"sc").as("cos_proto"))
+    val sizes = assign.groupBy($"cluster").agg(count(lit(1)).as("cluster_docs"))
+    val hist = assign.groupBy($"cluster", $"cos_proto")
+      .agg(count(lit(1)).as("hc"))
+    val wHigher = Window.partitionBy($"cluster").orderBy($"cos_proto".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = hist
+      .withColumn("higher", coalesce(sum($"hc").over(wHigher), lit(0L)))
+      .join(broadcast(sizes), Seq("cluster"))
+      .select($"cluster", $"cos_proto",
+        ($"higher" < expr(s"(cluster_docs + ${ProtoPruneDen - 1}) div $ProtoPruneDen"))
+          .as("proto"))
+    assign.join(broadcast(sizes), Seq("cluster"))
+      .join(broadcast(cut), Seq("cluster", "cos_proto"))
+      .select($"vec_id", $"cluster", $"cos_proto", $"cluster_docs",
+        (!$"proto").as("keep"))
+  }
+
+  /** The s10 oracle with the trained centroids spliced as literals
+    * (s9's device); the boundary rule replayed as a cumulative window
+    * over the (cluster, cos_proto) histogram. */
+  private[graft] def s10SqlFor(cf: Array[Array[Float]]): String = {
+    val rows = cf.zipWithIndex.map { case (c, i) =>
+      c.map(_.toDouble.toString).mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n    ")
+    s"""WITH cent(cell_id, c_vec) AS (VALUES
+       |    $rows),
+       |sc AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                 c.c_vec), 6) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, cell_id AS cluster, s AS cos_proto FROM (
+       |    SELECT vec_id, cell_id, s,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell_id DESC) AS rk
+       |    FROM sc) t
+       |  WHERE rk = 1),
+       |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_docs
+       |       FROM asg GROUP BY 1),
+       |hist AS (SELECT cluster, cos_proto, COUNT(*) AS hc
+       |         FROM asg GROUP BY 1, 2),
+       |cut AS (
+       |  SELECT h.cluster, h.cos_proto,
+       |    COALESCE(SUM(h.hc) OVER (PARTITION BY h.cluster
+       |      ORDER BY h.cos_proto DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      < (sz.cluster_docs + ${ProtoPruneDen - 1}) // $ProtoPruneDen
+       |      AS proto
+       |  FROM hist h JOIN sz USING (cluster))
+       |SELECT a.vec_id, a.cluster, a.cos_proto, sz.cluster_docs,
+       |  NOT ct.proto AS keep
+       |FROM asg a
+       |JOIN sz USING (cluster)
+       |JOIN cut ct ON ct.cluster = a.cluster
+       |  AND ct.cos_proto = a.cos_proto""".stripMargin
+  }
+
+  private val s10Fallback =
+    """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS cluster,
+      |  CAST(NULL AS DOUBLE) AS cos_proto,
+      |  CAST(NULL AS BIGINT) AS cluster_docs, CAST(NULL AS BOOLEAN) AS keep
+      |WHERE FALSE""".stripMargin
+
   /** Loud out-of-order sentinel (see [[graft.sources.TrainedOracle]]):
     * schema-correct, zero rows — a dump taken before the s9 query ran
     * fails the row-count compare instead of silently passing. */
@@ -1445,7 +1558,8 @@ object SimilarityOps {
     "s6_centroid_outlier" -> s6CentroidOutlier _,
     "s7_ivfpq" -> s7IvfPqChecked _,
     "s8_ivfpq_upsert_serve" -> s8IvfPqUpsertServe _,
-    "s9_topic_clusters" -> s9TopicClusters _)
+    "s9_topic_clusters" -> s9TopicClusters _,
+    "s10_proto_prune" -> s10ProtoPrune _)
 
   // def, not val: s9's entry reads the TrainedOracle registry, populated
   // when the s9 query resolves its persisted quantizer (Verify's order).
@@ -1459,5 +1573,7 @@ object SimilarityOps {
     "s7_ivfpq" -> s7Sql,
     "s8_ivfpq_upsert_serve" -> s8Sql,
     "s9_topic_clusters" ->
-      graft.sources.TrainedOracle.sqlFor("s9_topic_clusters", s9Fallback))
+      graft.sources.TrainedOracle.sqlFor("s9_topic_clusters", s9Fallback),
+    "s10_proto_prune" ->
+      graft.sources.TrainedOracle.sqlFor("s10_proto_prune", s10Fallback))
 }

@@ -548,6 +548,42 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(sampled.values.sum > 0)
   }
 
+  test("s10: keep bit equals an independent class-boundary replay; prune quota met per cluster") {
+    import graft.operators.SimilarityOps
+    val rows = SimilarityOps.s10ProtoPrune(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("cos_proto"), r.getAs[Long]("cluster_docs"),
+        r.getAs[Boolean]("keep")))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n, "one verdict per embedding")
+    // the assignment is s9's (same quantizer, same rounded argmax)
+    val s9c = SimilarityOps.s9TopicClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap === s9c)
+    rows.groupBy(_._2).foreach { case (c, xs) =>
+      val docs = xs.length.toLong
+      assert(xs.forall(_._4 === docs), s"cluster_docs in $c")
+      val quota = (docs + 3) / 4
+      // independent replay of the boundary rule over the score classes
+      val classes = xs.groupBy(_._3).map { case (s, ys) => (s, ys.length.toLong) }
+        .toSeq.sortBy(-_._1)
+      var higher = 0L
+      val protoClass = classes.map { case (s, hc) =>
+        val p = higher < quota; higher += hc; s -> p
+      }.toMap
+      xs.foreach(t => assert(t._5 === !protoClass(t._3), s"vec ${t._1} keep bit"))
+      assert(xs.count(!_._5).toLong >= quota, s"cluster $c prune quota")
+      // equal scores never split across the keep/prune line
+      xs.groupBy(_._3).values.foreach(g =>
+        assert(g.map(_._5).toSet.size === 1, s"tie split in cluster $c"))
+    }
+    assert(rows.exists(_._5), "some doc survives")
+    assert(rows.exists(!_._5), "some doc pruned")
+    // trained-constants oracle spliced once the query has run
+    val sql = SimilarityOps.oracleSql("s10_proto_prune")
+    assert(sql.contains("VALUES") && !sql.contains("WHERE FALSE"))
+  }
+
   test("s6: real-corpus outlier rate is nonzero and small") {
     val out = SimilarityOps.s6CentroidOutlier(spark, sf)
       .as[(Long, Double, Boolean)].collect()
