@@ -490,4 +490,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(scansOf(p, "documents") === 1 && scansOf(p, "embeddings") === 1, p)
   }
+
+  test("m8: blobs fingerprinted ONCE (cached sheet), m6's exchange geometry verbatim") {
+    // the audio sheet shares neardupDegreesOf/imagePairsOf with m6, so
+    // the same claims hold: every documents reference is the cached
+    // fingerprint sheet (payloads decoded + fingerprinted exactly once),
+    // and every exchange carries (band, key), (doc_a, doc_b) or doc_id
+    // rows — never payload bytes, nothing pair-shaped before the
+    // in-bucket Hamming filter
+    val p = plan("m8_audio_neardup")
+    assert(p.contains("InMemoryRelation"),
+      s"fingerprint sheet must be cached — blob re-scan per consumer:\n$p")
+    assert(scansOf(p, "documents") ===
+      "InMemoryTableScan".r.findAllIn(p).length,
+      s"every documents reference must be the cached sheet:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k == "band, key" || k == "doc_a, doc_b" || k == "doc_id"), s"$keys\n$p")
+  }
+
+  test("e7: the ablation table adds one token scan over e5's stages; the unpivot happens after a 1-row aggregate") {
+    val e7 = plan("e7_rule_ablation")
+    val e5Stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
+      "t18_quality_classifier").map(plan)
+    assert(scansOf(e7, "documents") ===
+      e5Stages.map(scansOf(_, "documents")).sum + 1,
+      s"e7 documents scans must be e5's stages' sum + the token scan:\n$e7")
+    assert(!e7.contains("CartesianProduct"), e7)
+    // the 9x4 per-rule sums collapse in ONE aggregate — the generate
+    // (explode to 9 rows) must sit ABOVE the final single-partition
+    // aggregate, never below it on doc-granular rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val opt = SparkEntry.queries("e7_rule_ablation")(spark, sf)
+      .queryExecution.optimizedPlan
+    // (e5's stages contribute their own gram-explode Generates; the
+    // unpivot is the one whose DIRECT child subtree is the global agg)
+    val gen = opt.collect { case g: Generate => g }
+    assert(gen.exists(_.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.nonEmpty), s"the unpivot must consume the 1-row global aggregate:\n$opt")
+  }
+
+  test("s10: s9's exchange geometry + windows only over the bounded histogram") {
+    val p = plan("s10_proto_prune")
+    // exchanges carry (vec_id) argmax partials, (cluster) or the
+    // (cluster, cos_proto) histogram keys only — never a doc-granular
+    // window partition
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k == "vec_id" || k == "cluster" || k == "cluster, cos_proto"),
+      s"unexpected exchange keys $keys:\n$p")
+    // the cumulative window sits above the (cluster, cos_proto) histogram
+    // aggregate (t17's bounded-relation discipline)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val opt = SparkEntry.queries("s10_proto_prune")(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"expected the boundary cumulative window:\n$opt")
+    assert(wins.forall(_.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }.nonEmpty),
+      s"every window must sit above the (cluster, cos_proto) histogram:\n$opt")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroids, sizes and cutoffs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
