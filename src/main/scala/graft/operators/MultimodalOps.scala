@@ -907,6 +907,115 @@ object MultimodalOps {
        |FROM d JOIN blk USING (doc_id) LEFT JOIN deg USING (doc_id)""".stripMargin
   }
 
+  // --------------------------------------------------- m9 scene cuts
+
+  /** Bytes per video "frame" (m3's grid) and the L1 cut threshold: a cut
+    * fires when adjacent frame histograms move more than [[SceneCutTau]]
+    * of their 2×[[FrameWindow]] total L1 mass (τ = 24 of 64 — ⅜ of the
+    * frame's mass changed bins). */
+  private[graft] val FrameWindow = 32
+  private[graft] val SceneCutTau = 24
+  private[graft] val SceneBins = 16
+
+  /** m9: SHOT-BOUNDARY detection — the histogram-difference baseline
+    * (Zhang, Kankanhalli & Smoliar 1993: a cut between adjacent frames
+    * whose intensity-histogram L1 distance exceeds a threshold) and the
+    * temporal-structure pass the video leg lacked: m3 samples frames
+    * uniformly; real video pipelines sample AT scene boundaries so one
+    * shot contributes one training frame, not thirty near-identical
+    * ones. Frame k of the stub codec = payload bytes [32k, 32k+32); its
+    * 16-bin value histogram (byte // 16 — m2's binning) is compared to
+    * frame k−1's and a cut recorded when L1 > [[SceneCutTau]]. Per doc:
+    * `n_frames`, `n_cuts`, `first_cut` (frame index of the first cut,
+    * −1 when none — no nullable BIGINTs), `max_l1` (0 when < 2 frames).
+    * A real deployment swaps the stub histogram for decoded-frame
+    * luminance histograms through the identical kernel — the m2/m5
+    * codec-independence discipline.
+    *
+    * Scale shape: a PURE narrow map on the m2 batch path — one pass per
+    * payload with two rolling 16-int histograms, no explode, nothing
+    * shuffles (the per-doc reduction happens inside the kernel); the
+    * only data movement at any corpus size is the blob scan. */
+  def m9SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sceneCutsOf(withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** The m9 kernel over any blob relation — m9 binds the corpus; the
+    * spec drives planted multi-scene payloads. */
+  private[graft] def sceneCutsOf(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = bytes.length / FrameWindow
+        val prev = new Array[Int](SceneBins)
+        val cur = new Array[Int](SceneBins)
+        var cuts = 0L; var first = -1L; var maxL1 = 0L
+        var w = 0
+        while (w < n) {
+          java.util.Arrays.fill(cur, 0)
+          var i = w * FrameWindow
+          val end = i + FrameWindow
+          while (i < end) { cur((bytes(i) & 0xff) / SceneBins) += 1; i += 1 }
+          if (w > 0) {
+            var l1 = 0L; var b = 0
+            while (b < SceneBins) { l1 += math.abs(cur(b) - prev(b)); b += 1 }
+            if (l1 > SceneCutTau) {
+              cuts += 1
+              if (first < 0) first = w
+            }
+            if (l1 > maxL1) maxL1 = l1
+          }
+          System.arraycopy(cur, 0, prev, 0, SceneBins)
+          w += 1
+        }
+        (id, n.toLong, cuts, first, maxL1)
+      })
+      .toDF("doc_id", "n_frames", "n_cuts", "first_cut", "max_l1")
+  }
+
+  // m9's stub semantics in DuckDB: dense (win, bin) histogram grid per
+  // doc (so absent bins compare as 0 on both sides), adjacent-window
+  // inner join on the dense grid, L1 per boundary, per-doc rollup.
+  private val m9Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $FrameWindow AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, (i - 1) // $FrameWindow AS win,
+       |         ascii(substr(text, i, 1)) // $SceneBins AS bin
+       |  FROM d, UNNEST(generate_series(1, n * $FrameWindow)) AS t(i)),
+       |h AS (SELECT doc_id, win, bin, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT d.doc_id, wi.win, bi.bin
+       |  FROM d,
+       |       UNNEST(generate_series(0, n - 1)) AS wi(win),
+       |       UNNEST(generate_series(0, ${SceneBins - 1})) AS bi(bin)
+       |  WHERE d.n > 0),
+       |hd AS (
+       |  SELECT g.doc_id, g.win, g.bin, COALESCE(h.c, 0) AS c
+       |  FROM grid g LEFT JOIN h
+       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin),
+       |delta AS (
+       |  SELECT a.doc_id, a.win, SUM(ABS(a.c - b.c)) AS l1
+       |  FROM hd a JOIN hd b
+       |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN l1 > $SceneCutTau THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cuts,
+       |    CAST(COALESCE(MIN(CASE WHEN l1 > $SceneCutTau THEN win END), -1)
+       |      AS BIGINT) AS first_cut,
+       |    CAST(MAX(l1) AS BIGINT) AS max_l1
+       |  FROM delta GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_frames,
+       |  COALESCE(a.n_cuts, 0) AS n_cuts,
+       |  COALESCE(a.first_cut, -1) AS first_cut,
+       |  COALESCE(a.max_l1, 0) AS max_l1
+       |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ------------------------------------------- m7 image-text alignment
 
   /** Alignment threshold on the ROUNDED integer-arithmetic cosine.
@@ -1032,6 +1141,7 @@ object MultimodalOps {
     "m6_image_neardup" -> m6ImageNeardup _,
     "m7_image_text_align" -> m7ImageTextAlign _,
     "m8_audio_neardup" -> m8AudioNeardup _,
+    "m9_scene_cuts" -> m9SceneCuts _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
     "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
@@ -1044,6 +1154,7 @@ object MultimodalOps {
     "m6_image_neardup" -> m6Sql,
     "m7_image_text_align" -> m7Sql,
     "m8_audio_neardup" -> m8Sql,
+    "m9_scene_cuts" -> m9Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
     "m5r_audio_energy_real" -> m5Sql)

@@ -393,6 +393,52 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(hamNear === 1, "exactly one delta bit flips")
   }
 
+  test("m9: planted scenes cut exactly at their boundaries; uniform and sub-frame clips don't") {
+    val w = 32
+    // 'a' frames live in bin 6, '0' frames in bin 3 — a scene change
+    // moves ALL 32 samples across bins (L1 = 64 > tau), so cuts fire
+    // exactly where the content switches: wins 4 and 8
+    val scene = ("a" * (4 * w)) + ("0" * (4 * w)) + ("a" * (4 * w))
+    val flat = "a" * (12 * w)
+    val short = "a" * (w - 1)
+    val blobs = Seq((1L, scene), (2L, flat), (3L, short))
+      .toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val got = MultimodalOps.sceneCutsOf(blobs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((12L, 2L, 4L, 64L)), "two cuts at the scene boundaries")
+    assert(got(2L) === ((12L, 0L, -1L, 0L)), "uniform clip has no cut")
+    assert(got(3L) === ((0L, 0L, -1L, 0L)), "sub-frame clip has no frames")
+  }
+
+  test("m9: corpus output equals an independent rolling-histogram replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.map { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = bytes.length / 32
+      val hists = (0 until n).map { k =>
+        val h = new Array[Int](16)
+        (k * 32 until k * 32 + 32).foreach(i => h((bytes(i) & 0xff) / 16) += 1)
+        h
+      }
+      val l1s = (1 until n).map(k =>
+        (0 until 16).map(b => math.abs(hists(k)(b) - hists(k - 1)(b))).sum.toLong)
+      val cuts = l1s.zipWithIndex.filter(_._1 > 24)
+      id -> ((n.toLong, cuts.length.toLong,
+        cuts.headOption.map(_._2 + 1L).getOrElse(-1L),
+        if (l1s.isEmpty) 0L else l1s.max))
+    }.toMap
+    val got = MultimodalOps.m9SceneCuts(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === want)
+    // the corpus carries real temporal variance — max_l1 is not constant
+    assert(got.values.map(_._4).toSet.size > 3)
+  }
+
   test("m8: fingerprint is gain-invariant and the real WAV decode fingerprints identically") {
     val samples = Array.tabulate(65 * MultimodalOps.AudioWindow)(i =>
       40 + (i * 7) % 60)
