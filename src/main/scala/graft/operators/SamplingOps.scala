@@ -308,6 +308,56 @@ object SamplingOps {
        |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
        |    FROM documents)""".stripMargin, "p4:")
 
+  // -------------------------------------------------- p8 curriculum order
+
+  /** p8: quality-CURRICULUM ordering — the deterministic training-order
+    * relation behind the "anneal on the best data last" practice
+    * (OLMo-2's mid-training stage, MiniCPM's decay-phase mix, LLaMA-3's
+    * annealing runs): every document gets a (stage, shard, seq) training
+    * coordinate where `stage` is its t17 reference-LM quality tier
+    * (tail = 0 trains first, middle = 1, head = 2 anneals last) and the
+    * order WITHIN a stage is a deterministic salted-hash shuffle (a raw
+    * doc_id order would replay ingest/source clustering into training
+    * time — the hash breaks it, reproducibly). A trainer consumes stages
+    * ascending, reading shards in parallel by `seq`; the whole epoch
+    * order is the lexicographic (stage, seq, shard) walk.
+    *
+    * Scale shape: t17's scoring budget plus one narrow projection and
+    * ONE window partitioned by (stage, [[PackShards]] salted shards) —
+    * p4's packing-window budget exactly: 3 × PackShards balanced
+    * partitions, each sorting its 1/PackShards slice of 20-byte rows; at
+    * 100 TB raise PackShards to the shard-file count, same as p4. The
+    * text column never reaches the window (id + tier only). */
+  def p8CurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.operators.TextOps.t17PplBuckets(s, dir)
+      .select($"doc_id",
+        when($"ppl_bucket" === "tail", 0)
+          .when($"ppl_bucket" === "middle", 1)
+          .otherwise(2).cast("int").as("stage"),
+        pmod(hashRank($"doc_id", "p8:"), lit(PackShards)).cast("int").as("shard"),
+        hashRank($"doc_id", "p8:").as("hkey"))
+    val w = Window.partitionBy($"stage", $"shard").orderBy($"hkey", $"doc_id")
+    staged
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select($"doc_id", $"stage", $"shard", $"seq")
+  }
+
+  private val p8Sql =
+    s"""WITH tier AS (
+       |  SELECT doc_id, ppl_bucket FROM (${graft.operators.TextOps.t17Sql})),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(CASE ppl_bucket WHEN 'tail' THEN 0 WHEN 'middle' THEN 1
+       |         ELSE 2 END AS INT) AS stage,
+       |    CAST(${hashRankSql("p8:")} % $PackShards AS INT) AS shard,
+       |    ${hashRankSql("p8:")} AS hkey
+       |  FROM tier)
+       |SELECT doc_id, stage, shard,
+       |  CAST(row_number() OVER (PARTITION BY stage, shard
+       |       ORDER BY hkey, doc_id) AS BIGINT) AS seq
+       |FROM st""".stripMargin
+
   // --------------------------------------------------------------- p6 DSIR
 
   /** The neutral micro-unit importance ratio (equal smoothed reference
@@ -548,7 +598,8 @@ object SamplingOps {
     "p4_pack_sequences" -> p4PackSequences _,
     "p5_mix_materialize" -> p5MixMaterialize _,
     "p6_dsir_resample" -> p6DsirResample _,
-    "p7_epoch_plan" -> p7EpochPlan _)
+    "p7_epoch_plan" -> p7EpochPlan _,
+    "p8_curriculum_order" -> p8CurriculumOrder _)
 
   val oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
@@ -557,5 +608,6 @@ object SamplingOps {
     "p4_pack_sequences" -> p4Sql,
     "p5_mix_materialize" -> p5Sql,
     "p6_dsir_resample" -> p6Sql,
-    "p7_epoch_plan" -> p7Sql)
+    "p7_epoch_plan" -> p7Sql,
+    "p8_curriculum_order" -> p8Sql)
 }

@@ -367,4 +367,40 @@ class SamplingOpsSpec extends SparkSpec {
     // the grant never over-spends the budget
     assert(rows.map(_.getAs[Long]("grant_tokens")).sum <= 2L * tt)
   }
+
+  test("p8: the curriculum coordinate replays independently; stages follow tiers; seqs are dense per shard") {
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val tier = graft.operators.TextOps.t17PplBuckets(spark, sf)
+      .select($"doc_id", $"ppl_bucket").as[(Long, String)].collect().toMap
+    val want = tier.toSeq.map { case (id, b) =>
+      val stage = b match { case "tail" => 0; case "middle" => 1; case _ => 2 }
+      val hk = h60(s"p8:$id")
+      (id, stage, (hk % SamplingOps.PackShards).toInt, hk)
+    }.groupBy(t => (t._2, t._3)).flatMap { case (_, xs) =>
+      xs.sortBy(t => (t._4, t._1)).zipWithIndex.map { case (t, i) =>
+        t._1 -> ((t._2, t._3, i + 1L))
+      }
+    }
+    val got = SamplingOps.p8CurriculumOrder(spark, sf)
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === tier.keySet, "every scored doc gets a coordinate")
+    assert(got === want)
+    // seq is dense 1..n within each (stage, shard) — a trainer can walk it
+    got.toSeq.groupBy(t => (t._2._1, t._2._2)).values.foreach { xs =>
+      assert(xs.map(_._2._3).sorted === (1L to xs.length).toSeq)
+    }
+    // the curriculum realizes all three stages on this corpus
+    assert(got.values.map(_._1).toSet === Set(0, 1, 2))
+    // hash shuffle, not ingest order: within some shard, doc_ids are
+    // NOT monotone in seq
+    assert(got.toSeq.groupBy(t => (t._2._1, t._2._2)).values.exists { xs =>
+      val inSeq = xs.sortBy(_._2._3).map(_._1)
+      inSeq != inSeq.sorted
+    })
+  }
 }
