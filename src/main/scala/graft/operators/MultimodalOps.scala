@@ -781,43 +781,50 @@ object MultimodalOps {
 
   /** Haitsma–Kalker-style audio fingerprint (Haitsma & Kalker 2002 — the
     * published audio-ID baseline: fingerprint bits are SIGNS of energy
-    * differences, here the time-axis deltas of windowed energies; the
-    * full method adds a frequency axis, which needs an FFT this container
-    * deliberately stubs). Per payload: integer window energies
-    * E_w = Σs² over the full [[AudioWindow]]-sample windows (m5's window
-    * grid, no sqrt — deltas of exact BIGINTs), [[AudioFpProbes]] probes
-    * sampled at ⌊j·n/65⌋ (the [[sampleBytes]] device over the energy
-    * sequence; n = 0 probes all-zero), bit j set iff probe j+1 > probe j,
-    * packed into [[AHashBlocks]] 16-bit blocks.
+    * differences between OVERLAPPING frames; the paper's frames overlap
+    * 31/32, and its frequency axis needs an FFT this container
+    * deliberately stubs). Per payload: [[AudioFpProbes]] overlapping
+    * [[AudioWindow]]-sample probe frames sliding across the clip —
+    * probe j starts at sample ⌊j·(len−32)/64⌋, so probes cover the full
+    * clip at whatever hop its length implies — each reduced to an exact
+    * integer energy Σs² (no sqrt: deltas of exact BIGINTs), bit j set
+    * iff probe j+1's energy > probe j's, packed into [[AHashBlocks]]
+    * 16-bit blocks.
+    *
+    * The OVERLAPPING probes are what keeps the fingerprint informative
+    * (and the LSH buckets balanced) on clips of any length: a first
+    * draft probed m5's ALIGNED window grid, which collapses a clip with
+    * n windows to runs of ≤ n distinct probe values — at sf0.1 the
+    * mostly-short corpus concentrated 45% of docs into the all-zero
+    * block buckets (6.8M candidate pairs, and replica scaling squares
+    * it). Sliding probes give distinct offsets for every len ≥ 96, so
+    * delta bits are ~balanced exactly as in the published design.
     *
     * Sign-of-delta is GAIN-INVARIANT: scaling every amplitude by g > 0
     * scales every energy by g² and preserves every strict inequality —
     * the robustness property that makes H–K the audio-dedup baseline
     * (the same clip at different volumes fingerprints identically;
-    * spec-asserted). Clips shorter than one window (n = 0) or with few
-    * windows carry little temporal structure and collapse toward the
-    * zero fingerprint — honest H–K behavior; `n_windows` ships beside
-    * the blocks so consumers gate (production fingerprints clips above
-    * a minimum duration). */
+    * spec-asserted). Clips shorter than one frame fingerprint all-zero;
+    * `n_windows` ships beside the blocks so consumers gate on duration. */
   private[graft] def audioFingerprint(samples: Array[Int]): Array[Int] = {
-    val n = samples.length / AudioWindow
-    val e = new Array[Long](AudioFpProbes)
-    if (n > 0) {
+    val blocks = new Array[Int](AHashBlocks)
+    val len = samples.length
+    if (len >= AudioWindow) {
+      val e = new Array[Long](AudioFpProbes)
       var j = 0
       while (j < AudioFpProbes) {
-        var i = (j.toLong * n / AudioFpProbes).toInt * AudioWindow
+        var i = (j.toLong * (len - AudioWindow) / (AudioFpProbes - 1)).toInt
         val end = i + AudioWindow
         var acc = 0L
         while (i < end) { acc += samples(i).toLong * samples(i); i += 1 }
         e(j) = acc
         j += 1
       }
-    }
-    val blocks = new Array[Int](AHashBlocks)
-    var j = 0
-    while (j < AHashSamples) {
-      if (e(j + 1) > e(j)) blocks(j / AHashBlockBits) |= 1 << (j % AHashBlockBits)
-      j += 1
+      j = 0
+      while (j < AHashSamples) {
+        if (e(j + 1) > e(j)) blocks(j / AHashBlockBits) |= 1 << (j % AHashBlockBits)
+        j += 1
+      }
     }
     blocks
   }
@@ -859,39 +866,47 @@ object MultimodalOps {
       .select($"doc_id", $"n_windows", $"b0", $"b1", $"b2", $"b3", $"n_neardups")
   }
 
-  // m8's stub semantics in DuckDB: m5's window grid without the sqrt
-  // (exact BIGINT energies), 65 probes at (j*n)//65 via a left join
-  // (missing windows — n = 0 — probe as 0), delta-sign bits, m6's block
+  // m8's stub semantics in DuckDB: per-char squared amplitudes prefix-
+  // summed (probe energy at offset o = cum(o+32) − cum(o)), 65 sliding
+  // probe offsets (j·(len−32)) // 64, delta-sign bits, m6's block
   // assembly and brute-force a<b Hamming pair scan (fine at oracle
-  // scale), degree = pair endpoints counted per doc.
+  // scale), degree = pair endpoints counted per doc; sub-frame clips
+  // (len < 32) have no probes and default to the zero fingerprint.
   private val m8Sql = {
     val blks = (0 until AHashBlocks).map(b =>
       s"CAST(SUM(CASE WHEN (j // $AHashBlockBits) = $b THEN (bit << (j % $AHashBlockBits)) ELSE 0 END) AS INT) AS b$b")
       .mkString(",\n    ")
+    val hb = (0 until AHashBlocks).map(b => s"blk.b$b").mkString(", ")
     val ham = (0 until AHashBlocks).map(b =>
       s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
-    s"""WITH d AS (
-       |  SELECT doc_id, text, length(text) // $AudioWindow AS n FROM documents),
-       |w AS (
-       |  SELECT doc_id, (i - 1) // $AudioWindow AS win,
-       |         ascii(substr(text, i, 1)) AS s
-       |  FROM d, UNNEST(generate_series(1, n * $AudioWindow)) AS t(i)),
-       |e AS (SELECT doc_id, win, SUM(s * s) AS en FROM w GROUP BY 1, 2),
-       |js AS (
-       |  SELECT d.doc_id, d.n, j
-       |  FROM d, UNNEST(generate_series(0, ${AudioFpProbes - 1})) AS u(j)),
-       |samp AS (
-       |  SELECT js.doc_id, js.j, COALESCE(e.en, 0) AS v
-       |  FROM js LEFT JOIN e
-       |    ON e.doc_id = js.doc_id AND e.win = (js.j * js.n) // $AudioFpProbes),
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |cum AS (
+       |  SELECT doc_id, i,
+       |    SUM(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+       |        * ascii(substr(text, CAST(i AS INT), 1)))
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS c
+       |  FROM d, UNNEST(generate_series(1, len)) AS t(i)),
+       |probes AS (
+       |  SELECT d.doc_id, j, (j * (d.len - $AudioWindow)) // $AHashSamples AS o
+       |  FROM d, UNNEST(generate_series(0, ${AudioFpProbes - 1})) AS u(j)
+       |  WHERE d.len >= $AudioWindow),
+       |en AS (
+       |  SELECT p.doc_id, p.j, ce.c - COALESCE(cs.c, 0) AS v
+       |  FROM probes p
+       |  JOIN cum ce ON ce.doc_id = p.doc_id AND ce.i = p.o + $AudioWindow
+       |  LEFT JOIN cum cs ON cs.doc_id = p.doc_id AND cs.i = p.o),
        |bits AS (
        |  SELECT a.doc_id, a.j, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-       |  FROM samp a JOIN samp b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+       |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.j = a.j + 1
        |  WHERE a.j < $AHashSamples),
-       |blk AS (
+       |blk0 AS (
        |  SELECT doc_id,
        |    $blks
        |  FROM bits GROUP BY doc_id),
+       |blk AS (
+       |  SELECT d.doc_id,
+       |    ${(0 until AHashBlocks).map(b => s"COALESCE(blk0.b$b, 0) AS b$b").mkString(", ")}
+       |  FROM d LEFT JOIN blk0 USING (doc_id)),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM blk a JOIN blk b ON a.doc_id < b.doc_id
@@ -901,10 +916,11 @@ object MultimodalOps {
        |    SELECT doc_a AS doc_id FROM pairs
        |    UNION ALL SELECT doc_b AS doc_id FROM pairs)
        |  GROUP BY 1)
-       |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_windows,
-       |  blk.b0, blk.b1, blk.b2, blk.b3,
+       |SELECT d.doc_id, CAST(d.len // $AudioWindow AS BIGINT) AS n_windows,
+       |  $hb,
        |  COALESCE(deg.n_neardups, 0) AS n_neardups
-       |FROM d JOIN blk USING (doc_id) LEFT JOIN deg USING (doc_id)""".stripMargin
+       |FROM d JOIN blk ON d.doc_id = blk.doc_id
+       |LEFT JOIN deg ON d.doc_id = deg.doc_id""".stripMargin
   }
 
   // --------------------------------------------------- m9 scene cuts
