@@ -991,6 +991,57 @@ object DedupOps {
       |FROM canonmap m
       |LEFT JOIN comp c ON m.canon_id = c.node""".stripMargin
 
+  // ------------------------------------------------- d13 priority dedup
+
+  /** d13: SOURCE-PRIORITY dedup — the production survivor policy d6/d7
+    * deliberately don't encode: when a document exists in several
+    * sources, keep the copy from the most TRUSTED source, not the one
+    * with the smallest id (the Pile/Dolma posture: curated beats web;
+    * dedup order is a curation decision, not an accident of ingest ids).
+    * Clusters are d7's (exact-canonical mapping + verified-near-dup
+    * transitive closure, one shared memoized relation); within each
+    * cluster the survivor is the argmin of (src_rank, doc_id) — rank
+    * first, id only as the deterministic tie-break within a rank.
+    *
+    * The priority table is a driver-known policy: here rank = the
+    * source's numeric suffix (src0 most trusted … src19 least — the
+    * fixture's stand-in for "wikipedia > books > web"); production
+    * supplies its own (source → rank) relation through the same argmin.
+    *
+    * Scale shape: d7's machinery verbatim (bucketed candidates, CC over
+    * (id, label) pairs) plus one narrow (doc_id, source→rank) scan, one
+    * cluster-keyed map-side-combined `min(struct(rank, id))` aggregate
+    * and one id-width join back — the argmin never windows over
+    * doc-granular rows and no new corpus scan is introduced. */
+  def d13PriorityDedup(s: SparkSession, dir: String): DataFrame = {
+    val clusters = d7CcDedup(s, dir).select(col("doc_id"), col("cluster_id"))
+    val ranked = clusters.join(
+      Tables.documents(s, dir).select(col("doc_id"),
+        expr("CAST(substring(source, 4) AS INT)").as("src_rank")),
+      Seq("doc_id"))
+    val best = ranked.groupBy(col("cluster_id"))
+      .agg(min(struct(col("src_rank"), col("doc_id"))).as("w"))
+    ranked.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("src_rank"),
+        (col("src_rank") === col("w.src_rank") &&
+          col("doc_id") === col("w.doc_id")).as("keep"))
+  }
+
+  /** Oracle: d7's closure CTE + the suffix rank + a row_number argmin
+    * (ORDER BY src_rank, doc_id — identical total order). */
+  private val d13Sql =
+    s"""WITH d7 AS (${d7Sql}),
+       |ranked AS (
+       |  SELECT d7.doc_id, d7.cluster_id,
+       |    CAST(substr(d.source, 4) AS INT) AS src_rank
+       |  FROM d7 JOIN documents d ON d7.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT doc_id, cluster_id, src_rank,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY src_rank, doc_id) AS r
+       |  FROM ranked)
+       |SELECT doc_id, cluster_id, src_rank, r = 1 AS keep FROM rk""".stripMargin
+
   // ------------------------------------------------ d8 incremental ingest
 
   /** The deterministic "today's ingest" slice: doc_id % [[IngestMod]] ==
@@ -1506,7 +1557,8 @@ object DedupOps {
     "d6_dedup_keep" -> d6DedupKeep _,
     "d7_cc_dedup" -> d7CcDedup _,
     "d8_incremental_dedup" -> d8IncrementalDedup _,
-    "d9_embedding_cluster_dedup" -> d9EmbeddingClusterDedup _)
+    "d9_embedding_cluster_dedup" -> d9EmbeddingClusterDedup _,
+    "d13_priority_dedup" -> d13PriorityDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "d10_span_dedup" -> d10Sql,
@@ -1520,5 +1572,6 @@ object DedupOps {
     "d6_dedup_keep" -> d6Sql,
     "d7_cc_dedup" -> d7Sql,
     "d8_incremental_dedup" -> d8Sql,
-    "d9_embedding_cluster_dedup" -> d9Sql)
+    "d9_embedding_cluster_dedup" -> d9Sql,
+    "d13_priority_dedup" -> d13Sql)
 }

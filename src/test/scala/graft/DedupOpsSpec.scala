@@ -662,4 +662,29 @@ class DedupOpsSpec extends SparkSpec {
     }
     assert(checked > 0, "fixture must exercise the survival invariant")
   }
+
+  test("d13: the survivor is the (src_rank, doc_id) argmin of its d7 cluster, exactly one per cluster") {
+    val got = DedupOps.d13PriorityDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Int]("src_rank"),
+          r.getAs[Boolean]("keep")))).toMap
+    // clusters must be d7's verbatim
+    val d7 = DedupOps.d7CcDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.keySet === d7.keySet)
+    got.foreach { case (id, (c, _, _)) => assert(c === d7(id), s"doc $id cluster") }
+    // independent rank + argmin replay
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    got.foreach { case (id, (_, rk, _)) =>
+      assert(rk === src(id).drop(3).toInt, s"doc $id rank") }
+    got.toSeq.groupBy(_._2._1).foreach { case (c, xs) =>
+      val best = xs.map(t => (t._2._2, t._1)).min
+      xs.foreach { case (id, (_, rk, keep)) =>
+        assert(keep === ((rk, id) == best), s"doc $id keep in cluster $c") }
+      assert(xs.count(_._2._3) === 1, s"exactly one survivor in cluster $c")
+    }
+    // the fixture must exercise multi-member clusters or the argmin is vacuous
+    assert(got.toSeq.groupBy(_._2._1).values.exists(_.size > 1))
+  }
 }
