@@ -1008,23 +1008,25 @@ object DedupOps {
     * fixture's stand-in for "wikipedia > books > web"); production
     * supplies its own (source → rank) relation through the same argmin.
     *
-    * Scale shape: d7's machinery verbatim (bucketed candidates, CC over
-    * (id, label) pairs) plus one narrow (doc_id, source→rank) scan, one
-    * cluster-keyed map-side-combined `min(struct(rank, id))` aggregate
-    * and one id-width join back — the argmin never windows over
-    * doc-granular rows and no new corpus scan is introduced. */
+    * Scale shape: d7's machinery planned ONCE (bucketed candidates, CC
+    * over (id, label) pairs) plus one narrow (doc_id, source→rank) scan
+    * and ONE cluster-keyed rank window over 20-byte rows — clusters are
+    * overwhelmingly singletons, so the window's partitions number ~docs
+    * and stay balanced (the d12 per-class shape, never a few-partition
+    * giant). A first draft spelled the argmin as aggregate + self-join,
+    * which planned the whole d7 subtree twice — the window spelling is
+    * both cheaper and exactly the oracle's. */
   def d13PriorityDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val clusters = d7CcDedup(s, dir).select(col("doc_id"), col("cluster_id"))
     val ranked = clusters.join(
       Tables.documents(s, dir).select(col("doc_id"),
         expr("CAST(substring(source, 4) AS INT)").as("src_rank")),
       Seq("doc_id"))
-    val best = ranked.groupBy(col("cluster_id"))
-      .agg(min(struct(col("src_rank"), col("doc_id"))).as("w"))
-    ranked.join(best, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("src_rank"),
-        (col("src_rank") === col("w.src_rank") &&
-          col("doc_id") === col("w.doc_id")).as("keep"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("src_rank"), col("doc_id"))
+    ranked.withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("src_rank"), col("keep"))
   }
 
   /** Oracle: d7's closure CTE + the suffix rank + a row_number argmin

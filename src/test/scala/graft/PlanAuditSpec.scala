@@ -94,8 +94,10 @@ class PlanAuditSpec extends SparkSpec {
     // st10 rides here too: the ingest quality gate is corpus-free, so
     // its batch registration must be the same pure narrow map its
     // streaming mode runs statelessly
+    // m9 rides here too: the shot-boundary kernel reduces per-doc
+    // INSIDE the task (two rolling histograms), so nothing shuffles
     for (q <- Seq("t1_text_stats", "t3_quality_score", "t16_gopher_rules",
-        "st10_stream_quality_gate", "m1_binary_meta")) {
+        "st10_stream_quality_gate", "m1_binary_meta", "m9_scene_cuts")) {
       val p = plan(q)
       assert(shuffles(p) === 0, s"$q must be a pure narrow map:\n$p")
       assert(!p.contains("BroadcastExchange"), s"$q should not need a join:\n$p")
@@ -531,6 +533,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(gen.exists(_.child.collectFirst {
       case a: Aggregate if a.groupingExpressions.isEmpty => a
     }.nonEmpty), s"the unpivot must consume the 1-row global aggregate:\n$opt")
+  }
+
+  test("p8: one (stage, shard) window over id-width rows; text never reaches it") {
+    val p = plan("p8_curriculum_order")
+    // the curriculum adds exactly one exchange over t17's scoring plan —
+    // the (stage, shard) window partitioning; every other exchange in
+    // the plan is t17's own (doc-id/lang/score-keyed)
+    val t17 = plan("t17_ppl_buckets")
+    assert(shuffles(p) === shuffles(t17) + 1,
+      s"p8 must add exactly the window exchange over t17's plan:\n$p")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.contains("stage, shard"), s"missing the window exchange: $keys\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d13: the priority argmin adds cluster-keyed exchanges only over d7's machinery") {
+    val p = plan("d13_priority_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the argmin is ONE cluster-keyed rank window over d7's plan — the
+    // d7 subtree is planned once (an aggregate+self-join first draft
+    // planned it twice), and the only additions are the rank window's
+    // exchange and the narrow rank-column scan
+    def windows(s: String): Int = "Window \\[".r.findAllIn(s).length
+    val d7p = plan("d7_cc_dedup")
+    assert(windows(p) === windows(d7p) + 1,
+      s"exactly the rank window over d7's plan:\n$p")
+    assert(shuffles(p) === shuffles(d7p) + 1,
+      s"exactly the rank window's exchange over d7's:\n$p")
+    assert(scansOf(p, "documents") === scansOf(d7p, "documents") + 1,
+      s"exactly the narrow rank scan over d7's:\n$p")
   }
 
   test("s10: s9's exchange geometry + windows only over the bounded histogram") {
