@@ -505,7 +505,109 @@ object SketchOps {
       |    AS cum_grams
       |FROM dec""".stripMargin
 
+  // ---------------------------------------------------- k8 ingest drift
+
+  /** k8: the INGEST DRIFT monitor — the observability panel a production
+    * pipeline runs on every batch before it lands ("did the crawler
+    * start returning a different corpus?"): today's ingest slice (d8's
+    * deterministic doc_id % 10 == 7 convention) compared against the
+    * standing corpus, per language: doc counts, integer micro-unit
+    * volume shares on each side, the SIGNED share delta, mean document
+    * length (exact BIGINT div), and the two alarm flags every drift
+    * monitor ships — `only_in_ingest` (a language the standing corpus
+    * has never seen) and `only_in_standing` (a language the batch
+    * dropped entirely). A share swing or an appeared/vanished language
+    * is the earliest signal of a source change, crawler bug, or
+    * encoding regression — caught per batch, not after a 100 TB lake is
+    * polluted.
+    *
+    * Scale shape: the scan reads ONLY the dictionary-encoded routing
+    * columns (doc_id for the slice, lang, n_chars) — text never loads;
+    * two map-side-combined lang-bounded aggregates, one broadcast
+    * full-outer stitch of ≤ langs-row relations, narrow arithmetic
+    * after. At 100 TB this is a few GB of column pages, the cheapest
+    * possible per-batch gate. */
+  def k8IngestDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val isBatch = $"doc_id" % DedupOps.IngestMod === DedupOps.IngestRem
+    ingestDriftOf(docs.where(!isBatch), docs.where(isBatch))
+  }
+
+  /** The drift panel over any two (lang, n_chars) relations — k8 binds
+    * the d8 slices; the spec plants appeared/vanished languages. */
+  private[graft] def ingestDriftOf(standing: DataFrame,
+      ingest: DataFrame): DataFrame = {
+    import standing.sparkSession.implicits._
+    def side(df: DataFrame, p: String): DataFrame = df
+      .groupBy($"lang")
+      .agg(count(lit(1)).as(s"${p}_docs"), sum($"n_chars").as(s"${p}_chars"))
+    val st = side(standing, "standing")
+    val in = side(ingest, "ingest")
+    st.join(in, Seq("lang"), "full_outer")
+      .select($"lang",
+        coalesce($"standing_docs", lit(0L)).as("sd"),
+        coalesce($"ingest_docs", lit(0L)).as("id"),
+        coalesce($"standing_chars", lit(0L)).as("sc"),
+        coalesce($"ingest_chars", lit(0L)).as("ic"))
+      .withColumn("st_total", sum($"sd").over())
+      .withColumn("in_total", sum($"id").over())
+      .select($"lang",
+        $"sd".as("standing_docs"), $"id".as("ingest_docs"),
+        expr("CASE WHEN st_total = 0 THEN 0 ELSE (sd * 1000000L) div st_total END")
+          .as("standing_share_micro"),
+        expr("CASE WHEN in_total = 0 THEN 0 ELSE (id * 1000000L) div in_total END")
+          .as("ingest_share_micro"),
+        expr("""(CASE WHEN in_total = 0 THEN 0 ELSE (id * 1000000L) div in_total END)
+              - (CASE WHEN st_total = 0 THEN 0 ELSE (sd * 1000000L) div st_total END)""")
+          .as("share_delta_micro"),
+        expr("CASE WHEN sd = 0 THEN 0 ELSE sc div sd END").as("standing_mean_len"),
+        expr("CASE WHEN id = 0 THEN 0 ELSE ic div id END").as("ingest_mean_len"),
+        ($"sd" === 0L).as("only_in_ingest"),
+        ($"id" === 0L).as("only_in_standing"))
+  }
+
+  private val k8Sql = {
+    val m = DedupOps.IngestMod
+    val r = DedupOps.IngestRem
+    s"""WITH st AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS sd,
+       |         CAST(SUM(n_chars) AS BIGINT) AS sc
+       |  FROM documents WHERE doc_id % $m <> $r GROUP BY 1),
+       |ing AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS id,
+       |         CAST(SUM(n_chars) AS BIGINT) AS ic
+       |  FROM documents WHERE doc_id % $m = $r GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(st.lang, ing.lang) AS lang,
+       |    COALESCE(st.sd, 0) AS sd, COALESCE(ing.id, 0) AS id,
+       |    COALESCE(st.sc, 0) AS sc, COALESCE(ing.ic, 0) AS ic
+       |  FROM st FULL OUTER JOIN ing ON st.lang = ing.lang),
+       |t AS (SELECT SUM(sd) AS stt, SUM(id) AS itt FROM j)
+       |SELECT j.lang, j.sd AS standing_docs, j.id AS ingest_docs,
+       |  CAST(CASE WHEN t.stt = 0 THEN 0
+       |       ELSE (j.sd * 1000000) // t.stt END AS BIGINT)
+       |    AS standing_share_micro,
+       |  CAST(CASE WHEN t.itt = 0 THEN 0
+       |       ELSE (j.id * 1000000) // t.itt END AS BIGINT)
+       |    AS ingest_share_micro,
+       |  CAST((CASE WHEN t.itt = 0 THEN 0
+       |        ELSE (j.id * 1000000) // t.itt END)
+       |     - (CASE WHEN t.stt = 0 THEN 0
+       |        ELSE (j.sd * 1000000) // t.stt END) AS BIGINT)
+       |    AS share_delta_micro,
+       |  CAST(CASE WHEN j.sd = 0 THEN 0 ELSE j.sc // j.sd END AS BIGINT)
+       |    AS standing_mean_len,
+       |  CAST(CASE WHEN j.id = 0 THEN 0 ELSE j.ic // j.id END AS BIGINT)
+       |    AS ingest_mean_len,
+       |  j.sd = 0 AS only_in_ingest,
+       |  j.id = 0 AS only_in_standing
+       |FROM j, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k8_ingest_drift" -> k8IngestDrift _,
     "k1_hll_distinct" -> k1HllDistinct _,
     "k2_quantile_sketch" -> k2QuantileSketch _,
     "k3_cms_topk" -> k3CmsTopk _,
@@ -523,5 +625,6 @@ object SketchOps {
     "k5_source_overlap" -> k5Sql,
     "k5b_signature_overlap" -> k5bSql,
     "k6_zipf_histogram" -> k6Sql,
-    "k7_novelty_curve" -> k7Sql)
+    "k7_novelty_curve" -> k7Sql,
+    "k8_ingest_drift" -> k8Sql)
 }

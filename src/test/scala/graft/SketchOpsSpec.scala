@@ -200,4 +200,63 @@ class SketchOpsSpec extends SparkSpec {
     assert(cums === cums.sorted)
     assert(cums.last === firstSeen.size.toLong)
   }
+
+  test("k8: planted drift — appeared/vanished languages flagged, signed deltas and means exact") {
+    val standing = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "de", 40L)).toDF("doc_id", "lang", "n_chars")
+    val ingest = Seq((5L, "en", 12L), (6L, "fr", 7L), (7L, "fr", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = SketchOps.ingestDriftOf(standing, ingest).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got.keySet === Set("en", "de", "fr"))
+    val en = got("en")
+    assert(en.getAs[Long]("standing_share_micro") === 750000L)
+    assert(en.getAs[Long]("ingest_share_micro") === 333333L)
+    assert(en.getAs[Long]("share_delta_micro") === 333333L - 750000L)
+    assert(en.getAs[Long]("standing_mean_len") === 20L)
+    assert(en.getAs[Long]("ingest_mean_len") === 12L)
+    assert(!en.getAs[Boolean]("only_in_ingest") && !en.getAs[Boolean]("only_in_standing"))
+    val de = got("de")
+    assert(de.getAs[Boolean]("only_in_standing") && !de.getAs[Boolean]("only_in_ingest"))
+    assert(de.getAs[Long]("ingest_docs") === 0L &&
+      de.getAs[Long]("ingest_share_micro") === 0L &&
+      de.getAs[Long]("ingest_mean_len") === 0L)
+    val fr = got("fr")
+    assert(fr.getAs[Boolean]("only_in_ingest") && !fr.getAs[Boolean]("only_in_standing"))
+    assert(fr.getAs[Long]("ingest_share_micro") === 666666L)
+    assert(fr.getAs[Long]("ingest_mean_len") === 8L)
+  }
+
+  test("k8: the registered panel equals an independent replay over the d8 slices") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val (ing, st) = docs.partition(_._1 % 10 == 7)
+    def agg(xs: Array[(Long, String, Long)]) =
+      xs.groupBy(_._2).map { case (l, ys) =>
+        l -> (ys.length.toLong, ys.map(_._3).sum) }
+    val sa = agg(st); val ia = agg(ing)
+    val stt = sa.values.map(_._1).sum; val itt = ia.values.map(_._1).sum
+    val want = (sa.keySet ++ ia.keySet).map { l =>
+      val (sd, sc) = sa.getOrElse(l, (0L, 0L))
+      val (id, ic) = ia.getOrElse(l, (0L, 0L))
+      val ss = if (stt == 0) 0L else sd * 1000000L / stt
+      val is = if (itt == 0) 0L else id * 1000000L / itt
+      l -> ((sd, id, ss, is, is - ss,
+        if (sd == 0) 0L else sc / sd, if (id == 0) 0L else ic / id,
+        sd == 0L, id == 0L))
+    }.toMap
+    val got = SketchOps.k8IngestDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("standing_docs"), r.getAs[Long]("ingest_docs"),
+          r.getAs[Long]("standing_share_micro"),
+          r.getAs[Long]("ingest_share_micro"),
+          r.getAs[Long]("share_delta_micro"),
+          r.getAs[Long]("standing_mean_len"), r.getAs[Long]("ingest_mean_len"),
+          r.getAs[Boolean]("only_in_ingest"),
+          r.getAs[Boolean]("only_in_standing")))).toMap
+    assert(got === want)
+    // both slices are populated on this corpus, so shares are real
+    assert(got.values.exists(v => v._3 > 0 && v._4 > 0))
+  }
 }
