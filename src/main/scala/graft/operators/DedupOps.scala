@@ -1007,6 +1007,12 @@ object DedupOps {
     * source's numeric suffix (src0 most trusted … src19 least — the
     * fixture's stand-in for "wikipedia > books > web"); production
     * supplies its own (source → rank) relation through the same argmin.
+    * A source OUTSIDE the policy (no parseable suffix) ranks at the
+    * explicit sentinel [[UnrankedSrc]] — least trusted — in BOTH
+    * spellings: without the coalesce, Spark's NULL-first ascending sort
+    * would crown an unknown source most trusted while DuckDB's
+    * NULL-last sort buries it, silently diverging survivors the moment
+    * a non-`srcN` source appears (ADVICE r13).
     *
     * Scale shape: d7's machinery planned ONCE (bucketed candidates, CC
     * over (id, label) pairs) plus one narrow (doc_id, source→rank) scan
@@ -1021,7 +1027,8 @@ object DedupOps {
     val clusters = d7CcDedup(s, dir).select(col("doc_id"), col("cluster_id"))
     val ranked = clusters.join(
       Tables.documents(s, dir).select(col("doc_id"),
-        expr("CAST(substring(source, 4) AS INT)").as("src_rank")),
+        coalesce(expr("CAST(substring(source, 4) AS INT)"),
+          lit(UnrankedSrc)).as("src_rank")),
       Seq("doc_id"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("src_rank"), col("doc_id"))
@@ -1029,13 +1036,21 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_id"), col("src_rank"), col("keep"))
   }
 
+  /** Rank of a source the suffix policy can't parse: explicit max —
+    * least trusted — so NULL ordering never enters either engine's
+    * sort. */
+  private[graft] val UnrankedSrc = Int.MaxValue
+
   /** Oracle: d7's closure CTE + the suffix rank + a row_number argmin
-    * (ORDER BY src_rank, doc_id — identical total order). */
+    * (ORDER BY src_rank, doc_id — identical total order). TRY_CAST
+    * mirrors Spark's non-ANSI CAST (NULL on garbage, never a throw);
+    * the shared [[UnrankedSrc]] coalesce keeps the order total. */
   private val d13Sql =
     s"""WITH d7 AS (${d7Sql}),
        |ranked AS (
        |  SELECT d7.doc_id, d7.cluster_id,
-       |    CAST(substr(d.source, 4) AS INT) AS src_rank
+       |    COALESCE(TRY_CAST(substr(d.source, 4) AS INT), $UnrankedSrc)
+       |      AS src_rank
        |  FROM d7 JOIN documents d ON d7.doc_id = d.doc_id),
        |rk AS (
        |  SELECT doc_id, cluster_id, src_rank,
@@ -1547,7 +1562,168 @@ object DedupOps {
        |LEFT JOIN ivd ON (d.doc_id = ivd.doc_id)
        |LEFT JOIN kept k ON (d.doc_id = k.doc_id)""".stripMargin
 
+  // ------------------------------------- d14 segment boilerplate removal
+
+  /** Content-defined segment boundary modulus: token t closes a segment
+    * iff (len(t)·31 + code of its first char) % [[SegMod]] == 0 — a
+    * deterministic per-token rule BOTH engines can spell (no engine-
+    * specific hash enters the contract). Content-defined, so a repeated
+    * passage segments IDENTICALLY wherever it appears — the property
+    * that makes segment-granular dedup alignment-free where d10–d12's
+    * fixed 50-token windows are not (the LBFS/rsync content-defined-
+    * chunking argument, applied at token granularity). On the fixture
+    * vocabulary the rule fires on ~1/5 of tokens → ~5-token expected
+    * segments, the "line" granularity of CCNet's paragraph hash. */
+  private[graft] val SegMod = 6
+  /** Segments shorter than this are never removal candidates — CCNet's
+    * minimum-paragraph-length guard: a 1–2-token segment repeats by
+    * vocabulary chance, not because it is boilerplate. */
+  private[graft] val SegMinTokens = 3
+  /** A candidate segment present in at least this many DISTINCT docs is
+    * boilerplate (calibrated like t12's CommonDf: the sf0.01 natural df
+    * tail ends at 4 with planted repeated passages at 3–4; production
+    * corpora with real vocabularies run this at 2 = CCNet's any-repeat
+    * rule — the CONTRACT is the df machinery, not the constant). */
+  private[graft] val SegDfMin = 3
+
+  /** The document's content-defined segments, in order — ONE codegen'd
+    * fold over the token array (no explode, no shuffle): tokens
+    * accumulate into `cur` until a [[SegMod]]-breaker closes the
+    * segment; a trailing unterminated run is a segment too, so every
+    * token belongs to exactly one segment and re-joining the array
+    * reproduces the text. */
+  private[graft] def segmentsOf(text: Column): Column = {
+    def isBrk(t: Column): Column =
+      (length(t) * lit(31) + ascii(substring(t, 1, 1))) % SegMod === 0
+    aggregate(
+      split(text, " "),
+      struct(lit(Array.empty[String]).as("segs"), lit("").as("cur")),
+      (acc, t) => {
+        val cur2 = when(acc.getField("cur") === "", t)
+          .otherwise(concat(acc.getField("cur"), lit(" "), t))
+        struct(
+          when(isBrk(t), array_append(acc.getField("segs"), cur2))
+            .otherwise(acc.getField("segs")).as("segs"),
+          when(isBrk(t), lit("")).otherwise(cur2).as("cur"))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("segs"))
+        .otherwise(array_append(acc.getField("segs"), acc.getField("cur"))))
+  }
+
+  /** d14: segment-granular boilerplate REMOVAL — the CCNet paragraph-
+    * hash pass (Wenzek et al. 2020 dedup paragraphs by hash across
+    * shards) at the granularity the library lacked: t12 only FLAGS
+    * boilerplate-heavy docs and d10–d12 cut fixed [[SpanN]]-token
+    * windows, so a repeated 12-token footer or nav line that doesn't
+    * align to a window survives both. Docs split into [[segmentsOf]]'s
+    * content-defined segments; every candidate segment (≥
+    * [[SegMinTokens]] tokens) is hashed and its corpus-wide document
+    * frequency computed; segments in ≥ [[SegDfMin]] docs are REMOVED
+    * from every document (boilerplate has no "first copy" worth keeping
+    * — the deliberate divergence from d12's keep-first: a footer is
+    * noise in all its occurrences). Emits the cleaned corpus with
+    * per-doc cut counts; a unique segment containing the same WORDS in
+    * different order survives (segment identity is the exact token
+    * sequence).
+    *
+    * Scale shape: segmentation is a pure narrow fold computed at the
+    * scan (and deliberately recomputed on the rebuild side — t12's
+    * recompute-beats-sort argument); the only corpus-granular exchanges
+    * move (gh, doc_id) 16-byte rows — the df aggregate is map-side
+    * combined and distinct-per-doc, the boiler relation (df ≥ threshold
+    * survivors only) semi-joins back BROADCAST while it fits, and the
+    * final doc_id join carries each doc's bounded cut-index list. Text
+    * never shuffles; the cleaned corpus streams out of the narrow
+    * rebuild. */
+  def d14BoilerplateRemoval(s: SparkSession, dir: String): DataFrame =
+    boilerplateRemovalOf(Tables.documents(s, dir).select(
+      col("doc_id"), col("text")))
+
+  /** The d14 kernel over any (doc_id, text) relation — d14 binds the
+    * corpus; the spec drives planted footers and the brute-force
+    * replay. */
+  private[graft] def boilerplateRemovalOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = docs
+      .select($"doc_id", posexplode(segmentsOf($"text")).as(Seq("seg_id", "seg")))
+      .where(size(split($"seg", " ")) >= SegMinTokens)
+      .select($"doc_id", $"seg_id",
+        size(split($"seg", " ")).as("ntok"), xxhash64($"seg").as("gh"))
+    val boiler = segs.select($"gh", $"doc_id").distinct()
+      .groupBy($"gh").agg(count(lit(1)).as("df"))
+      .where($"df" >= SegDfMin).select($"gh")
+    val cut = segs.join(boiler, Seq("gh"), "left_semi")
+    val ivd = cut.groupBy($"doc_id")
+      .agg(collect_list($"seg_id").as("cut_ids"),
+        count(lit(1)).cast("int").as("n_segs_cut"),
+        sum($"ntok").cast("int").as("n_tokens_cut"))
+    docs
+      .join(ivd, Seq("doc_id"), "left")
+      .select($"doc_id", $"text", segmentsOf($"text").as("segs"),
+        $"cut_ids", $"n_segs_cut", $"n_tokens_cut")
+      .select($"doc_id",
+        when($"cut_ids".isNull, concat_ws(" ", $"segs"))
+          .otherwise(concat_ws(" ",
+            filter($"segs", (_, i) => !exists($"cut_ids", c => c === i))))
+          .as("clean_text"),
+        coalesce($"n_segs_cut", lit(0)).as("n_segs_cut"),
+        coalesce($"n_tokens_cut", lit(0)).as("n_tokens_cut"),
+        (size(split($"text", " ")) - coalesce($"n_tokens_cut", lit(0)))
+          .cast("int").as("n_tokens_kept"))
+  }
+
+  // d14's oracle: the identical breaker rule on (length, first-char
+  // code), seg_id = breakers among strictly-preceding tokens, df over
+  // segment STRINGS (hash-faithful — the d10 argument), rebuild =
+  // ordered string_agg of surviving segments.
+  private val d14Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, (s).i AS i, (s).t AS t FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'i': i - 1, 't': w[i]} for i in range(1, len(w) + 1)]) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM documents)) u),
+       |seg AS (
+       |  SELECT doc_id, i, t,
+       |    COALESCE(SUM(CASE WHEN (length(t) * 31 + ascii(substr(t, 1, 1)))
+       |        % $SegMod = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS seg_id
+       |  FROM tok),
+       |segs AS (
+       |  SELECT doc_id, seg_id, string_agg(t, ' ' ORDER BY i) AS s,
+       |    COUNT(*) AS ntok
+       |  FROM seg GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT s FROM (
+       |    SELECT s, COUNT(DISTINCT doc_id) AS df FROM segs
+       |    WHERE ntok >= $SegMinTokens GROUP BY 1)
+       |  WHERE df >= $SegDfMin),
+       |cut AS (
+       |  SELECT g.doc_id, g.seg_id, g.ntok
+       |  FROM segs g JOIN boiler b ON g.s = b.s
+       |  WHERE g.ntok >= $SegMinTokens),
+       |ivd AS (
+       |  SELECT doc_id, COUNT(*) AS nsegs, SUM(ntok) AS ncut
+       |  FROM cut GROUP BY 1),
+       |kept AS (
+       |  SELECT g.doc_id, string_agg(g.s, ' ' ORDER BY g.seg_id) AS clean
+       |  FROM segs g LEFT JOIN cut c
+       |    ON g.doc_id = c.doc_id AND g.seg_id = c.seg_id
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(k.clean, '') AS clean_text,
+       |  CAST(COALESCE(ivd.nsegs, 0) AS INT) AS n_segs_cut,
+       |  CAST(COALESCE(ivd.ncut, 0) AS INT) AS n_tokens_cut,
+       |  CAST(len(string_split(d.text, ' ')) - COALESCE(ivd.ncut, 0) AS INT)
+       |    AS n_tokens_kept
+       |FROM documents d
+       |LEFT JOIN ivd ON d.doc_id = ivd.doc_id
+       |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_boilerplate_removal" -> d14BoilerplateRemoval _,
     "d10_span_dedup" -> d10SpanDedup _,
     "d11_span_intervals" -> d11SpanIntervals _,
     "d12_span_removal" -> d12SpanRemoval _,
@@ -1563,6 +1739,7 @@ object DedupOps {
     "d13_priority_dedup" -> d13PriorityDedup _)
 
   val oracleSql: Map[String, String] = Map(
+    "d14_boilerplate_removal" -> d14Sql,
     "d10_span_dedup" -> d10Sql,
     "d11_span_intervals" -> d11Sql,
     "d12_span_removal" -> d12Sql,

@@ -547,9 +547,13 @@ object SamplingOps {
     val perSrc = Tables.documents(s, dir)
       .select($"source", size(split($"text", " ")).cast("long").as("t"))
       .groupBy($"source").agg(sum($"t").as("tokens"))
+      // digit-free source names carry an explicit default suffix of 0
+      // (raw weight 1) in BOTH spellings — without the coalesce Spark
+      // would silently plan NULL weights while the DuckDB oracle's CAST
+      // throws (ADVICE r13); TRY_CAST below mirrors the non-ANSI CAST
       .withColumn("raw",
-        lit(1L) + pmod(regexp_extract($"source", "(\\d+)", 1)
-          .cast("long"), lit(4L)))
+        lit(1L) + pmod(coalesce(regexp_extract($"source", "(\\d+)", 1)
+          .cast("long"), lit(0L)), lit(4L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     perSrc.count()
     val tot = perSrc.agg(sum($"tokens").as("tt"), sum($"raw").as("ww"))
@@ -572,8 +576,8 @@ object SamplingOps {
     s"""WITH t AS (
        |  SELECT source,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-       |    CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
-       |      % 4 AS BIGINT) AS raw
+       |    CAST(1 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1)
+       |      AS BIGINT), 0) % 4 AS BIGINT) AS raw
        |  FROM documents GROUP BY source),
        |tot AS (SELECT SUM(tokens) AS tt, SUM(raw) AS ww FROM t),
        |w AS (

@@ -1095,11 +1095,20 @@ object TextOps {
     * [[ScrubMargin]] tokens of context on each side, overlapping cuts
     * merge (d11's gaps-and-islands on the margin-EXPANDED bounds), and
     * the document survives as its uncontaminated remainder. Unlike
-    * d12's keep-first there is no surviving copy: eval text must not
-    * appear in training data at all, so EVERY training-side occurrence
-    * is cut. Eval docs pass through verbatim (they are not training
-    * data; flagged `is_eval` like t10). A short (< gram) training doc
-    * equal to an eval pseudo-gram scrubs to ''.
+    * d12's keep-first there is no surviving copy: every DETECTED
+    * training-side occurrence is cut. Eval docs pass through verbatim
+    * (they are not training data; flagged `is_eval` like t10). A short
+    * (< gram) training doc equal to an eval pseudo-gram scrubs to ''.
+    *
+    * Known blind spot (t10's convention, shared by st12): an eval doc
+    * SHORTER than [[DecontGram]] tokens is represented only by its
+    * whole-text pseudo-gram, which can never equal a training-side
+    * [[DecontGram]]-token window — so a short eval doc embedded INSIDE
+    * a longer training document escapes both the screen and the scrub.
+    * The guarantee is "no [[DecontGram]]-token eval window survives",
+    * not "eval text never appears"; full sub-gram coverage would need a
+    * substring probe of short-eval pseudo-grams, which the benchmark
+    * convention (docs ≥ gram size) has not needed.
     *
     * Scale shape: t10's exactly for the detection half — grams ride
     * [[DedupOps.posGrams]] (the shingle ladder with positions), hashed

@@ -581,7 +581,13 @@ object StreamingOps {
     * are stateless; the per-doc count is an aggregation, so the stream
     * runs through foreachBatch (st8/st11's device) — each micro-batch
     * executes this exact batch plan, zero state store, nothing
-    * accumulates across batches. */
+    * accumulates across batches.
+    *
+    * Shares t19's documented blind spot: an eval doc shorter than the
+    * gram size probes only as its whole-text pseudo-gram, so short eval
+    * text embedded inside a longer incoming doc passes the screen — the
+    * contract is gram-window overlap, not substring containment (see
+    * [[graft.operators.TextOps.t19SpanDecontaminate]]). */
   def decontScreen(incoming: DataFrame, evalGrams: DataFrame): DataFrame = {
     import graft.operators.{DedupOps, TextOps}
     val hits = incoming

@@ -687,4 +687,115 @@ class DedupOpsSpec extends SparkSpec {
     // the fixture must exercise multi-member clusters or the argmin is vacuous
     assert(got.toSeq.groupBy(_._2._1).values.exists(_.size > 1))
   }
+
+  // ---- d14 segment boilerplate removal
+
+  /** Driver-side reference of [[DedupOps.segmentsOf]]'s fold. */
+  private def refSegs(text: String): Vector[String] = {
+    val segs = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    for (t <- text.split(" ", -1)) {
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(t)
+      if ((t.length * 31 + t.head.toInt) % DedupOps.SegMod == 0) {
+        segs += cur.toString; cur.clear()
+      }
+    }
+    if (cur.nonEmpty) segs += cur.toString
+    segs.result()
+  }
+
+  /** Driver-side reference of the whole d14 pass. */
+  private def refD14(docs: Seq[(Long, String)]): Map[Long, (String, Int, Int)] = {
+    val segsByDoc = docs.map { case (id, t) => id -> refSegs(t) }.toMap
+    val df = segsByDoc.toSeq
+      .flatMap { case (id, ss) =>
+        ss.filter(_.split(" ").length >= DedupOps.SegMinTokens)
+          .distinct.map(_ -> id)
+      }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val boiler = df.filter(_._2 >= DedupOps.SegDfMin).keySet
+    docs.map { case (id, t) =>
+      val ss = segsByDoc(id)
+      val keep = ss.filterNot(s =>
+        s.split(" ").length >= DedupOps.SegMinTokens && boiler(s))
+      val cutTok = ss.map(_.split(" ").length).sum -
+        keep.map(_.split(" ").length).sum
+      id -> (keep.mkString(" "), ss.size - keep.size, cutTok)
+    }.toMap
+  }
+
+  test("segmentsOf: re-joining reproduces text; interior breaks only at breaker tokens") {
+    val texts = Seq("the fast key order sort table merge part window small",
+      "a", "hash", "join a filter window row join stream customer data group")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", DedupOps.segmentsOf($"text").as("segs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === refSegs(t), s"doc $i segments")
+      assert(got(i.toLong).mkString(" ") === t, s"doc $i roundtrip")
+    }
+  }
+
+  test("d14: a planted repeated footer dies in every embedding doc; the same words reordered survive") {
+    // interior segments of the footer — identical wherever embedded
+    // (content-defined boundaries): "visit the site spark" and
+    // "all of it rights" both end at a breaker and hold >= 3 tokens
+    val footer = "contact merge visit the site spark all of it rights"
+    val interior = refSegs(footer).tail.filter(_.split(" ").length >= 3)
+    assert(interior === Vector("visit the site spark", "all of it rights"),
+      "planted footer must yield the expected interior segments")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $footer"),
+      (2L, s"epsilon zeta eta $footer"),
+      (3L, s"theta iota $footer"),
+      // control: interior-segment WORDS, different order -> unique segment
+      (4L, "kappa lambda the site visit spark mu nu"),
+      (5L, "xi omicron pi rho sigma tau"))
+    val got = DedupOps.boilerplateRemovalOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      interior.foreach(s => assert(!got(id)._1.contains(s), s"doc $id keeps '$s'"))
+      assert(got(id)._2 >= interior.size, s"doc $id n_segs_cut")
+    }
+    // the reordered segment and untouched doc survive verbatim
+    assert(got(4L)._1 === "kappa lambda the site visit spark mu nu")
+    assert(got(4L)._2 === 0)
+    assert(got(5L)._1 === "xi omicron pi rho sigma tau")
+    // token accounting: kept + cut == total, matching the text
+    got.foreach { case (id, (clean, _, cut, kept)) =>
+      val total = docs.find(_._1 == id).get._2.split(" ").length
+      assert(cut + kept === total, s"doc $id token accounting")
+      assert((if (clean.isEmpty) 0 else clean.split(" ").length) === kept,
+        s"doc $id clean_text length")
+    }
+  }
+
+  test("d14 property: equals the driver-side reference on a seeded random corpus with planted boilerplate") {
+    val rnd = new scala.util.Random(14)
+    val vocab = Vector("the", "fast", "key", "order", "sort", "table",
+      "scan", "merge", "part", "window", "small", "hash", "join", "data",
+      "row", "batch", "stream", "spark", "dup", "line")
+    val footer = "contact merge visit the site spark all of it rights"
+    val docs = (0L until 40L).map { id =>
+      val body = Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      // ~40% of docs carry the footer, some mid-text
+      val t =
+        if (rnd.nextDouble() < 0.2) s"$body $footer"
+        else if (rnd.nextDouble() < 0.25) s"$footer $body"
+        else body
+      (id, t)
+    }
+    val want = refD14(docs)
+    val got = DedupOps.boilerplateRemovalOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) => assert(got(id) === w, s"doc $id") }
+    // the corpus must exercise actual removal or the replay is vacuous
+    assert(want.values.exists(_._2 > 0))
+  }
 }
