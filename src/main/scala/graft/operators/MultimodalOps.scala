@@ -866,6 +866,13 @@ object MultimodalOps {
       .select($"doc_id", $"n_windows", $"b0", $"b1", $"b2", $"b3", $"n_neardups")
   }
 
+  // ASCII-only coupling (m1/m2/m5's stub convention, ADVICE r13): the
+  // Spark kernel fingerprints UTF-8 BYTES while this oracle reads
+  // CHARACTERS (ascii(substr), length) — identical only while the
+  // documents fixture is pure ASCII (byte == char). A non-ASCII fixture
+  // would hash-mismatch here and in m9, NOT silently corrupt: the
+  // divergence is between the two spellings, and real deployments bind
+  // real payload bytes where no char/byte duality exists.
   // m8's stub semantics in DuckDB: per-char squared amplitudes prefix-
   // summed (probe energy at offset o = cum(o+32) − cum(o)), 65 sliding
   // probe offsets (j·(len−32)) // 64, delta-sign bits, m6's block
@@ -994,6 +1001,8 @@ object MultimodalOps {
   // m9's stub semantics in DuckDB: dense (win, bin) histogram grid per
   // doc (so absent bins compare as 0 on both sides), adjacent-window
   // inner join on the dense grid, L1 per boundary, per-doc rollup.
+  // Carries m8's documented ASCII-only byte==char coupling (see note
+  // above m8Sql).
   private val m9Sql =
     s"""WITH d AS (
        |  SELECT doc_id, text, length(text) // $FrameWindow AS n
@@ -1031,6 +1040,284 @@ object MultimodalOps {
        |  COALESCE(a.first_cut, -1) AS first_cut,
        |  COALESCE(a.max_l1, 0) AS max_l1
        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------ m10 video near-dup
+
+  /** Shot-key packing: a shot enters the shared pair machinery keyed as
+    * doc_id · 2²⁰ + shot_no — invertible in both engines. 2²⁰ shots per
+    * payload is ~9.7 h of stub video at one cut per second; a deployment
+    * past that (or with doc ids near 2⁴³) keys shots as a struct through
+    * the same machinery. */
+  private[graft] val ShotKeyBase = 1L << 20
+  /** Docs sharing at least this many near-dup shot PAIRS are video
+    * near-dups. 1 on the fixture (its docs are overwhelmingly
+    * single-shot); production raises it so one stock-footage clip in
+    * common doesn't link two otherwise-distinct videos — the CONTRACT
+    * is the shot-evidence rollup, not the constant. */
+  private[graft] val VideoShotsK = 1
+  /** Shots under this many frames carry too little signal to fingerprint
+    * (a 1-frame shot has zero probe spread — the H–K all-zero case) and
+    * are gated out of the PAIR machinery, exactly like m8's sub-window
+    * clips; they still appear in the sheet and the per-doc shot count. */
+  private[graft] val ShotMinFrames = 2
+
+  /** The m9 cut pass re-emitted as SHOTS: (shot_no, start_frame,
+    * n_frames) per payload, boundaries exactly where [[sceneCutsOf]]
+    * fires (same rolling histograms, same τ — one kernel owns the cut
+    * rule in spirit; this spelling also returns the spans m9's rollup
+    * discards). */
+  private[graft] def videoShotsOf(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+    val n = bytes.length / FrameWindow
+    if (n == 0) return Nil
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    val prev = new Array[Int](SceneBins)
+    val cur = new Array[Int](SceneBins)
+    var sid = 0
+    var start = 0
+    var w = 0
+    while (w < n) {
+      java.util.Arrays.fill(cur, 0)
+      var i = w * FrameWindow
+      val end = i + FrameWindow
+      while (i < end) { cur((bytes(i) & 0xff) / SceneBins) += 1; i += 1 }
+      if (w > 0) {
+        var l1 = 0L
+        var b = 0
+        while (b < SceneBins) { l1 += math.abs(cur(b) - prev(b)); b += 1 }
+        if (l1 > SceneCutTau) {
+          out += ((sid, start, w - start)); sid += 1; start = w
+        }
+      }
+      System.arraycopy(cur, 0, prev, 0, SceneBins)
+      w += 1
+    }
+    out += ((sid, start, n - start))
+    out.result()
+  }
+
+  /** Per-shot fingerprint sheet over any blob relation: one narrow pass
+    * per payload — m9's cut detection, then [[audioFingerprint]]'s
+    * Haitsma–Kalker delta-sign probes over each shot's byte span. H–K
+    * over the span, NOT a value histogram: the histogram draft was
+    * probed at sf0.1 before shipping (the m8 bit-balance standing
+    * check) and failed it — text-byte value bins are skewed, bit shares
+    * hit 0.99, the max (band, block) bucket held 730 shots and the
+    * candidate volume went quadratic at 1.0M pairs; the H–K probes
+    * measure ORDER (energy deltas along the span), land bit shares at
+    * 0.30–0.50, 4680 distinct fingerprints over 5005 shots, max
+    * non-degenerate bucket 9, 3.4k gated pairs. */
+  private[graft] def shotSheetOf(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { case (id, bytes) =>
+      videoShotsOf(bytes).map { case (sid, sf, nf) =>
+        val span = new Array[Int](nf * FrameWindow)
+        var i = 0
+        val base = sf * FrameWindow
+        while (i < span.length) { span(i) = bytes(base + i) & 0xff; i += 1 }
+        val blk = audioFingerprint(span)
+        (id, sid.toLong, nf.toLong, blk(0), blk(1), blk(2), blk(3))
+      }
+    }.toDF("doc_id", "shot_id", "n_frames", "b0", "b1", "b2", "b3")
+  }
+
+  /** m10: VIDEO near-dup — the dedup-tier member the video column
+    * lacked (d1–d14 text, m6 image, m8 audio; m9 finds shots but
+    * nothing fingerprinted them). The published shot-level recipe
+    * (video copy detection à la Wu et al. 2007: segment into shots,
+    * fingerprint each shot, match copies by shared shots): every
+    * payload's m9 shots are fingerprinted ([[shotSheetOf]]), near-dup
+    * SHOT pairs come from the SAME banded machinery as m6/m8
+    * ([[imagePairsOf]] at Hamming ≤ [[AHashHammingMax]]) over
+    * [[ShotKeyBase]]-packed shot keys, and docs roll up by shot
+    * evidence: `n_matched_shots` = own gated shots with a cross-doc
+    * near-dup, `n_dup_docs` = partners sharing ≥ [[VideoShotsK]] shot
+    * pairs, `video_neardup` the verdict. A re-encoded copy (gain on
+    * every byte) and a truncated copy cut at a shot boundary both keep
+    * their shots' fingerprints bit-identical (H–K gain-invariance; span
+    * identity), which the spec plants through this exact kernel.
+    *
+    * Scale shape: ONE narrow scan fingerprints all shots (payload bytes
+    * never shuffle; the sheet is (id, 6 smalls) rows, persisted once —
+    * m6's discipline); candidates from the banded equi-join with the
+    * degenerate-bucket fallback, never all-pairs; sub-[[ShotMinFrames]]
+    * shots are gated BEFORE pair-gen (the fixture's 126 all-zero
+    * single-frame shots would otherwise contribute 33k meaningless
+    * pairs — measured, not guessed); every rollup moves id-width rows.
+    * Same-doc shot pairs are dropped AFTER pair-gen (within-payload
+    * repeats are m9's business, not dedup evidence). */
+  def m10VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoNeardupOf(withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** The m10 rollup over any blob relation — m10 binds the corpus; the
+    * spec drives planted multi-shot copies. */
+  private[graft] def videoNeardupOf(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    val sheet = shotSheetOf(blobs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sheet.count()
+    val gated = sheet.where($"n_frames" >= ShotMinFrames)
+      .select(($"doc_id" * ShotKeyBase + $"shot_id").as("doc_id"),
+        $"b0", $"b1", $"b2", $"b3")
+    // packed-key order is (doc, shot) lexicographic, so doc_a < doc_b
+    // on keys ⇒ da <= db; the da ≠ db filter leaves da < db pairs only
+    val sp = imagePairsOf(gated)
+      .select(expr(s"doc_a div ${ShotKeyBase}L").as("da"),
+        pmod($"doc_a".cast("long"), lit(ShotKeyBase)).as("sa"),
+        expr(s"doc_b div ${ShotKeyBase}L").as("db"),
+        pmod($"doc_b".cast("long"), lit(ShotKeyBase)).as("sb"))
+      .where($"da" =!= $"db")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sp.count()
+    val matched = sp
+      .select(explode(array(struct($"da".as("d"), $"sa".as("s")),
+        struct($"db".as("d"), $"sb".as("s")))).as("x"))
+      .select($"x.d".as("doc_id"), $"x.s").distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matched_shots"))
+    val dup = sp.groupBy($"da", $"db").agg(count(lit(1)).as("nsh"))
+      .where($"nsh" >= VideoShotsK)
+      .select(explode(array($"da", $"db")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_docs"))
+    // base = every payload, so zero-frame docs (< one stub frame) still
+    // report n_shots = 0 — the full-corpus-rows convention
+    blobs.toDF("doc_id", "blob").select($"doc_id")
+      .join(sheet.groupBy($"doc_id").agg(count(lit(1)).as("n_shots")),
+        Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_shots", lit(0L)).as("n_shots"),
+        coalesce($"n_matched_shots", lit(0L)).as("n_matched_shots"),
+        coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"),
+        (coalesce($"n_dup_docs", lit(0L)) >= 1L).as("video_neardup"))
+  }
+
+  // m10's oracle: m9's dense-grid cut CTEs → cumulative-cut shot ids,
+  // m8's prefix-summed char-square energies probed per SHOT span, m6's
+  // block assembly, brute-force packed-key pair scan, shot-evidence
+  // rollups. Carries the documented ASCII byte==char coupling.
+  private val m10Sql = {
+    val blks = (0 until AHashBlocks).map(b =>
+      s"CAST(SUM(CASE WHEN (j // $AHashBlockBits) = $b THEN (bit << (j % $AHashBlockBits)) ELSE 0 END) AS INT) AS b$b")
+      .mkString(",\n    ")
+    val ham = (0 until AHashBlocks).map(b =>
+      s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $FrameWindow AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, (i - 1) // $FrameWindow AS win,
+       |         ascii(substr(text, i, 1)) // $SceneBins AS bin
+       |  FROM d, UNNEST(generate_series(1, n * $FrameWindow)) AS t(i)),
+       |h AS (SELECT doc_id, win, bin, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT d.doc_id, wi.win, bi.bin
+       |  FROM d,
+       |       UNNEST(generate_series(0, n - 1)) AS wi(win),
+       |       UNNEST(generate_series(0, ${SceneBins - 1})) AS bi(bin)
+       |  WHERE d.n > 0),
+       |hd AS (
+       |  SELECT g.doc_id, g.win, g.bin, COALESCE(h.c, 0) AS c
+       |  FROM grid g LEFT JOIN h
+       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin),
+       |delta AS (
+       |  SELECT a.doc_id, a.win,
+       |    CASE WHEN SUM(ABS(a.c - b.c)) > $SceneCutTau THEN 1 ELSE 0 END
+       |      AS cut
+       |  FROM hd a JOIN hd b
+       |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
+       |  GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT g.doc_id, g.win, COALESCE(dl.cut, 0) AS cut
+       |  FROM (SELECT DISTINCT doc_id, win FROM grid) g
+       |  LEFT JOIN delta dl ON dl.doc_id = g.doc_id AND dl.win = g.win),
+       |sid AS (
+       |  SELECT doc_id, win,
+       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY win
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+       |  FROM wins),
+       |shots AS (
+       |  SELECT doc_id, shot_id, MIN(win) AS sw, COUNT(*) AS nf
+       |  FROM sid GROUP BY 1, 2),
+       |sq AS (
+       |  SELECT doc_id, i,
+       |    CAST(ascii(substr(text, i, 1)) AS BIGINT)
+       |      * ascii(substr(text, i, 1)) AS v
+       |  FROM d, UNNEST(generate_series(1, n * $FrameWindow)) AS t(i)
+       |  WHERE n > 0),
+       |cum AS (
+       |  SELECT doc_id, i,
+       |    SUM(v) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM sq
+       |  UNION ALL SELECT doc_id, 0, 0 FROM d WHERE n > 0),
+       |e AS (
+       |  SELECT s.doc_id, s.shot_id, u.j, hi.c - lo.c AS en
+       |  FROM shots s,
+       |       UNNEST(generate_series(0, ${AudioFpProbes - 1})) AS u(j)
+       |  JOIN cum lo ON lo.doc_id = s.doc_id
+       |    AND lo.i = s.sw * $FrameWindow
+       |      + (u.j * (s.nf * $FrameWindow - $AudioWindow)) // ${AudioFpProbes - 1}
+       |  JOIN cum hi ON hi.doc_id = s.doc_id
+       |    AND hi.i = s.sw * $FrameWindow
+       |      + (u.j * (s.nf * $FrameWindow - $AudioWindow)) // ${AudioFpProbes - 1}
+       |      + $AudioWindow
+       |  WHERE s.nf * $FrameWindow >= $AudioWindow),
+       |bits AS (
+       |  SELECT a.doc_id, a.shot_id, a.j,
+       |    CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+       |  FROM e a JOIN e b ON b.doc_id = a.doc_id
+       |    AND b.shot_id = a.shot_id AND b.j = a.j + 1
+       |  WHERE a.j < $AHashSamples),
+       |blk AS (
+       |  SELECT doc_id, shot_id,
+       |    $blks
+       |  FROM bits GROUP BY 1, 2),
+       |sheet AS (
+       |  SELECT s.doc_id, s.shot_id, s.nf,
+       |    COALESCE(k.b0, 0) AS b0, COALESCE(k.b1, 0) AS b1,
+       |    COALESCE(k.b2, 0) AS b2, COALESCE(k.b3, 0) AS b3
+       |  FROM shots s LEFT JOIN blk k
+       |    ON k.doc_id = s.doc_id AND k.shot_id = s.shot_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, a.shot_id AS sa,
+       |         b.doc_id AS db, b.shot_id AS sb
+       |  FROM sheet a JOIN sheet b
+       |    ON a.doc_id * $ShotKeyBase + a.shot_id
+       |     < b.doc_id * $ShotKeyBase + b.shot_id
+       |  WHERE a.nf >= $ShotMinFrames AND b.nf >= $ShotMinFrames
+       |    AND a.doc_id <> b.doc_id
+       |    AND ($ham) <= $AHashHammingMax),
+       |matched AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_shots FROM (
+       |    SELECT DISTINCT doc_id, shot_id FROM (
+       |      SELECT da AS doc_id, sa AS shot_id FROM pairs
+       |      UNION ALL SELECT db, sb FROM pairs))
+       |  GROUP BY 1),
+       |dup AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_docs FROM (
+       |    SELECT da AS doc_id FROM (
+       |      SELECT da, db, COUNT(*) AS nsh FROM pairs GROUP BY 1, 2)
+       |    WHERE nsh >= $VideoShotsK
+       |    UNION ALL
+       |    SELECT db FROM (
+       |      SELECT da, db, COUNT(*) AS nsh FROM pairs GROUP BY 1, 2)
+       |    WHERE nsh >= $VideoShotsK)
+       |  GROUP BY 1),
+       |ns AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shots
+       |  FROM shots GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(ns.n_shots, 0) AS n_shots,
+       |  COALESCE(m.n_matched_shots, 0) AS n_matched_shots,
+       |  COALESCE(dup.n_dup_docs, 0) AS n_dup_docs,
+       |  COALESCE(dup.n_dup_docs, 0) >= 1 AS video_neardup
+       |FROM d
+       |LEFT JOIN ns ON d.doc_id = ns.doc_id
+       |LEFT JOIN matched m ON d.doc_id = m.doc_id
+       |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin
+  }
 
   // ------------------------------------------- m7 image-text alignment
 
@@ -1158,6 +1445,7 @@ object MultimodalOps {
     "m7_image_text_align" -> m7ImageTextAlign _,
     "m8_audio_neardup" -> m8AudioNeardup _,
     "m9_scene_cuts" -> m9SceneCuts _,
+    "m10_video_neardup" -> m10VideoNeardup _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
     "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
@@ -1171,6 +1459,7 @@ object MultimodalOps {
     "m7_image_text_align" -> m7Sql,
     "m8_audio_neardup" -> m8Sql,
     "m9_scene_cuts" -> m9Sql,
+    "m10_video_neardup" -> m10Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
     "m5r_audio_energy_real" -> m5Sql)

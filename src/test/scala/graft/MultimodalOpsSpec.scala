@@ -453,4 +453,64 @@ class MultimodalOpsSpec extends SparkSpec {
       MultimodalOps.BytePcm.samples(bytes))
     assert(viaWav === viaStub, "WAV round-trip fingerprints bit-identically")
   }
+
+  // ---- m10 video near-dup
+
+  /** A scene of `frames` stub frames: every byte sits in ONE histogram
+    * bin (base mid-bin, hash-ripple 0..7 — so within-scene frame L1 is
+    * 0 and the H–K probes still see an aperiodic signal), and stays in
+    * one bin under ×2 gain. */
+  private def scene(base: Int, frames: Int, off: Int = 0): Array[Byte] =
+    Array.tabulate(frames * 32)(i =>
+      (base + ((((i + off) * 2654435761L) >>> 28) & 7)).toByte)
+
+  test("m10: videoShotsOf boundaries agree with m9 cut counts and partition the frames") {
+    val payload = scene(16, 4) ++ scene(48, 4) ++ scene(80, 4)
+    val shots = MultimodalOps.videoShotsOf(payload)
+    assert(shots.map(_._1) === Seq(0, 1, 2))
+    assert(shots.map(_._2) === Seq(0, 4, 8), "shots start at the cuts")
+    assert(shots.map(_._3) === Seq(4, 4, 4))
+    assert(MultimodalOps.videoShotsOf(Array.emptyByteArray) === Nil)
+    assert(MultimodalOps.videoShotsOf(scene(16, 1)) === Seq((0, 0, 1)))
+  }
+
+  test("m10: truncated-at-boundary and gain-re-encoded copies are video near-dups; unrelated and single-frame payloads are not") {
+    val a = scene(16, 4) ++ scene(48, 4) ++ scene(80, 4)
+    val bTrunc = a.take(8 * 32) // first two shots, cut AT the boundary
+    val cGain = a.map(v => ((v & 0xff) * 2).toByte) // "re-encode": ×2 gain
+    val dOther = scene(20, 4, off = 7777) ++ scene(52, 4, off = 9999)
+    val e1 = scene(16, 1) // single frame — gated, even if identical
+    val e2 = scene(16, 1)
+    val blobs = Seq((1L, a), (2L, bTrunc), (3L, cGain), (4L, dOther),
+      (5L, e1), (6L, e2)).toDS()
+    val got = MultimodalOps.videoNeardupOf(blobs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // gain copy: H–K signs survive ×2 (energies ×4), cuts survive (bins
+    // move but adjacent-frame L1 stays 64) -> all 3 shots match doc 1,
+    // and its first 2 shots also match the truncated copy (2 partners)
+    assert(got(3L) === ((3L, 3L, 2L, true)), "gain re-encode matches all shots")
+    // truncated copy shares its 2 shots with doc 1 (and doc 3)
+    assert(got(2L)._1 === 2L)
+    assert(got(2L)._2 === 2L, "both truncated shots match")
+    assert(got(2L)._4 === true)
+    // doc 1 has all 3 shots matched (by doc 3; 2 of them by doc 2 too)
+    assert(got(1L) === ((3L, 3L, 2L, true)))
+    assert(got(4L) === ((2L, 0L, 0L, false)), "unrelated payload stays clean")
+    assert(got(5L) === ((1L, 0L, 0L, false)), "single-frame shot is gated")
+    assert(got(6L) === ((1L, 0L, 0L, false)))
+  }
+
+  test("m10: shot fingerprints equal audioFingerprint over the shot span; VideoShotsK rollup replays brute-force") {
+    val a = scene(16, 4) ++ scene(48, 4)
+    val shots = MultimodalOps.videoShotsOf(a)
+    val sheet = MultimodalOps.shotSheetOf(Seq((9L, a)).toDS())
+      .collect().map(r => (r.getLong(1), (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    shots.foreach { case (sid, sf, nf) =>
+      val span = a.slice(sf * 32, (sf + nf) * 32).map(_ & 0xff)
+      val blk = MultimodalOps.audioFingerprint(span)
+      assert(sheet(sid.toLong) === ((blk(0), blk(1), blk(2), blk(3))),
+        s"shot $sid fingerprint")
+    }
+  }
 }
