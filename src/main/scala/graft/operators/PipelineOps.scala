@@ -459,6 +459,136 @@ object PipelineOps {
        |$arms""".stripMargin
   }
 
+  // ------------------------------------------------- e8 topic-balanced mix
+
+  /** e8: the TOPIC-REBALANCED mix — the DoReMi/DCLM-shaped capstone
+    * s9/s10 opened: language mixes (p3/p5) balance what a corpus SAYS it
+    * is (metadata); topic mixes balance what it actually CONTAINS. Every
+    * document's embedding is assigned to its s9 topic cluster (the SAME
+    * persisted s2 quantizer — zero new training, s9's rounded-cosine
+    * argmax verbatim), per-cluster token SUPPLY is measured, the target
+    * is the UNIFORM share (weight 1/k per cluster — the
+    * flatten-the-topic-histogram posture; production supplies its own
+    * weights through identical arithmetic), and p3's max-feasible rule
+    * sizes the mix: the binding cluster is the one whose full supply,
+    * repeated [[SamplingOps.MaxEpochs]] times, covers its share first.
+    * Each doc then draws p5's deterministic Bernoulli `n_copies` from
+    * its cluster's repeat factor (salt channel "e8:") — the capstone
+    * emits the materialization-ready per-document relation in one pass.
+    *
+    * Scale shape: s9's assignment machinery (broadcast k-row centroids,
+    * map-side-combined argmax over the ONE embeddings scan), one
+    * documents scan pruned to (doc_id, token count) at the scan, one
+    * vec_id equi-join between them — the (vec_id, cluster, t) relation
+    * is persisted eagerly (20-byte rows; both the k-row supply aggregate
+    * and the final output read it, and without the persist the N·k
+    * assignment subtree would plan TWICE — the k5b discipline). The
+    * plan itself is k rows: aggregate broadcast, scalar min attached as
+    * a broadcast 1-row cross join (p3's device), draw a narrow map.
+    * Nothing downstream of the aggregate scales with data. */
+  def e8TopicMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = SimilarityOps.corpusCount(s, dir)
+    val k = SimilarityOps.ivfK(n)
+    val cf: Array[Array[Float]] =
+      SimilarityOps.centroidsFor(s, dir, k).map(_.map(_.toFloat))
+    graft.sources.TrainedOracle.publish("e8_topic_mix", e8SqlFor(cf, k))
+    val cent = cf.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell_id", "c_vec")
+    val assign = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell_id",
+        round(SimilarityOps.cosineCol($"embedding", $"c_vec"), 6).as("sc"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cell_id", struct($"sc", $"cell_id")).as("cluster"))
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id".as("vec_id"),
+        size(split($"text", " ")).cast("long").as("t"))
+    val withT = assign.join(toks, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withT.count()
+    val perC = withT.groupBy($"cluster")
+      .agg(sum($"t").as("cluster_tokens"), count(lit(1)).as("cluster_docs"))
+    val plan = perC
+      .crossJoin(broadcast(perC.agg(
+        min($"cluster_tokens".cast("double") * SamplingOps.MaxEpochs
+          * k.toDouble).as("mix_total"))))
+      .select($"cluster", $"cluster_docs", $"cluster_tokens",
+        ($"mix_total" / k.toDouble).as("need_tokens"),
+        ($"mix_total" / k.toDouble / $"cluster_tokens".cast("double"))
+          .as("repeat_factor"))
+    withT.join(broadcast(plan), Seq("cluster"))
+      .select($"vec_id", $"cluster", $"cluster_docs", $"cluster_tokens",
+        $"need_tokens", $"repeat_factor",
+        (floor($"repeat_factor").cast("long") +
+          when(pmod(graft.sources.Hash60.col60(
+            concat(lit("e8:"), $"vec_id".cast("string"))), lit(1000000L)) <
+            floor(($"repeat_factor" - floor($"repeat_factor")) * 1000000)
+              .cast("long"), 1L)
+            .otherwise(0L)).as("n_copies"))
+  }
+
+  /** The e8 oracle with the trained centroids spliced as literals (s9's
+    * device) and k inlined: assignment CTE = s9's, then p3's feasibility
+    * arithmetic at uniform 1/k weights and p5's hash draw on the "e8:"
+    * salt channel. Division order mirrors the Column spelling exactly
+    * (mix_total / k / tokens), so the doubles are bit-identical. */
+  private[graft] def e8SqlFor(cf: Array[Array[Float]], k: Int): String = {
+    val rows = cf.zipWithIndex.map { case (c, i) =>
+      c.map(_.toDouble.toString).mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n    ")
+    val draw = graft.sources.Hash60.sql60("'e8:' || CAST(w.vec_id AS VARCHAR)")
+    s"""WITH cent(cell_id, c_vec) AS (VALUES
+       |    $rows),
+       |sc AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                 c.c_vec), 6) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, cell_id AS cluster FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell_id DESC) AS rk
+       |    FROM sc) t
+       |  WHERE rk = 1),
+       |wt AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t
+       |  FROM asg a JOIN documents d ON a.vec_id = d.doc_id),
+       |perc AS (
+       |  SELECT cluster, CAST(SUM(t) AS BIGINT) AS cluster_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS cluster_docs
+       |  FROM wt GROUP BY 1),
+       |tot AS (
+       |  SELECT MIN(CAST(cluster_tokens AS DOUBLE)
+       |    * ${SamplingOps.MaxEpochs} * ${k}.0) AS mix_total FROM perc),
+       |plan AS (
+       |  SELECT cluster, cluster_docs, cluster_tokens,
+       |    mix_total / ${k}.0 AS need_tokens,
+       |    mix_total / ${k}.0 / CAST(cluster_tokens AS DOUBLE)
+       |      AS repeat_factor
+       |  FROM perc, tot)
+       |SELECT w.vec_id, w.cluster, p.cluster_docs, p.cluster_tokens,
+       |  p.need_tokens, p.repeat_factor,
+       |  CAST(floor(p.repeat_factor) AS BIGINT) +
+       |  CASE WHEN $draw % 1000000 <
+       |       CAST(floor((p.repeat_factor - floor(p.repeat_factor))
+       |            * 1000000) AS BIGINT)
+       |       THEN 1 ELSE 0 END AS n_copies
+       |FROM wt w JOIN plan p ON w.cluster = p.cluster""".stripMargin
+  }
+
+  /** Loud out-of-order sentinel (the s9 convention). */
+  private val e8Fallback =
+    """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS cluster,
+      |  CAST(NULL AS BIGINT) AS cluster_docs,
+      |  CAST(NULL AS BIGINT) AS cluster_tokens,
+      |  CAST(NULL AS DOUBLE) AS need_tokens,
+      |  CAST(NULL AS DOUBLE) AS repeat_factor,
+      |  CAST(NULL AS BIGINT) AS n_copies
+      |WHERE FALSE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
@@ -466,14 +596,19 @@ object PipelineOps {
     "e4_clean_pack" -> e4CleanPack _,
     "e5_attribute_sheet" -> e5AttributeSheet _,
     "e6_corpus_report" -> e6CorpusReport _,
-    "e7_rule_ablation" -> e7RuleAblation _)
+    "e7_rule_ablation" -> e7RuleAblation _,
+    "e8_topic_mix" -> e8TopicMix _)
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: e8's entry reads the TrainedOracle registry, populated
+  // when the e8 query resolves the persisted quantizer (Verify's order).
+  def oracleSql: Map[String, String] = Map(
     "e1_pipeline" -> e1Sql,
     "e2_training_shards" -> e2Sql,
     "e3_corpus_curation" -> e3Sql,
     "e4_clean_pack" -> e4Sql,
     "e5_attribute_sheet" -> e5Sql,
     "e6_corpus_report" -> e6Sql,
-    "e7_rule_ablation" -> e7Sql)
+    "e7_rule_ablation" -> e7Sql,
+    "e8_topic_mix" ->
+      graft.sources.TrainedOracle.sqlFor("e8_topic_mix", e8Fallback))
 }

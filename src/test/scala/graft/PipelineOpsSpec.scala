@@ -298,4 +298,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.forall(v => v._5 <= v._3), "unique ≤ failing")
   }
 
+  test("e8: clusters are s9's; plan arithmetic and the n_copies draw replay driver-side") {
+    import graft.operators.SimilarityOps
+    val sf = "/root/testdata/sf0.001"
+    val got = PipelineOps.e8TopicMix(spark, sf).collect().map(r =>
+      r.getAs[Long]("vec_id") -> ((r.getAs[Int]("cluster"),
+        r.getAs[Long]("cluster_docs"), r.getAs[Long]("cluster_tokens"),
+        r.getAs[Double]("need_tokens"), r.getAs[Double]("repeat_factor"),
+        r.getAs[Long]("n_copies")))).toMap
+    val s9 = SimilarityOps.s9TopicClusters(spark, sf).collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(got.keySet === s9.keySet, "every embedded doc is planned")
+    got.foreach { case (id, v) => assert(v._1 === s9(id), s"doc $id cluster") }
+    // independent driver replay of supply, feasibility, and the draw
+    val k = SimilarityOps.ivfK(SimilarityOps.corpusCount(spark, sf))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val perC = got.toSeq.groupBy(_._2._1).map { case (c, xs) =>
+      c -> ((xs.size.toLong, xs.map(x => toks(x._1)).sum))
+    }
+    val mixTotal = perC.values.map(_._2.toDouble * 4.0 * k).min
+    val need = mixTotal / k
+    got.foreach { case (id, (c, docs, tokens, n, rf, copies)) =>
+      assert((docs, tokens) === perC(c), s"doc $id cluster supply")
+      assert(n === need, s"doc $id need_tokens")
+      assert(rf === need / tokens.toDouble, s"doc $id repeat_factor")
+      // p5's draw on the e8: salt channel, replayed via md5
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"e8:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(md5, 16)
+      val want = rf.toLong +
+        (if (h % 1000000L < math.floor((rf - math.floor(rf)) * 1000000).toLong) 1L
+         else 0L)
+      assert(copies === want, s"doc $id n_copies")
+    }
+    // the binding cluster sits at the MaxEpochs cap; others below it
+    assert(math.abs(got.values.map(_._5).max - 4.0) < 1e-9, "binding cluster at cap")
+    assert(got.values.map(_._5).min < 4.0, "non-binding clusters below cap")
+  }
 }
