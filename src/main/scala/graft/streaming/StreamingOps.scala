@@ -268,6 +268,81 @@ object StreamingOps {
        |LEFT JOIN exact e ON b.doc_id = e.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- st7b
+
+  /** Bloom sizing: expected-items from the standing digest count, 1%
+    * FP — the filter the front door broadcasts instead of the digest
+    * set (≈1.2 GB for 10⁹ digests vs ~32 GB of sha2 keys). */
+  private[graft] val BloomFpp = 0.01
+
+  /** The standing corpus's ingest Bloom filter over xxhash64(text) keys
+    * — deterministic given keys and sizing (Spark's sketch uses fixed
+    * Murmur3 seeds), though the VERDICT below never depends on the
+    * filter's bits. A deployment persists and incrementally maintains
+    * this filter (`putLong` is associative); here it is rebuilt
+    * deterministically per run. */
+  private[graft] def ingestBloomOf(standing: DataFrame)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val keys = standing.select(xxhash64(col("text")).as("k"))
+    keys.stat.bloomFilter("k", math.max(1000L, keys.count()), BloomFpp)
+  }
+
+  /** st7b: st7's exact-duplicate verdict behind a BLOOM prescreen — the
+    * plan a 100 TB front door actually ships (k5b's deployable-variant
+    * discipline): st7 joins EVERY incoming digest against the standing
+    * digest relation, which at lake scale means shuffling the whole
+    * batch; st7b probes a broadcast Bloom filter first (a narrow map —
+    * no exchange for the overwhelmingly-clean traffic) and sends ONLY
+    * the bloom-positive sliver (~[[BloomFpp]] of clean docs + the true
+    * dups) into the exact digest join that resolves false positives.
+    *
+    * Exactness contract, registered under st7's own oracle: Bloom
+    * filters have NO false negatives (a true dup's key was put, so
+    * mightContain is true and the dup reaches the resolving join), and
+    * every false positive dies in that join — the OUTPUT is
+    * bit-identical to st7 no matter how the filter is sized or seeded.
+    * The probe is a broadcast-sketch UDF (might_contain has no public
+    * Column spelling); it costs a few Murmur3 rounds per row, dominated
+    * by the sha2 the resolving sliver computes anyway. */
+  def bloomScreen(incoming: DataFrame,
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      corpusDigests: DataFrame): DataFrame = {
+    val bcast = incoming.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bcast.value.mightContain(k))
+    // disjoint branches recombined by UNION, not a join: every row is
+    // either bloom-negative (definitively clean — a filter has no false
+    // negatives) or bloom-positive (resolved by the digest join). Keeps
+    // the recombination stateless on a stream (a doc_id self-join here
+    // would be stream-stream) and keeps the clean traffic out of the
+    // join physically — the whole point of the prescreen.
+    val keyed = incoming
+      .select(col("doc_id"), col("text"), might(xxhash64(col("text"))).as("cand"))
+    val pos = keyed.where(col("cand"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpusDigests.withColumn("dup_exact", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"))
+    val neg = keyed.where(!col("cand"))
+      .select(col("doc_id"), lit(false).as("dup_exact"))
+    pos.unionByName(neg)
+  }
+
+  /** st7b in batch mode over d8's deterministic ingest slice — same
+    * slices, same verdict, same oracle as st7; only the physical plan
+    * differs. StreamingOpsSpec proves output equality with st7, the
+    * no-false-negative contract on planted dups, and the stream parity
+    * (filter built once from the standing corpus, probed per
+    * micro-batch). */
+  def st7bBloomIngestScreen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    val standing = docs.where(!isBatch)
+    bloomScreen(docs.where(isBatch), ingestBloomOf(standing),
+      standing.select(sha2(col("text"), 256).as("h")).distinct())
+  }
+
   // --------------------------------------------------------------- st8
 
   /** Key-bucket count of the upsert store's layout: each batch's write
@@ -671,6 +746,7 @@ object StreamingOps {
     "st5_stream_static_join" -> st5StreamStaticJoin _,
     "st6_stream_sink" -> st6StreamSink _,
     "st7_stream_ingest_screen" -> st7StreamIngestScreen _,
+    "st7b_bloom_ingest_screen" -> st7bBloomIngestScreen _,
     "st8_upsert_sink" -> st8UpsertSink _,
     "st9_stream_neardup_screen" -> st9StreamNearDupScreen _,
     "st10_stream_quality_gate" -> st10StreamQualityGate _,
@@ -685,6 +761,9 @@ object StreamingOps {
     "st5_stream_static_join" -> st5Sql,
     "st6_stream_sink" -> st6Sql,
     "st7_stream_ingest_screen" -> st7Sql,
+    // deliberately st7's oracle text: the Bloom prescreen changes the
+    // physical plan, never the verdict (no-FN + FP-resolution contract)
+    "st7b_bloom_ingest_screen" -> st7Sql,
     // deliberately q23's oracle text: the hash compare proves the
     // batch-by-batch upsert fold converges to the one-shot merge
     "st8_upsert_sink" -> graft.operators.RelationalQueries.q23Sql,

@@ -92,6 +92,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("st7b: bloom prescreen never changes st7's verdict; no false negatives on planted dups; stream parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus equality: identical output relation on the real slices
+    val sf = "/root/testdata/sf0.001"
+    val viaJoin = StreamingOps.st7StreamIngestScreen(spark, sf)
+      .as[(Long, Boolean)].collect().toMap
+    val viaBloom = StreamingOps.st7bBloomIngestScreen(spark, sf)
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaBloom === viaJoin, "bloom variant must equal st7 bit-for-bit")
+
+    // planted contract: every standing key probes positive (no FN), the
+    // resolving join kills FPs, clean docs pass
+    val corpus = Seq((1L, "standing corpus doc one"), (2L, "another corpus doc"))
+    val incoming = Seq(
+      (7L, "standing corpus doc one"),  // dup — MUST be caught
+      (17L, "a brand new document"),    // clean
+      (27L, "another corpus doc"))      // dup — MUST be caught
+    val standing = corpus.toDF("doc_id", "text")
+    val bf = StreamingOps.ingestBloomOf(standing)
+    standing.select(xxhash64($"text")).as[Long].collect()
+      .foreach(k => assert(bf.mightContain(k), "bloom false negative"))
+    val digests = standing.select(sha2($"text", 256).as("h")).distinct()
+    val want = StreamingOps.bloomScreen(
+        incoming.toDF("doc_id", "text"), bf, digests)
+      .as[(Long, Boolean)].collect().toMap
+    assert(want === Map(7L -> true, 17L -> false, 27L -> true))
+
+    // the IDENTICAL core over a MemoryStream: the filter is standing
+    // state built once; each micro-batch probes it statelessly
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming)
+    val q = StreamingOps.bloomScreen(
+        stream.toDF.toDF("doc_id", "text"), bf, digests)
+      .writeStream.format("memory").queryName("st7b_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st7b_test").as[(Long, Boolean)].collect().toMap
+    assert(got === want)
+  }
+
   test("st9: streaming and batch modes of the near-dup screen agree") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.DedupOps
