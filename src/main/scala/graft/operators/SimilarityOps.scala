@@ -1540,6 +1540,72 @@ object SimilarityOps {
       |  CAST(NULL AS BIGINT) AS cluster_docs, CAST(NULL AS BOOLEAN) AS keep
       |WHERE FALSE""".stripMargin
 
+  // ------------------------------------ t21 semantic decontamination
+
+  /** Semantic-contamination threshold on the rounded cosine. Measured on
+    * the fixture corpus: natural training-vs-eval max cosines span
+    * [0.10, 0.49] with p99 ≈ 0.43, so τ = 0.45 flags only the genuine
+    * top tail; a real CLIP/E5 embedding space runs far higher τ — the
+    * CONTRACT is the screen, the constant is per-space calibration
+    * (the [[graft.operators.MultimodalOps.AlignTau]] posture). */
+  private[graft] val SemDecontTau = 0.45
+
+  /** t21: SEMANTIC decontamination — the published complement
+    * (Phi-style) of the exact-gram ladder: t10/t19/st12 catch verbatim
+    * [[graft.operators.TextOps.DecontGram]]-token overlap, but a
+    * paraphrased eval item shares no 8-gram; its EMBEDDING still sits
+    * next to the eval doc's. Every training document's embedding is
+    * scored against the HELD-OUT eval slice (t10's doc_id %
+    * [[graft.operators.TextOps.DecontMod]] == 0 convention, applied to
+    * vec_id — the same docs), `max_eval_cos` = its nearest eval cosine
+    * (rounded 6 dp — the s1/d5 full-hash-compare contract), and docs at
+    * or above [[SemDecontTau]] are flagged `contaminated`. Registered
+    * under the t-series: it completes the decontamination ladder, not
+    * the ANN surface.
+    *
+    * Scale shape: the eval slice is benchmark-sized and FIXED, so it
+    * broadcasts (the st12 argument, embedding-space edition); scoring
+    * is the broadcast fan-out collapsed by a map-side-combined max
+    * aggregate — one (vec_id, partial-max) exchange, no window, nothing
+    * driver-side. A deployment whose eval suite outgrows broadcast
+    * probes the persisted IVF index instead (s2's machinery — same
+    * verdict, indexed probe); at every scale the training side is
+    * scanned exactly once. */
+  def t21SemanticDecont(s: SparkSession, dir: String): DataFrame =
+    semanticDecontOf(Tables.embeddings(s, dir))
+
+  /** The t21 kernel over any (vec_id, embedding) relation — t21 binds
+    * the corpus; the spec drives planted paraphrase embeddings. */
+  private[graft] def semanticDecontOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val isEval = $"vec_id" % graft.operators.TextOps.DecontMod === 0
+    val ev = emb.where(isEval)
+      .select($"vec_id".as("ev_id"), $"embedding".as("ev_emb"))
+    emb.where(!isEval)
+      .crossJoin(broadcast(ev))
+      .select($"vec_id", round(cosineCol($"embedding", $"ev_emb"), 6).as("c"))
+      .groupBy($"vec_id").agg(max($"c").as("max_eval_cos"))
+      .select($"vec_id", $"max_eval_cos",
+        ($"max_eval_cos" >= SemDecontTau).as("contaminated"))
+  }
+
+  private val t21Sql = {
+    val m = graft.operators.TextOps.DecontMod
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % $m = 0),
+       |tr AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % $m <> 0),
+       |sc AS (
+       |  SELECT t.vec_id,
+       |    MAX(round(list_cosine_similarity(t.v, e.v), 6)) AS max_eval_cos
+       |  FROM tr t CROSS JOIN ev e GROUP BY 1)
+       |SELECT vec_id, max_eval_cos,
+       |  max_eval_cos >= $SemDecontTau AS contaminated
+       |FROM sc""".stripMargin
+  }
+
   /** Loud out-of-order sentinel (see [[graft.sources.TrainedOracle]]):
     * schema-correct, zero rows — a dump taken before the s9 query ran
     * fails the row-count compare instead of silently passing. */
@@ -1559,7 +1625,8 @@ object SimilarityOps {
     "s7_ivfpq" -> s7IvfPqChecked _,
     "s8_ivfpq_upsert_serve" -> s8IvfPqUpsertServe _,
     "s9_topic_clusters" -> s9TopicClusters _,
-    "s10_proto_prune" -> s10ProtoPrune _)
+    "s10_proto_prune" -> s10ProtoPrune _,
+    "t21_semantic_decont" -> t21SemanticDecont _)
 
   // def, not val: s9's entry reads the TrainedOracle registry, populated
   // when the s9 query resolves its persisted quantizer (Verify's order).
@@ -1575,5 +1642,6 @@ object SimilarityOps {
     "s9_topic_clusters" ->
       graft.sources.TrainedOracle.sqlFor("s9_topic_clusters", s9Fallback),
     "s10_proto_prune" ->
-      graft.sources.TrainedOracle.sqlFor("s10_proto_prune", s10Fallback))
+      graft.sources.TrainedOracle.sqlFor("s10_proto_prune", s10Fallback),
+    "t21_semantic_decont" -> t21Sql)
 }

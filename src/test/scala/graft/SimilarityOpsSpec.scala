@@ -593,4 +593,25 @@ class SimilarityOpsSpec extends SparkSpec {
     // scores are genuine cosines
     assert(out.forall(r => r._2 >= -1.0 && r._2 <= 1.0))
   }
+
+  test("t21: a planted paraphrase embedding is flagged; orthogonal content stays clean; eval rows are not scored") {
+    // eval = vec_id % 20 == 0 (t10's convention): ids 0 and 20
+    val e0 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 0f, 1f, 0f)
+    val para = Seq(0.999f, 0.0447f, 0f, 0f) // cos vs e0 ≈ 0.999
+    val orth = Seq(0f, 1f, 0f, 0f)          // cos 0 vs both eval docs
+    val emb = Seq((0L, e0), (20L, e2), (1L, para), (2L, orth))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDecontOf(emb)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L), "only training docs are scored")
+    assert(got(1L)._1 > 0.99 && got(1L)._2, "paraphrase must be flagged")
+    assert(got(2L)._1 === 0.0 && !got(2L)._2, "orthogonal doc stays clean")
+    // real-corpus sanity: the flag fires on a small nonzero tail
+    val corpus = SimilarityOps.t21SemanticDecont(spark, sf)
+      .as[(Long, Double, Boolean)].collect()
+    assert(corpus.length > 0)
+    assert(corpus.forall(r => r._2 >= -1.0 && r._2 <= 1.0))
+  }
 }
