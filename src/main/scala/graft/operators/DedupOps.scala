@@ -1627,8 +1627,12 @@ object DedupOps {
     * sequence).
     *
     * Scale shape: segmentation is a pure narrow fold computed at the
-    * scan (and deliberately recomputed on the rebuild side — t12's
-    * recompute-beats-sort argument); the only corpus-granular exchanges
+    * scan and deliberately RECOMPUTED per consumer — df side, probe
+    * side, rebuild side; three narrow corpus scans (t12's
+    * recompute-beats-sort argument: a window count over gh would sort
+    * the whole exploded segment stream, and caching exploded
+    * corpus-scale rows is worse than re-reading pruned parquet at
+    * 100 TB); the only corpus-granular exchanges
     * move (gh, doc_id) 16-byte rows — the df aggregate is map-side
     * combined and distinct-per-doc, the boiler relation (df ≥ threshold
     * survivors only) semi-joins back BROADCAST while it fits, and the

@@ -591,4 +591,60 @@ class PlanAuditSpec extends SparkSpec {
       s"centroids, sizes and cutoffs must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d14: three documents scans (df side, probe side, rebuild recompute), exchanges on hashed-segment/doc keys only") {
+    val p = plan("d14_boilerplate_removal")
+    // t12's recompute-beats-sort discipline, applied twice: the segment
+    // fold is recomputed on the df side AND the probe side (a window
+    // count over gh would sort the whole segment stream instead), plus
+    // the rebuild side — exactly three narrow corpus scans, no more
+    assert(scansOf(p, "documents") === 3,
+      s"d14 must scan documents exactly three times:\n$p")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k == "gh" || k == "gh, doc_id" || k == "doc_id"),
+      s"d14 exchanges must move (gh[, doc_id]) or doc_id rows only: $keys\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m10: shot sheet cached (blobs fingerprinted once), banded exchange geometry, no cartesian") {
+    val p = plan("m10_video_neardup")
+    assert(p.contains("InMemoryRelation"),
+      s"shot sheet must be cached — blob re-scan per consumer:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k == "band, key" || k == "doc_a, doc_b" || k == "doc_id" ||
+        k == "da, db" || k == "doc_id, s"),
+      s"m10 exchanges must be band-bucket, pair, or id keyed: $keys\n$p")
+  }
+
+  test("e8: every consumer reads the cached assignment relation; nothing above the cache touches the corpus") {
+    val p = plan("e8_topic_mix")
+    // the (vec_id, cluster, t) relation feeds the output rows, the
+    // supply aggregate, and the scalar min — three cache reads; the
+    // N·k assignment + token-count subtree runs ONCE at persist time
+    // (its FileScan lines are echoes inside the InMemoryRelation print,
+    // the k5b convention)
+    assert("InMemoryTableScan".r.findAllIn(p).length === 3,
+      s"all three consumers must read the cached assignment:\n$p")
+    val live = p.take(p.indexOf("InMemoryRelation") max 0)
+    assert(live.nonEmpty, s"assignment relation must be cached:\n$p")
+    assert(scansOf(live, "embeddings") === 0 && scansOf(live, "documents") === 0,
+      s"nothing above the cache may re-scan the corpus:\n$live")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroids and the k-row plan must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("st7b: the bloom probe prescreens BEFORE the digest join; branches recombine by union") {
+    val p = plan("st7b_bloom_ingest_screen")
+    assert(p.contains("Union"), s"disjoint branches must union, not join:\n$p")
+    assert("Filter.*UDF".r.findFirstIn(p).nonEmpty ||
+      "UDF\\(".r.findFirstIn(p).nonEmpty,
+      s"the broadcast-sketch probe must gate the join input:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
