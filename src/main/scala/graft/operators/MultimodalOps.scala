@@ -1319,6 +1319,142 @@ object MultimodalOps {
        |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- m11 keyframe extract
+
+  /** m11: KEYFRAME extraction — the video → image bridge the m-family
+    * lacked: m9 finds shot boundaries, m10 dedups shots, but nothing
+    * picks the ONE frame per shot that feeds the image tier (m2
+    * features, m6 near-dup, m7 alignment). The published shot-
+    * representation baseline (Zhang, Low & Smoliar 1995; Hanjalic 2002
+    * survey): the keyframe is the member frame closest to the shot's
+    * MEAN histogram, ties to the earliest frame. Distance is kept in
+    * exact integers by scaling through the shot length — comparing
+    * Σ_b |nf·h_f[b] − H[b]| (H = the shot's summed histogram) orders
+    * frames identically to the L1-to-mean and never leaves BIGINT, so
+    * both engines agree bit-for-bit with no rounding convention.
+    * Emits one row per shot: (doc_id, shot_id, n_frames, key_frame
+    * absolute frame index, key_dist the scaled distance — 0 iff every
+    * member frame has the shot's mean histogram, e.g. 1-frame shots).
+    *
+    * Scale shape: a PURE narrow map on the m2 batch path — per payload
+    * one histogram pass + [[videoShotsOf]]'s cut pass (payload bytes
+    * never shuffle, the argmin happens inside the kernel); output is
+    * (id, 4 smalls) per shot. Zero exchanges at any corpus size — the
+    * m9 discipline; a deployment swaps decoded-frame luminance
+    * histograms through the identical kernel (the m2/m5 codec-
+    * independence discipline). */
+  def m11KeyframeExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    keyframesOf(withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** The m11 kernel over any blob relation — m11 binds the corpus; the
+    * spec drives planted multi-shot payloads. */
+  private[graft] def keyframesOf(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { case (id, bytes) =>
+      val n = bytes.length / FrameWindow
+      if (n == 0) Iterator.empty
+      else {
+        val hist = Array.ofDim[Int](n, SceneBins)
+        var w = 0
+        while (w < n) {
+          var i = w * FrameWindow
+          val end = i + FrameWindow
+          while (i < end) { hist(w)((bytes(i) & 0xff) / SceneBins) += 1; i += 1 }
+          w += 1
+        }
+        videoShotsOf(bytes).iterator.map { case (sid, sfr, nf) =>
+          val tot = new Array[Long](SceneBins)
+          var f = sfr
+          while (f < sfr + nf) {
+            var b = 0
+            while (b < SceneBins) { tot(b) += hist(f)(b); b += 1 }
+            f += 1
+          }
+          var best = -1L; var bestD = Long.MaxValue
+          f = sfr
+          while (f < sfr + nf) {
+            var d = 0L; var b = 0
+            while (b < SceneBins) { d += math.abs(nf.toLong * hist(f)(b) - tot(b)); b += 1 }
+            if (d < bestD) { bestD = d; best = f } // strict < — earliest wins ties
+            f += 1
+          }
+          (id, sid.toLong, nf.toLong, best, bestD)
+        }
+      }
+    }.toDF("doc_id", "shot_id", "n_frames", "key_frame", "key_dist")
+  }
+
+  // m11's oracle: m10's dense-grid cut CTEs → shot membership, then the
+  // scaled integer distance per member frame and an earliest-frame argmin.
+  // Carries the documented ASCII byte==char coupling.
+  private val m11Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $FrameWindow AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, (i - 1) // $FrameWindow AS win,
+       |         ascii(substr(text, i, 1)) // $SceneBins AS bin
+       |  FROM d, UNNEST(generate_series(1, n * $FrameWindow)) AS t(i)),
+       |h AS (SELECT doc_id, win, bin, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT d.doc_id, wi.win, bi.bin
+       |  FROM d,
+       |       UNNEST(generate_series(0, n - 1)) AS wi(win),
+       |       UNNEST(generate_series(0, ${SceneBins - 1})) AS bi(bin)
+       |  WHERE d.n > 0),
+       |hd AS (
+       |  SELECT g.doc_id, g.win, g.bin, COALESCE(h.c, 0) AS c
+       |  FROM grid g LEFT JOIN h
+       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin),
+       |delta AS (
+       |  SELECT a.doc_id, a.win,
+       |    CASE WHEN SUM(ABS(a.c - b.c)) > $SceneCutTau THEN 1 ELSE 0 END
+       |      AS cut
+       |  FROM hd a JOIN hd b
+       |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
+       |  GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT g.doc_id, g.win, COALESCE(dl.cut, 0) AS cut
+       |  FROM (SELECT DISTINCT doc_id, win FROM grid) g
+       |  LEFT JOIN delta dl ON dl.doc_id = g.doc_id AND dl.win = g.win),
+       |sid AS (
+       |  SELECT doc_id, win,
+       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY win
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+       |  FROM wins),
+       |shots AS (
+       |  SELECT doc_id, shot_id, MIN(win) AS sw, COUNT(*) AS nf
+       |  FROM sid GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT s.doc_id, s.shot_id, hd.bin, SUM(hd.c) AS tc
+       |  FROM sid s JOIN hd ON hd.doc_id = s.doc_id AND hd.win = s.win
+       |  GROUP BY 1, 2, 3),
+       |dist AS (
+       |  SELECT s.doc_id, s.shot_id, s.win,
+       |    SUM(ABS(st.nf * hd.c - sh.tc)) AS dd
+       |  FROM sid s
+       |  JOIN shots st ON st.doc_id = s.doc_id AND st.shot_id = s.shot_id
+       |  JOIN hd ON hd.doc_id = s.doc_id AND hd.win = s.win
+       |  JOIN sh ON sh.doc_id = s.doc_id AND sh.shot_id = s.shot_id
+       |    AND sh.bin = hd.bin
+       |  GROUP BY 1, 2, 3),
+       |km AS (SELECT doc_id, shot_id, MIN(dd) AS kd FROM dist GROUP BY 1, 2),
+       |kf AS (
+       |  SELECT ds.doc_id, ds.shot_id, MIN(ds.win) AS key_frame
+       |  FROM dist ds JOIN km ON km.doc_id = ds.doc_id
+       |    AND km.shot_id = ds.shot_id AND ds.dd = km.kd
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_id, CAST(s.shot_id AS BIGINT) AS shot_id,
+       |  CAST(s.nf AS BIGINT) AS n_frames,
+       |  CAST(kf.key_frame AS BIGINT) AS key_frame,
+       |  CAST(km.kd AS BIGINT) AS key_dist
+       |FROM shots s
+       |JOIN kf ON kf.doc_id = s.doc_id AND kf.shot_id = s.shot_id
+       |JOIN km ON km.doc_id = s.doc_id AND km.shot_id = s.shot_id""".stripMargin
+
   // ------------------------------------------- m7 image-text alignment
 
   /** Alignment threshold on the ROUNDED integer-arithmetic cosine.
@@ -1446,6 +1582,7 @@ object MultimodalOps {
     "m8_audio_neardup" -> m8AudioNeardup _,
     "m9_scene_cuts" -> m9SceneCuts _,
     "m10_video_neardup" -> m10VideoNeardup _,
+    "m11_keyframe_extract" -> m11KeyframeExtract _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
     "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
 
@@ -1460,6 +1597,7 @@ object MultimodalOps {
     "m8_audio_neardup" -> m8Sql,
     "m9_scene_cuts" -> m9Sql,
     "m10_video_neardup" -> m10Sql,
+    "m11_keyframe_extract" -> m11Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
     "m5r_audio_energy_real" -> m5Sql)

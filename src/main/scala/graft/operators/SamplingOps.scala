@@ -595,6 +595,118 @@ object SamplingOps {
        |    AS BIGINT) AS epochs_micro
        |FROM w""".stripMargin
 
+  // ------------------------------------------- p9 temperature (α) mix
+
+  /** Temperature exponent for the α-sampling weights — the published
+    * multilingual constant (XLM-R uses α = 0.3; mC4/mT5 report the same
+    * family of exponents). α = 1 reproduces the corpus as-is; α → 0
+    * approaches uniform; 0.3 is the published compromise that lifts
+    * low-resource languages without drowning the high-resource ones. */
+  private[graft] val MixAlpha = 0.3
+
+  /** p9: TEMPERATURE-scaled language mix — the one famous mix policy p3
+    * does not cover. p3 takes target weights as GIVEN config; the
+    * multilingual-pretraining standard (Conneau et al. 2020's XLM-R
+    * α-sampling; mC4/mT5) DERIVES them from the observed distribution:
+    * q_l ∝ p_l^α where p_l is the language's observed token share —
+    * then the plan arithmetic is exactly p3's (feasible totals under
+    * [[MaxEpochs]], binding language, per-language need/repeat).
+    *
+    * Determinism: p_l^α is the one non-rational step, so it runs ONCE,
+    * driver-side, over the collected per-language totals (a ≤|languages|-
+    * row relation — bounded by language cardinality, never by data) with
+    * `StrictMath.pow` (bit-deterministic across JVMs, unlike
+    * `Math.pow`), languages folded in sorted order, and the normalized
+    * weights rounded to integer MICRO-UNITS. The micro weights are then
+    * driver-known constants — the [[graft.sources.TrainedOracle]] splice
+    * (s9/t4c's device) feeds the identical literals to the oracle, and
+    * everything downstream (shares, feasible, binding min, need/repeat)
+    * is recomputed independently by BOTH engines from the corpus.
+    *
+    * Scale shape: one corpus scan collapsing map-side to |languages|
+    * rows (persisted eagerly — the k5b discipline — so the trainer's
+    * collect and the registered output consume ONE aggregate), the two
+    * scalars attached as broadcast 1-row cross joins (p3's device), then
+    * narrow arithmetic. The micro-unit product `tokens * 10⁶` bounds the
+    * per-language supply at ~9.2×10¹² tokens before BIGINT overflow; a
+    * 100 TB deployment respells that one product over DECIMAL(38,0)
+    * (Spark decimal ≡ DuckDB HUGEINT, both exact). */
+  def p9TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = Tables.documents(s, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"lang").agg(sum($"t").as("tokens"))
+      .where($"tokens" > 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perLang.count()
+    val weights = alphaWeightsMicro(
+      perLang.collect().map(r => r.getString(0) -> r.getLong(1)))
+    graft.sources.TrainedOracle.publish("p9_temperature_mix", p9SqlFor(weights))
+    val wExpr = weights.foldLeft(lit(1L)) {
+      case (e, (l, m)) => when($"lang" === l, lit(m)).otherwise(e)
+    }
+    val tot = perLang.agg(sum($"tokens").as("total"))
+    perLang.crossJoin(broadcast(tot))
+      .select($"lang", $"tokens",
+        expr("tokens * 1000000 div total").as("share_micro"),
+        wExpr.as("weight_micro"))
+      .withColumn("feasible",
+        $"tokens".cast("double") * lit(MaxEpochs) * lit(1000000) / $"weight_micro")
+      .transform { f =>
+        f.crossJoin(broadcast(f.agg(min($"feasible").as("mix_total"))))
+      }
+      .select($"lang", $"tokens", $"share_micro", $"weight_micro",
+        ($"weight_micro".cast("double") * $"mix_total" / lit(1000000.0))
+          .as("need_tokens"),
+        ($"weight_micro".cast("double") * $"mix_total" / lit(1000000.0) /
+          $"tokens").as("repeat_factor"))
+  }
+
+  /** The α-weight trainer: observed shares → p^α → normalized integer
+    * micro-units, in sorted-language order so the fold is one fixed IEEE
+    * evaluation order. `max(1)` keeps a vanishingly-rare language's
+    * weight a valid divisor (a 0-micro weight would divide by zero in
+    * the feasible column — and a language so rare it rounds to 0 of 10⁶
+    * still deserves its floor under the α → 0 philosophy). */
+  private[graft] def alphaWeightsMicro(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val sorted = counts.sortBy(_._1)
+    val total = sorted.map(_._2).sum.toDouble
+    val pow = sorted.map { case (l, t) => l -> StrictMath.pow(t / total, MixAlpha) }
+    val z = pow.map(_._2).sum
+    pow.map { case (l, w) => l -> math.max(1L, math.round(w / z * 1000000.0)) }
+  }
+
+  private def p9SqlFor(weights: Seq[(String, Long)]): String = {
+    val w = weights.map { case (l, m) => s"WHEN lang = '$l' THEN $m" }
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1 HAVING SUM(len(string_split(text, ' '))) > 0),
+       |tot AS (SELECT SUM(tokens) AS total FROM t),
+       |w AS (
+       |  SELECT lang, tokens,
+       |    CAST(tokens * 1000000 // total AS BIGINT) AS share_micro,
+       |    CAST($w AS BIGINT) AS weight_micro
+       |  FROM t, tot),
+       |f AS (
+       |  SELECT *, CAST(tokens AS DOUBLE) * $MaxEpochs * 1000000 / weight_micro
+       |    AS feasible FROM w),
+       |m AS (SELECT *, MIN(feasible) OVER () AS mix_total FROM f)
+       |SELECT lang, tokens, share_micro, weight_micro,
+       |  CAST(weight_micro AS DOUBLE) * mix_total / 1000000.0 AS need_tokens,
+       |  CAST(weight_micro AS DOUBLE) * mix_total / 1000000.0 / tokens
+       |    AS repeat_factor
+       |FROM m""".stripMargin
+  }
+
+  /** Loud out-of-order sentinel (the s9 device). */
+  private val p9Fallback =
+    """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS tokens,
+      |  CAST(NULL AS BIGINT) AS share_micro, CAST(NULL AS BIGINT) AS weight_micro,
+      |  CAST(NULL AS DOUBLE) AS need_tokens, CAST(NULL AS DOUBLE) AS repeat_factor
+      |WHERE FALSE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_sample_topk" -> p1SampleTopk _,
     "p2_stratified_sample" -> p2StratifiedSample _,
@@ -603,9 +715,12 @@ object SamplingOps {
     "p5_mix_materialize" -> p5MixMaterialize _,
     "p6_dsir_resample" -> p6DsirResample _,
     "p7_epoch_plan" -> p7EpochPlan _,
-    "p8_curriculum_order" -> p8CurriculumOrder _)
+    "p8_curriculum_order" -> p8CurriculumOrder _,
+    "p9_temperature_mix" -> p9TemperatureMix _)
 
-  val oracleSql: Map[String, String] = Map(
+  // def, not val: p9's entry reads the TrainedOracle registry, populated
+  // when the p9 query resolves its α-weights (Verify's order).
+  def oracleSql: Map[String, String] = Map(
     "p1_sample_topk" -> p1Sql,
     "p2_stratified_sample" -> p2Sql,
     "p3_dataset_mix" -> p3Sql,
@@ -613,5 +728,7 @@ object SamplingOps {
     "p5_mix_materialize" -> p5Sql,
     "p6_dsir_resample" -> p6Sql,
     "p7_epoch_plan" -> p7Sql,
-    "p8_curriculum_order" -> p8Sql)
+    "p8_curriculum_order" -> p8Sql,
+    "p9_temperature_mix" ->
+      graft.sources.TrainedOracle.sqlFor("p9_temperature_mix", p9Fallback))
 }

@@ -513,4 +513,61 @@ class MultimodalOpsSpec extends SparkSpec {
         s"shot $sid fingerprint")
     }
   }
+
+  test("m11: planted shots — mean-closest frame wins, ties to the earliest, per-shot rows") {
+    // shot 0 (frames 0–2): bin-6/bin-3 drift small enough that no cut
+    // fires inside (adjacent L1 ≤ 24); frame 1 sits closest to the mean.
+    // cut at frame 3 (L1 = 32); shot 1 (frames 3–4): identical frames →
+    // dist 0 tie, earliest (absolute frame 3) wins.
+    val payload = ("a" * 32) + ("a" * 22 + "0" * 10) + ("a" * 16 + "0" * 16) +
+      ("0" * 32) + ("0" * 32)
+    // symmetric shot: frames 0 and 2 tie at dist 16 — earliest wins
+    val sym = ("a" * 32) + ("a" * 24 + "0" * 8) + ("a" * 32)
+    val blobs = Seq((1L, payload), (2L, sym), (3L, "a" * 31))
+      .toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val got = MultimodalOps.keyframesOf(blobs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 0L)) === ((3L, 1L, 8L)), "drift shot: middle frame is the medoid")
+    assert(got((1L, 1L)) === ((2L, 3L, 0L)), "identical frames: dist 0, earliest wins")
+    assert(got((2L, 0L)) === ((3L, 0L, 16L)), "symmetric tie breaks to the earliest")
+    assert(!got.keySet.exists(_._1 == 3L), "sub-frame payload yields no shots")
+  }
+
+  test("m11: corpus keyframes equal a brute-force argmin replay; frames lie in their shots") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = bytes.length / 32
+      val hists = (0 until n).map { k =>
+        val h = new Array[Long](16)
+        (k * 32 until k * 32 + 32).foreach(i => h((bytes(i) & 0xff) / 16) += 1)
+        h
+      }
+      // independent cut rule replay → shot spans
+      val cuts = (1 until n).filter(k =>
+        (0 until 16).map(b => math.abs(hists(k)(b) - hists(k - 1)(b))).sum > 24)
+      val bounds = (0 +: cuts) :+ n
+      bounds.sliding(2).zipWithIndex.collect {
+        case (Seq(lo, hi), sid) if hi > lo =>
+          val tot = (0 until 16).map(b => (lo until hi).map(hists(_)(b)).sum)
+          val ds = (lo until hi).map(f =>
+            (0 until 16).map(b => math.abs((hi - lo) * hists(f)(b) - tot(b))).sum)
+          val kd = ds.min
+          (id, sid.toLong) -> (((hi - lo).toLong, (lo + ds.indexOf(kd)).toLong, kd))
+      }
+    }.toMap
+    val got = MultimodalOps.m11KeyframeExtract(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the corpus exercises the interesting case: multi-frame shots with a
+    // non-trivial argmin (dist > 0). Multi-shot payloads are planted above
+    // (sf0.001 text is temporally uniform — no natural cut crosses τ).
+    assert(got.values.exists(v => v._1 > 1L && v._3 > 0L))
+  }
 }

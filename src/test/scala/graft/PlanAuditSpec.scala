@@ -647,4 +647,35 @@ class PlanAuditSpec extends SparkSpec {
       s"the broadcast-sketch probe must gate the join input:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("p9: corpus aggregated once (cached language supply); scalars attach by broadcast") {
+    // the α-weight CASE is driver literals; the supply relation is
+    // persisted so the trainer's collect and the registered output share
+    // ONE corpus-touching aggregate. Above the cache: language-row
+    // arithmetic + two broadcast 1-row cross joins, nothing data-scaled.
+    val p = plan("p9_temperature_mix")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"every consumer (output chain, total, binding min) must read the " +
+        s"cached supply:\n$p")
+    val live = p.take(p.indexOf("InMemoryRelation") max 0)
+    assert(live.nonEmpty, s"supply relation must be cached:\n$p")
+    assert(scansOf(live, "documents") === 0,
+      s"nothing above the cache may re-scan the corpus:\n$live")
+    assert(shuffles(live) === 0,
+      s"language-row arithmetic must not shuffle:\n$live")
+    assert(live.contains("BroadcastNestedLoopJoin"),
+      s"the two scalars must attach as broadcast cross joins:\n$live")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"no window — the min is a broadcast scalar:\n$p")
+  }
+
+  test("m11: keyframe extraction is a PURE narrow map — zero exchanges, one blob scan") {
+    // cut detection, histogram totals and the argmin all happen inside
+    // the kernel; the blob scan is the only data movement at any size
+    val p = plan("m11_keyframe_extract")
+    assert(shuffles(p) === 0, s"keyframe extraction must not shuffle:\n$p")
+    assert(scansOf(p, "documents") === 1, p)
+    assert(!p.contains("Window") && !p.contains("Sort"),
+      s"argmin happens in the kernel, not a plan window:\n$p")
+  }
 }

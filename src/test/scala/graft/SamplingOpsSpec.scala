@@ -403,4 +403,72 @@ class SamplingOpsSpec extends SparkSpec {
       inSeq != inSeq.sorted
     })
   }
+
+  test("p9: α-weights equal an independent replay; temperature compresses the mix") {
+    val sup = graft.sources.Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" ").length.toLong).sum).toMap
+    val want = SamplingOps.alphaWeightsMicro(sup.toSeq).toMap
+    // the trainer itself replays: independent pow over sorted langs
+    val total = sup.values.sum.toDouble
+    val pw = sup.toSeq.sortBy(_._1)
+      .map { case (l, t) => l -> StrictMath.pow(t / total, 0.3) }
+    val z = pw.map(_._2).sum
+    pw.foreach { case (l, w) =>
+      assert(want(l) === math.max(1L, math.round(w / z * 1000000.0)), l)
+    }
+    val rows = SamplingOps.p9TemperatureMix(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows.keySet === sup.keySet)
+    rows.foreach { case (l, r) =>
+      assert(r.getAs[Long]("tokens") === sup(l), l)
+      assert(r.getAs[Long]("weight_micro") === want(l), l)
+      assert(r.getAs[Long]("share_micro") === sup(l) * 1000000L / sup.values.sum, l)
+    }
+    // normalization: micro weights sum to 10⁶ within one rounding per lang
+    val wsum = rows.values.map(_.getAs[Long]("weight_micro")).sum
+    assert(math.abs(wsum - 1000000L) <= sup.size.toLong)
+    // α < 1 compresses: the weight spread is strictly tighter than the
+    // share spread (q-ratio = (p-ratio)^α), and ranking is preserved
+    val byTok = rows.values.toSeq.sortBy(_.getAs[Long]("tokens"))
+    val wts = byTok.map(_.getAs[Long]("weight_micro"))
+    assert(wts === wts.sorted, "order preservation")
+    val shr = byTok.map(_.getAs[Long]("share_micro"))
+    if (shr.last > shr.head)
+      assert(wts.last.toDouble / wts.head < shr.last.toDouble / shr.head)
+    // the binding language trains at ~MaxEpochs; nothing exceeds it
+    val reps = rows.values.map(_.getAs[Double]("repeat_factor"))
+    assert(reps.forall(_ <= 4.0 + 1e-9))
+    assert(reps.exists(r => math.abs(r - 4.0) < 1e-9))
+  }
+
+  test("p9: planted skewed corpus — the rare language is up-weighted, the dominant one down") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p9").toString
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    // en: 900 tokens, zh: 100 → shares (0.9, 0.1); α=0.3 weights ≈
+    // (0.66/1.16, 0.50/1.16) — zh's 10% of tokens earns ~43% of the mix
+    ((1L to 9L).map(i => (i, mk(100), "en", "src0", 0L)) :+
+      ((10L, mk(100), "zh", "src1", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SamplingOps.p9TemperatureMix(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en"); val zh = got("zh")
+    assert(en.getAs[Long]("share_micro") === 900000L)
+    assert(zh.getAs[Long]("share_micro") === 100000L)
+    // up/down in the right directions, strictly between share and uniform
+    assert(zh.getAs[Long]("weight_micro") > 100000L)
+    assert(zh.getAs[Long]("weight_micro") < 500000L)
+    assert(en.getAs[Long]("weight_micro") < 900000L)
+    assert(en.getAs[Long]("weight_micro") > 500000L)
+    // exact replay of the spliced constants
+    val want = SamplingOps.alphaWeightsMicro(Seq("en" -> 900L, "zh" -> 100L)).toMap
+    assert(en.getAs[Long]("weight_micro") === want("en"))
+    assert(zh.getAs[Long]("weight_micro") === want("zh"))
+    // zh is the binding language (its weight demands the most repeats):
+    // rf_zh = 4.0, and en is drawn well under its supply cap
+    assert(math.abs(zh.getAs[Double]("repeat_factor") - 4.0) < 1e-9)
+    assert(en.getAs[Double]("repeat_factor") < 4.0)
+  }
 }
