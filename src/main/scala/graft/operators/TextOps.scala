@@ -269,6 +269,162 @@ object TextOps {
        |  FROM full_sc) r
        |WHERE rk = 1""".stripMargin
 
+  // -------------------------------------- t22 segment language consistency
+
+  /** A document whose segments agree on a language less than this
+    * micro-fraction of the time is flagged mixed — the CCNet posture
+    * (paragraph-level lang-ID; a page whose paragraphs disagree is
+    * code-switched, boilerplate-stitched, or mislabeled and most
+    * curation recipes route it out or to per-segment handling). 0.8 on
+    * the fixture; per-corpus calibration — the SCREEN is the contract. */
+  private[graft] val SegMixTau = 800000L
+
+  /** t22: SEGMENT-granular language consistency — the CCNet device d14
+    * opened the granularity for: t2/t2b classify the whole document, so
+    * a half-English-half-Chinese page averages into whichever wins; real
+    * pipelines run lang-ID per PARAGRAPH and treat disagreement itself
+    * as signal (Wenzek et al. 2020 score paragraphs separately; mC4
+    * drops pages failing line-level lang checks). Each doc is split into
+    * d14's content-defined segments, each segment classified by t2b's
+    * PERSISTED trained profile (zero new training — the s9-reuses-s2
+    * discipline), and the doc rolls up: `n_segments` (segments carrying
+    * ≥ 1 profile-trigram of evidence), `majority_lang` (most segment
+    * votes, ties to the ascending code), `n_majority`, `mix_micro` =
+    * n_majority·10⁶ div n_segments, and the `lang_mixed` screen at
+    * [[SegMixTau]]. Evidence-free docs (no scored segment) report
+    * majority '??' and mix_micro 10⁶ — vacuously consistent, never
+    * flagged (the screen flags measured disagreement, not absence of
+    * evidence).
+    *
+    * Scale shape: t2b's exactly — the ≤ langs×[[ProfileTopM]] profile
+    * broadcasts, segment trigrams are tagged by the broadcast join and
+    * collapse in ONE map-side-combined (doc_id, seg_id) aggregate
+    * (grams never shuffle as strings), then (doc_id, lang) vote rows;
+    * the only windows run per doc over ≤ langs vote rows. Exchanges
+    * carry id-width rows at any corpus size. */
+  def t22SegmentLangmix(s: SparkSession, dir: String): DataFrame =
+    segmentLangMixOf(Tables.documents(s, dir), langProfileRows(s, dir))
+
+  /** The t22 kernel over any (doc_id, text) relation and any trained
+    * (lang, gram, weight) profile — t22 binds the corpus profile; the
+    * spec drives planted segments through a hand-built profile. */
+  private[graft] def segmentLangMixOf(docs: DataFrame,
+      profile: Seq[(String, String, Long)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val langs = profile.map(_._1).distinct.sorted
+    val prof = profile.toDF("p_lang", "g", "w")
+    val pivots = langs.map(l =>
+      sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
+    val hits = docs
+      .select($"doc_id",
+        posexplode(DedupOps.segmentsOf($"text")).as(Seq("seg_id", "seg")))
+      .select($"doc_id", $"seg_id", explode(charTrigrams($"seg")).as("g"))
+      .join(broadcast(prof), Seq("g"))
+      .groupBy($"doc_id", $"seg_id")
+      .agg(pivots.head, pivots.tail: _*)
+    // strictly-greater fold in ASC lang order — ties keep the smaller
+    // code, mirroring the oracle's (score DESC, lang ASC) rank
+    val best = langs.map { l =>
+      struct(col(s"s_$l").as("s"), lit(l).as("c"))
+    }.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    val votes = hits.select($"doc_id", best.getField("c").as("seg_lang"))
+      .groupBy($"doc_id", $"seg_lang").agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val top = votes
+      .withColumn("tot", sum($"n").over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy($"n".desc, $"seg_lang")))
+      .where($"rk" === 1)
+    docs.select($"doc_id")
+      .join(top.select($"doc_id", $"seg_lang", $"n", $"tot"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"tot", lit(0L)).as("n_segments"),
+        coalesce($"seg_lang", lit("??")).as("majority_lang"),
+        coalesce($"n", lit(0L)).as("n_majority"),
+        coalesce(expr("n * 1000000 div tot"), lit(1000000L)).as("mix_micro"),
+        (coalesce(expr("n * 1000000 div tot"), lit(1000000L)) < SegMixTau)
+          .as("lang_mixed"))
+  }
+
+  /** [[charTrigramsSql]] over an arbitrary column. */
+  private def charTrigramsSqlOf(c: String): String =
+    charTrigramsSql.replace("lower(text)", s"lower($c)")
+
+  // t22's oracle: d14's breaker-rule segment CTEs + t2b's profile CTEs,
+  // dense (segment × langs) scores so tie-breaks see every language on
+  // both engines, then the vote/majority rollup.
+  private lazy val t22Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, (s).i AS i, (s).t AS t FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'i': i - 1, 't': w[i]} for i in range(1, len(w) + 1)]) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM documents)) u),
+       |seg AS (
+       |  SELECT doc_id, i, t,
+       |    COALESCE(SUM(CASE WHEN (length(t) * 31 + ascii(substr(t, 1, 1)))
+       |        % ${graft.operators.DedupOps.SegMod} = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS seg_id
+       |  FROM tok),
+       |segs AS (
+       |  SELECT doc_id, seg_id, string_agg(t, ' ' ORDER BY i) AS st
+       |  FROM seg GROUP BY 1, 2),
+       |cnt AS (
+       |  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, lang, unnest($charTrigramsSql) AS g
+       |    FROM documents) gr0
+       |  WHERE doc_id % $DecontMod = 0
+       |  GROUP BY 1, 2),
+       |prof AS (
+       |  SELECT lang AS p_lang, g, ((c * 1000000) // tot) AS w
+       |  FROM (
+       |    SELECT lang, g, c,
+       |      CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot,
+       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
+       |    FROM cnt) t
+       |  WHERE rk <= $ProfileTopM),
+       |langs AS (SELECT DISTINCT p_lang FROM prof),
+       |sg AS (
+       |  SELECT doc_id, seg_id, unnest(${charTrigramsSqlOf("st")}) AS g
+       |  FROM segs),
+       |sc AS (
+       |  SELECT s.doc_id, s.seg_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS sw
+       |  FROM sg s JOIN prof p ON s.g = p.g
+       |  GROUP BY 1, 2, 3),
+       |segd AS (SELECT DISTINCT doc_id, seg_id FROM sc),
+       |dense AS (
+       |  SELECT sd.doc_id, sd.seg_id, l.p_lang, COALESCE(sc.sw, 0) AS sw
+       |  FROM segd sd CROSS JOIN langs l
+       |  LEFT JOIN sc ON sc.doc_id = sd.doc_id AND sc.seg_id = sd.seg_id
+       |    AND sc.p_lang = l.p_lang),
+       |bestl AS (
+       |  SELECT doc_id, seg_id, p_lang AS seg_lang FROM (
+       |    SELECT doc_id, seg_id, p_lang,
+       |      row_number() OVER (PARTITION BY doc_id, seg_id
+       |        ORDER BY sw DESC, p_lang) AS rk
+       |    FROM dense) r
+       |  WHERE rk = 1),
+       |votes AS (
+       |  SELECT doc_id, seg_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM bestl GROUP BY 1, 2),
+       |roll AS (
+       |  SELECT doc_id, seg_lang, n,
+       |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS tot,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n DESC, seg_lang) AS rk
+       |  FROM votes)
+       |SELECT d.doc_id,
+       |  COALESCE(r.tot, 0) AS n_segments,
+       |  COALESCE(r.seg_lang, '??') AS majority_lang,
+       |  COALESCE(r.n, 0) AS n_majority,
+       |  COALESCE(r.n * 1000000 // r.tot, 1000000) AS mix_micro,
+       |  COALESCE(r.n * 1000000 // r.tot, 1000000) < $SegMixTau AS lang_mixed
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM roll WHERE rk = 1) r ON d.doc_id = r.doc_id""".stripMargin
+
   // ----------------------------------------------------- t3 quality score
 
   /** t3's rule battery as a reusable expression (score in [0,4]) — the
@@ -2175,6 +2331,7 @@ object TextOps {
     "t12_boilerplate" -> t12Boilerplate _,
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t2b_lang_id_trained" -> t2bLangIdTrained _,
+    "t22_segment_langmix" -> t22SegmentLangmix _,
     "t4c_bpe_vocab_train" -> t4cBpeVocabTrain _)
 
   // def, not val: t4c's entry reads the TrainedOracle registry, populated
@@ -2182,6 +2339,7 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     "t4c_bpe_vocab_train" ->
       graft.sources.TrainedOracle.sqlFor("t4c_bpe_vocab_train", t4cFallback),
+    "t22_segment_langmix" -> t22Sql,
     "t13_bm25_topk" -> t13Sql,
     "t14_tfidf_terms" -> t14Sql,
     "t15_ref_lm_score" -> t15Sql,

@@ -669,6 +669,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window — the min is a broadcast scalar:\n$p")
   }
 
+  test("t22: profile broadcasts; segment grams never shuffle as strings; windows are per-doc vote rows") {
+    val p = plan("t22_segment_langmix")
+    // t2b's geometry at segment granularity: the only hash exchanges
+    // carry (doc_id[, seg_id|seg_lang])-keyed small rows — the exploded
+    // gram stream collapses map-side before anything moves
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k == "doc_id" || k == "doc_id, seg_id" || k == "doc_id, seg_lang"),
+      s"unexpected exchange keys $keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the langs x 300 profile relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m11: keyframe extraction is a PURE narrow map — zero exchanges, one blob scan") {
     // cut detection, histogram totals and the argmin all happen inside
     // the kernel; the blob scan is the only data movement at any size

@@ -1004,4 +1004,51 @@ class TextOpsSpec extends SparkSpec {
     val b = TextOps.t18QualityClassifier(spark, sf).collect()
     assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
   }
+
+  test("t22: planted segments — per-segment votes, majority ties ascending, evidence-free docs unflagged") {
+    // breaker arithmetic (d14's rule, mod 6): "e" → 1·31+101 = 132 ≡ 0
+    // closes a segment; "thick"/"thing" → 271 ≡ 1, "zhong" → 277 ≡ 1,
+    // "zhu" → 215 ≡ 5, "zzz" → 215 ≡ 5 stay inside. Profile: " th" is
+    // English evidence, " zh" Chinese.
+    val prof = Seq(("en", " th", 10L), ("zh", " zh", 10L))
+    val docs = Seq(
+      (1L, "thick thing e zhong zhu e"), // seg en + seg zh → mixed, tie→en
+      (2L, "thick thing e thing thick e"), // both segs en → consistent
+      (3L, "zzz e"),                     // no profile evidence at all
+      (4L, "thick zhong e zhong zhu e")  // seg0 ties en/zh → en; still mixed
+    ).toDF("doc_id", "text")
+    val got = TextOps.segmentLangMixOf(docs, prof)
+      .as[(Long, Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((2L, "en", 1L, 500000L, true)),
+      "mixed doc: one vote each, majority tie breaks ascending, flagged")
+    assert(got(2L) === ((2L, "en", 2L, 1000000L, false)), "pure doc unflagged")
+    assert(got(3L) === ((0L, "??", 0L, 1000000L, false)),
+      "evidence-free doc is vacuously consistent")
+    assert(got(4L) === ((2L, "en", 1L, 500000L, true)),
+      "within-segment score tie breaks to the ascending code")
+  }
+
+  test("t22: fixture rollup invariants hold; corpus profile langs only; multi-segment docs exist") {
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val rows = TextOps.t22SegmentLangmix(spark, sf).collect()
+    assert(rows.length.toLong === nDocs, "full-corpus-rows convention")
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select($"lang").distinct().as[String].collect().toSet
+    rows.foreach { r =>
+      val (tot, maj, n, mix, flag) = (r.getAs[Long]("n_segments"),
+        r.getAs[String]("majority_lang"), r.getAs[Long]("n_majority"),
+        r.getAs[Long]("mix_micro"), r.getAs[Boolean]("lang_mixed"))
+      assert(n <= tot)
+      if (tot == 0L) assert(maj === "??" && mix === 1000000L && !flag)
+      else {
+        assert(langs.contains(maj))
+        assert(mix === n * 1000000L / tot)
+        assert(flag === (mix < 800000L))
+        assert(n >= 1L)
+      }
+    }
+    assert(rows.exists(_.getAs[Long]("n_segments") > 1L),
+      "the fixture exercises multi-segment docs")
+  }
 }
