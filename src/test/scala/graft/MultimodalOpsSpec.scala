@@ -570,4 +570,45 @@ class MultimodalOpsSpec extends SparkSpec {
     // (sf0.001 text is temporally uniform — no natural cut crosses τ).
     assert(got.values.exists(v => v._1 > 1L && v._3 > 0L))
   }
+
+  test("m11: 40 seeded random payloads (cut-rich) replay brute-force; shots partition the frames") {
+    // random bytes cross τ constantly — the multi-shot regime the real
+    // corpus doesn't reach — so this drives the shot-alignment ×
+    // argmin interplay hard
+    val rnd = new scala.util.Random(7)
+    val payloads = (1L to 40L).map { id =>
+      val b = new Array[Byte](rnd.nextInt(40) * 32 + rnd.nextInt(33))
+      rnd.nextBytes(b); (id, b)
+    }
+    val want = payloads.flatMap { case (id, bytes) =>
+      val n = bytes.length / 32
+      val hists = (0 until n).map { k =>
+        val h = new Array[Long](16)
+        (k * 32 until k * 32 + 32).foreach(i => h((bytes(i) & 0xff) / 16) += 1)
+        h
+      }
+      val cuts = (1 until n).filter(k =>
+        (0 until 16).map(b => math.abs(hists(k)(b) - hists(k - 1)(b))).sum > 24)
+      val bounds = (0 +: cuts) :+ n
+      bounds.sliding(2).zipWithIndex.collect {
+        case (Seq(lo, hi), sid) if hi > lo =>
+          val tot = (0 until 16).map(b => (lo until hi).map(hists(_)(b)).sum)
+          val ds = (lo until hi).map(f =>
+            (0 until 16).map(b => math.abs((hi - lo) * hists(f)(b) - tot(b))).sum)
+          (id, sid.toLong) -> (((hi - lo).toLong, (lo + ds.indexOf(ds.min)).toLong, ds.min))
+      }
+    }.toMap
+    val got = MultimodalOps.keyframesOf(payloads.toDS())
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === want)
+    // multi-shot payloads dominate here, and every doc's shots tile its
+    // frame count exactly
+    assert(got.keys.groupBy(_._1).values.count(_.size > 1) > 20)
+    payloads.foreach { case (id, bytes) =>
+      val n = (bytes.length / 32).toLong
+      val mine = got.collect { case ((d, _), v) if d == id => v._1 }
+      assert(mine.sum === n, s"doc $id shots must tile its $n frames")
+    }
+  }
 }

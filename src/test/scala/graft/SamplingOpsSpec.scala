@@ -443,6 +443,34 @@ class SamplingOpsSpec extends SparkSpec {
     assert(reps.exists(r => math.abs(r - 4.0) < 1e-9))
   }
 
+  test("p9: α-weight trainer properties over 200 seeded random supplies") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val k = 2 + rnd.nextInt(8)
+      val counts = (0 until k).map(i =>
+        s"l$i" -> (1L + rnd.nextInt(1000000)))
+      val w = SamplingOps.alphaWeightsMicro(counts).toMap
+      // normalization within one rounding per language
+      assert(math.abs(w.values.sum - 1000000L) <= k.toLong)
+      // order preservation: more tokens never means less weight
+      counts.sortBy(_._2).map(c => w(c._1)).sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b); case _ => ()
+      }
+      // temperature compresses: max/min weight ratio never exceeds the
+      // share ratio (q-ratio = p-ratio^0.3 < p-ratio for ratio > 1)
+      val (mn, mx) = (counts.map(_._2).min, counts.map(_._2).max)
+      if (mx > mn) {
+        val (wn, wx) = (w.values.min, w.values.max)
+        assert(wx.toDouble / wn <= mx.toDouble / mn + 1e-6)
+      }
+      // scale invariance: shares unchanged ⇒ identical micro weights
+      assert(SamplingOps.alphaWeightsMicro(
+        counts.map { case (l, t) => l -> t * 7 }).toMap === w)
+      // permutation invariance: input order never matters
+      assert(SamplingOps.alphaWeightsMicro(rnd.shuffle(counts)).toMap === w)
+    }
+  }
+
   test("p9: planted skewed corpus — the rare language is up-weighted, the dominant one down") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p9").toString
     val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
