@@ -1676,12 +1676,13 @@ object DedupOps {
           .cast("int").as("n_tokens_kept"))
   }
 
-  // d14's oracle: the identical breaker rule on (length, first-char
-  // code), seg_id = breakers among strictly-preceding tokens, df over
-  // segment STRINGS (hash-faithful — the d10 argument), rebuild =
-  // ordered string_agg of surviving segments.
-  private val d14Sql =
-    s"""WITH tok AS (
+  // The breaker-rule segmentation CTEs ([[segmentsOf]]'s SQL half:
+  // identical rule on (length, first-char code), seg_id = breakers among
+  // strictly-preceding tokens, segment string + token count per
+  // (doc, seg)) — shared verbatim by the d14 and t22 oracles, ONE SQL
+  // spelling of the segmenter to match the ONE Column spelling.
+  private[operators] lazy val segmentCtesSql =
+    s"""tok AS (
        |  SELECT doc_id, (s).i AS i, (s).t AS t FROM (
        |    SELECT doc_id, unnest(
        |      [{'i': i - 1, 't': w[i]} for i in range(1, len(w) + 1)]) AS s
@@ -1698,8 +1699,14 @@ object DedupOps {
        |segs AS (
        |  SELECT doc_id, seg_id, string_agg(t, ' ' ORDER BY i) AS s,
        |    COUNT(*) AS ntok
-       |  FROM seg GROUP BY 1, 2),
-       |boiler AS (
+       |  FROM seg GROUP BY 1, 2)""".stripMargin
+
+  // d14's oracle: the shared segment CTEs, df over segment STRINGS
+  // (hash-faithful — the d10 argument), rebuild = ordered string_agg of
+  // surviving segments.
+  private lazy val d14Sql =
+    s"WITH $segmentCtesSql,\n" +
+    s"""boiler AS (
        |  SELECT s FROM (
        |    SELECT s, COUNT(DISTINCT doc_id) AS df FROM segs
        |    WHERE ntok >= $SegMinTokens GROUP BY 1)

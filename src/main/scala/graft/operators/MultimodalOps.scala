@@ -998,13 +998,14 @@ object MultimodalOps {
       .toDF("doc_id", "n_frames", "n_cuts", "first_cut", "max_l1")
   }
 
-  // m9's stub semantics in DuckDB: dense (win, bin) histogram grid per
-  // doc (so absent bins compare as 0 on both sides), adjacent-window
-  // inner join on the dense grid, L1 per boundary, per-doc rollup.
-  // Carries m8's documented ASCII-only byte==char coupling (see note
-  // above m8Sql).
-  private val m9Sql =
-    s"""WITH d AS (
+  // The dense (win, bin) histogram grid per doc — absent bins compare
+  // as 0 on both sides — shared verbatim by the m9/m10/m11 oracles (ONE
+  // spelling of the stub frame decode; a respelling edited here reaches
+  // all three, the drift channel a per-oracle copy would open). Carries
+  // m8's documented ASCII-only byte==char coupling (see note above
+  // m8Sql).
+  private lazy val denseGridCtesSql =
+    s"""d AS (
        |  SELECT doc_id, text, length(text) // $FrameWindow AS n
        |  FROM documents),
        |w AS (
@@ -1021,8 +1022,35 @@ object MultimodalOps {
        |hd AS (
        |  SELECT g.doc_id, g.win, g.bin, COALESCE(h.c, 0) AS c
        |  FROM grid g LEFT JOIN h
-       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin),
-       |delta AS (
+       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin)""".stripMargin
+
+  // The cut → shot-span CTEs over the dense grid ([[videoShotsOf]]'s SQL
+  // half), shared by m10 and m11. `sw` (shot start) is consumed by m10's
+  // span probes; m11 reads only nf.
+  private lazy val shotCtesSql =
+    s"""delta AS (
+       |  SELECT a.doc_id, a.win,
+       |    CASE WHEN SUM(ABS(a.c - b.c)) > $SceneCutTau THEN 1 ELSE 0 END
+       |      AS cut
+       |  FROM hd a JOIN hd b
+       |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
+       |  GROUP BY 1, 2),
+       |wins AS (
+       |  SELECT g.doc_id, g.win, COALESCE(dl.cut, 0) AS cut
+       |  FROM (SELECT DISTINCT doc_id, win FROM grid) g
+       |  LEFT JOIN delta dl ON dl.doc_id = g.doc_id AND dl.win = g.win),
+       |sid AS (
+       |  SELECT doc_id, win,
+       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY win
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+       |  FROM wins),
+       |shots AS (
+       |  SELECT doc_id, shot_id, MIN(win) AS sw, COUNT(*) AS nf
+       |  FROM sid GROUP BY 1, 2)""".stripMargin
+
+  private lazy val m9Sql =
+    s"WITH $denseGridCtesSql,\n" +
+    s"""delta AS (
        |  SELECT a.doc_id, a.win, SUM(ABS(a.c - b.c)) AS l1
        |  FROM hd a JOIN hd b
        |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
@@ -1066,29 +1094,42 @@ object MultimodalOps {
     * fires (same rolling histograms, same τ — one kernel owns the cut
     * rule in spirit; this spelling also returns the spans m9's rollup
     * discards). */
-  private[graft] def videoShotsOf(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+  private[graft] def videoShotsOf(bytes: Array[Byte]): Seq[(Int, Int, Int)] =
+    videoShotsOf(frameHistsOf(bytes))
+
+  /** Per-frame [[SceneBins]]-bin histograms of a payload — the shared
+    * first pass of the m10/m11 kernels, built once per payload so
+    * callers that need both the cuts AND the per-frame histograms
+    * (m11's argmin) never scan the bytes twice. */
+  private[graft] def frameHistsOf(bytes: Array[Byte]): Array[Array[Int]] = {
     val n = bytes.length / FrameWindow
-    if (n == 0) return Nil
-    val out = Seq.newBuilder[(Int, Int, Int)]
-    val prev = new Array[Int](SceneBins)
-    val cur = new Array[Int](SceneBins)
-    var sid = 0
-    var start = 0
+    val hists = Array.ofDim[Int](n, SceneBins)
     var w = 0
     while (w < n) {
-      java.util.Arrays.fill(cur, 0)
       var i = w * FrameWindow
       val end = i + FrameWindow
-      while (i < end) { cur((bytes(i) & 0xff) / SceneBins) += 1; i += 1 }
-      if (w > 0) {
-        var l1 = 0L
-        var b = 0
-        while (b < SceneBins) { l1 += math.abs(cur(b) - prev(b)); b += 1 }
-        if (l1 > SceneCutTau) {
-          out += ((sid, start, w - start)); sid += 1; start = w
-        }
+      while (i < end) { hists(w)((bytes(i) & 0xff) / SceneBins) += 1; i += 1 }
+      w += 1
+    }
+    hists
+  }
+
+  /** The cut pass over a prebuilt histogram matrix (same rule as
+    * [[sceneCutsOf]]: adjacent-frame L1 > [[SceneCutTau]]). */
+  private[graft] def videoShotsOf(hists: Array[Array[Int]]): Seq[(Int, Int, Int)] = {
+    val n = hists.length
+    if (n == 0) return Nil
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var sid = 0
+    var start = 0
+    var w = 1
+    while (w < n) {
+      var l1 = 0L
+      var b = 0
+      while (b < SceneBins) { l1 += math.abs(hists(w)(b) - hists(w - 1)(b)); b += 1 }
+      if (l1 > SceneCutTau) {
+        out += ((sid, start, w - start)); sid += 1; start = w
       }
-      System.arraycopy(cur, 0, prev, 0, SceneBins)
       w += 1
     }
     out += ((sid, start, n - start))
@@ -1204,44 +1245,8 @@ object MultimodalOps {
       .mkString(",\n    ")
     val ham = (0 until AHashBlocks).map(b =>
       s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
-    s"""WITH d AS (
-       |  SELECT doc_id, text, length(text) // $FrameWindow AS n
-       |  FROM documents),
-       |w AS (
-       |  SELECT doc_id, (i - 1) // $FrameWindow AS win,
-       |         ascii(substr(text, i, 1)) // $SceneBins AS bin
-       |  FROM d, UNNEST(generate_series(1, n * $FrameWindow)) AS t(i)),
-       |h AS (SELECT doc_id, win, bin, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
-       |grid AS (
-       |  SELECT d.doc_id, wi.win, bi.bin
-       |  FROM d,
-       |       UNNEST(generate_series(0, n - 1)) AS wi(win),
-       |       UNNEST(generate_series(0, ${SceneBins - 1})) AS bi(bin)
-       |  WHERE d.n > 0),
-       |hd AS (
-       |  SELECT g.doc_id, g.win, g.bin, COALESCE(h.c, 0) AS c
-       |  FROM grid g LEFT JOIN h
-       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin),
-       |delta AS (
-       |  SELECT a.doc_id, a.win,
-       |    CASE WHEN SUM(ABS(a.c - b.c)) > $SceneCutTau THEN 1 ELSE 0 END
-       |      AS cut
-       |  FROM hd a JOIN hd b
-       |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
-       |  GROUP BY 1, 2),
-       |wins AS (
-       |  SELECT g.doc_id, g.win, COALESCE(dl.cut, 0) AS cut
-       |  FROM (SELECT DISTINCT doc_id, win FROM grid) g
-       |  LEFT JOIN delta dl ON dl.doc_id = g.doc_id AND dl.win = g.win),
-       |sid AS (
-       |  SELECT doc_id, win,
-       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY win
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
-       |  FROM wins),
-       |shots AS (
-       |  SELECT doc_id, shot_id, MIN(win) AS sw, COUNT(*) AS nf
-       |  FROM sid GROUP BY 1, 2),
-       |sq AS (
+    s"WITH $denseGridCtesSql,\n$shotCtesSql,\n" +
+    s"""sq AS (
        |  SELECT doc_id, i,
        |    CAST(ascii(substr(text, i, 1)) AS BIGINT)
        |      * ascii(substr(text, i, 1)) AS v
@@ -1354,81 +1359,35 @@ object MultimodalOps {
       blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.flatMap { case (id, bytes) =>
-      val n = bytes.length / FrameWindow
-      if (n == 0) Iterator.empty
-      else {
-        val hist = Array.ofDim[Int](n, SceneBins)
-        var w = 0
-        while (w < n) {
-          var i = w * FrameWindow
-          val end = i + FrameWindow
-          while (i < end) { hist(w)((bytes(i) & 0xff) / SceneBins) += 1; i += 1 }
-          w += 1
+      val hist = frameHistsOf(bytes) // ONE byte scan feeds cuts + argmin
+      if (hist.isEmpty) Iterator.empty
+      else videoShotsOf(hist).iterator.map { case (sid, sfr, nf) =>
+        val tot = new Array[Long](SceneBins)
+        var f = sfr
+        while (f < sfr + nf) {
+          var b = 0
+          while (b < SceneBins) { tot(b) += hist(f)(b); b += 1 }
+          f += 1
         }
-        videoShotsOf(bytes).iterator.map { case (sid, sfr, nf) =>
-          val tot = new Array[Long](SceneBins)
-          var f = sfr
-          while (f < sfr + nf) {
-            var b = 0
-            while (b < SceneBins) { tot(b) += hist(f)(b); b += 1 }
-            f += 1
-          }
-          var best = -1L; var bestD = Long.MaxValue
-          f = sfr
-          while (f < sfr + nf) {
-            var d = 0L; var b = 0
-            while (b < SceneBins) { d += math.abs(nf.toLong * hist(f)(b) - tot(b)); b += 1 }
-            if (d < bestD) { bestD = d; best = f } // strict < — earliest wins ties
-            f += 1
-          }
-          (id, sid.toLong, nf.toLong, best, bestD)
+        var best = -1L; var bestD = Long.MaxValue
+        f = sfr
+        while (f < sfr + nf) {
+          var d = 0L; var b = 0
+          while (b < SceneBins) { d += math.abs(nf.toLong * hist(f)(b) - tot(b)); b += 1 }
+          if (d < bestD) { bestD = d; best = f } // strict < — earliest wins ties
+          f += 1
         }
+        (id, sid.toLong, nf.toLong, best, bestD)
       }
     }.toDF("doc_id", "shot_id", "n_frames", "key_frame", "key_dist")
   }
 
-  // m11's oracle: m10's dense-grid cut CTEs → shot membership, then the
-  // scaled integer distance per member frame and an earliest-frame argmin.
-  // Carries the documented ASCII byte==char coupling.
-  private val m11Sql =
-    s"""WITH d AS (
-       |  SELECT doc_id, text, length(text) // $FrameWindow AS n
-       |  FROM documents),
-       |w AS (
-       |  SELECT doc_id, (i - 1) // $FrameWindow AS win,
-       |         ascii(substr(text, i, 1)) // $SceneBins AS bin
-       |  FROM d, UNNEST(generate_series(1, n * $FrameWindow)) AS t(i)),
-       |h AS (SELECT doc_id, win, bin, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
-       |grid AS (
-       |  SELECT d.doc_id, wi.win, bi.bin
-       |  FROM d,
-       |       UNNEST(generate_series(0, n - 1)) AS wi(win),
-       |       UNNEST(generate_series(0, ${SceneBins - 1})) AS bi(bin)
-       |  WHERE d.n > 0),
-       |hd AS (
-       |  SELECT g.doc_id, g.win, g.bin, COALESCE(h.c, 0) AS c
-       |  FROM grid g LEFT JOIN h
-       |    ON h.doc_id = g.doc_id AND h.win = g.win AND h.bin = g.bin),
-       |delta AS (
-       |  SELECT a.doc_id, a.win,
-       |    CASE WHEN SUM(ABS(a.c - b.c)) > $SceneCutTau THEN 1 ELSE 0 END
-       |      AS cut
-       |  FROM hd a JOIN hd b
-       |    ON b.doc_id = a.doc_id AND b.win = a.win - 1 AND b.bin = a.bin
-       |  GROUP BY 1, 2),
-       |wins AS (
-       |  SELECT g.doc_id, g.win, COALESCE(dl.cut, 0) AS cut
-       |  FROM (SELECT DISTINCT doc_id, win FROM grid) g
-       |  LEFT JOIN delta dl ON dl.doc_id = g.doc_id AND dl.win = g.win),
-       |sid AS (
-       |  SELECT doc_id, win,
-       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY win
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
-       |  FROM wins),
-       |shots AS (
-       |  SELECT doc_id, shot_id, MIN(win) AS sw, COUNT(*) AS nf
-       |  FROM sid GROUP BY 1, 2),
-       |sh AS (
+  // m11's oracle: the shared dense-grid + shot CTEs → shot membership,
+  // then the scaled integer distance per member frame and an
+  // earliest-frame argmin. Carries the documented ASCII coupling.
+  private lazy val m11Sql =
+    s"WITH $denseGridCtesSql,\n$shotCtesSql,\n" +
+    s"""sh AS (
        |  SELECT s.doc_id, s.shot_id, hd.bin, SUM(hd.c) AS tc
        |  FROM sid s JOIN hd ON hd.doc_id = s.doc_id AND hd.win = s.win
        |  GROUP BY 1, 2, 3),

@@ -669,6 +669,10 @@ object SamplingOps {
     * the feasible column — and a language so rare it rounds to 0 of 10⁶
     * still deserves its floor under the α → 0 philosophy). */
   private[graft] def alphaWeightsMicro(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    // loud, not NaN: an empty supply would propagate total=0 → NaN pow
+    // here and a parse-invalid 'CASE ELSE 1 END' into the spliced oracle
+    // (t2b's require-nonEmpty precedent)
+    require(counts.nonEmpty, "p9: empty language supply — no corpus to mix")
     val sorted = counts.sortBy(_._1)
     val total = sorted.map(_._2).sum.toDouble
     val pow = sorted.map { case (l, t) => l -> StrictMath.pow(t / total, MixAlpha) }

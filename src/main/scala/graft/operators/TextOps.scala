@@ -232,10 +232,14 @@ object TextOps {
         rows
       }
 
+  // The trained-profile CTEs ([[langProfilesOf]]'s SQL half: corpus
+  // trigram stream, reference-slice counts, top-M micro-unit weights) —
+  // shared verbatim by the t2b and t22 oracles, ONE SQL spelling of the
+  // trainer to match the ONE persisted artifact both operators load.
   // lazy: interpolates DecontMod, declared further down the object —
-  // an eager val here would read it as 0 mid-initialization
-  private lazy val t2bSql =
-    s"""WITH gr AS (
+  // an eager val here would read it as 0 mid-initialization.
+  private lazy val profileCtesSql =
+    s"""gr AS (
        |  SELECT doc_id, lang, unnest($charTrigramsSql) AS g
        |  FROM documents),
        |cnt AS (
@@ -249,8 +253,11 @@ object TextOps {
        |      CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot,
        |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
        |    FROM cnt) t
-       |  WHERE rk <= $ProfileTopM),
-       |langs AS (SELECT DISTINCT p_lang FROM prof),
+       |  WHERE rk <= $ProfileTopM)""".stripMargin
+
+  private lazy val t2bSql =
+    s"WITH $profileCtesSql,\n" +
+    s"""langs AS (SELECT DISTINCT p_lang FROM prof),
        |sc AS (
        |  SELECT gr.doc_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS s
        |  FROM gr JOIN prof p ON gr.g = p.g
@@ -351,44 +358,15 @@ object TextOps {
   private def charTrigramsSqlOf(c: String): String =
     charTrigramsSql.replace("lower(text)", s"lower($c)")
 
-  // t22's oracle: d14's breaker-rule segment CTEs + t2b's profile CTEs,
-  // dense (segment × langs) scores so tie-breaks see every language on
-  // both engines, then the vote/majority rollup.
+  // t22's oracle: the SHARED segment CTEs (DedupOps — d14's spelling)
+  // + the SHARED profile CTEs (t2b's spelling), dense (segment × langs)
+  // scores so tie-breaks see every language on both engines, then the
+  // vote/majority rollup.
   private lazy val t22Sql =
-    s"""WITH tok AS (
-       |  SELECT doc_id, (s).i AS i, (s).t AS t FROM (
-       |    SELECT doc_id, unnest(
-       |      [{'i': i - 1, 't': w[i]} for i in range(1, len(w) + 1)]) AS s
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |          FROM documents)) u),
-       |seg AS (
-       |  SELECT doc_id, i, t,
-       |    COALESCE(SUM(CASE WHEN (length(t) * 31 + ascii(substr(t, 1, 1)))
-       |        % ${graft.operators.DedupOps.SegMod} = 0 THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY i
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      AS seg_id
-       |  FROM tok),
-       |segs AS (
-       |  SELECT doc_id, seg_id, string_agg(t, ' ' ORDER BY i) AS st
-       |  FROM seg GROUP BY 1, 2),
-       |cnt AS (
-       |  SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
-       |    SELECT doc_id, lang, unnest($charTrigramsSql) AS g
-       |    FROM documents) gr0
-       |  WHERE doc_id % $DecontMod = 0
-       |  GROUP BY 1, 2),
-       |prof AS (
-       |  SELECT lang AS p_lang, g, ((c * 1000000) // tot) AS w
-       |  FROM (
-       |    SELECT lang, g, c,
-       |      CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot,
-       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rk
-       |    FROM cnt) t
-       |  WHERE rk <= $ProfileTopM),
-       |langs AS (SELECT DISTINCT p_lang FROM prof),
+    s"WITH ${DedupOps.segmentCtesSql},\n$profileCtesSql,\n" +
+    s"""langs AS (SELECT DISTINCT p_lang FROM prof),
        |sg AS (
-       |  SELECT doc_id, seg_id, unnest(${charTrigramsSqlOf("st")}) AS g
+       |  SELECT doc_id, seg_id, unnest(${charTrigramsSqlOf("s")}) AS g
        |  FROM segs),
        |sc AS (
        |  SELECT s.doc_id, s.seg_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS sw

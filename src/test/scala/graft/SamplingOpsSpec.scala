@@ -474,8 +474,9 @@ class SamplingOpsSpec extends SparkSpec {
   test("p9: planted skewed corpus — the rare language is up-weighted, the dominant one down") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p9").toString
     val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
-    // en: 900 tokens, zh: 100 → shares (0.9, 0.1); α=0.3 weights ≈
-    // (0.66/1.16, 0.50/1.16) — zh's 10% of tokens earns ~43% of the mix
+    // en: 900 tokens, zh: 100 → shares (0.9, 0.1); p^0.3 = (0.969, 0.501),
+    // Z = 1.470 → weights ≈ (0.659, 0.341) — zh's 10% of tokens earns
+    // ~34% of the mix (weight_micro ≈ 340,914)
     ((1L to 9L).map(i => (i, mk(100), "en", "src0", 0L)) :+
       ((10L, mk(100), "zh", "src1", 0L)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
