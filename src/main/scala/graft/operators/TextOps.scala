@@ -128,7 +128,7 @@ object TextOps {
         concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))
   }
 
-  private[operators] val charTrigramsSql =
+  private[graft] val charTrigramsSql =
     """flatten(list_transform(
       |  list_filter(string_split(lower(text), ' '), w -> length(w) >= 1),
       |  w -> list_transform(generate_series(1, length(w)),
@@ -162,27 +162,49 @@ object TextOps {
   def t2bLangIdTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val profile = langProfileRows(s, dir)
-    val langs = profile.map(_._1).distinct.sorted
-    val prof = profile.toDF("p_lang", "g", "w")
+    val langs = profileLangs(profile)
     val docs = Tables.documents(s, dir)
-    val pivots = langs.map(l =>
-      sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
-    val hits = docs
-      .select($"doc_id", explode(charTrigrams($"text")).as("g"))
-      .join(broadcast(prof), Seq("g"))
-      .groupBy($"doc_id")
-      .agg(pivots.head, pivots.tail: _*)
-    // strictly-greater fold over langs in ASC order: ties keep the
-    // earlier (smaller) code — the oracle's (score DESC, lang ASC)
-    val best = langs.map { l =>
-      struct(coalesce(col(s"s_$l"), lit(0L)).as("s"), lit(l).as("c"))
-    }.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    val best = bestLangStruct(langs)
     docs.select($"doc_id", $"lang".as("labeled_lang"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(profileScores(docs, $"text", Seq($"doc_id"), profile),
+        Seq("doc_id"), "left")
       .select($"doc_id", $"labeled_lang",
         best.getField("c").as("pred_lang"),
         best.getField("s").as("score_micro"))
   }
+
+  /** The distinct sorted language codes a profile carries — the pivot
+    * and argmax column order every profile consumer shares. */
+  private[graft] def profileLangs(profile: Seq[(String, String, Long)]): Seq[String] =
+    profile.map(_._1).distinct.sorted
+
+  /** The broadcast-profile trigram scorer shared by t2b (per doc), t22
+    * (per segment) and st13 (per incoming doc): `text`'s trigram
+    * occurrences tagged by the broadcast ≤ langs×[[ProfileTopM]] profile
+    * and collapsed in ONE map-side-combined aggregate over `keys`,
+    * pivoted to per-language `s_<lang>` columns. Rows without a single
+    * profile hit are ABSENT (inner gram join) — consumers left-join and
+    * let [[bestLangStruct]]'s coalesce treat them as all-zero. */
+  private[graft] def profileScores(rel: DataFrame, text: Column,
+      keys: Seq[Column], profile: Seq[(String, String, Long)]): DataFrame = {
+    val s = rel.sparkSession
+    import s.implicits._
+    val prof = profile.toDF("p_lang", "g", "w")
+    val pivots = profileLangs(profile).map(l =>
+      sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
+    rel.select(keys :+ explode(charTrigrams(text)).as("g"): _*)
+      .join(broadcast(prof), Seq("g"))
+      .groupBy(keys: _*)
+      .agg(pivots.head, pivots.tail: _*)
+  }
+
+  /** The deterministic argmax over [[profileScores]]' pivot columns: a
+    * strictly-greater fold over langs in ASC order, so ties keep the
+    * earlier (smaller) code — every oracle's (score DESC, lang ASC). */
+  private[graft] def bestLangStruct(langs: Seq[String]): Column =
+    langs.map { l =>
+      struct(coalesce(col(s"s_$l"), lit(0L)).as("s"), lit(l).as("c"))
+    }.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
 
   /** The trained (lang, gram, weight) profile relation over any labeled
     * documents frame — the spec drives planted corpora through this
@@ -215,7 +237,7 @@ object TextOps {
     * fingerprint, persisted, memoized; the collect is bounded by
     * langs × [[ProfileTopM]]. Fails loudly on an unlabeled/empty
     * reference slice. */
-  private def langProfileRows(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+  private[graft] def langProfileRows(s: SparkSession, dir: String): Seq[(String, String, Long)] =
     profileMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "",
       graft.sources.Layouts.tableFingerprint(dir, "documents")) {
         import s.implicits._
@@ -238,7 +260,7 @@ object TextOps {
   // trainer to match the ONE persisted artifact both operators load.
   // lazy: interpolates DecontMod, declared further down the object —
   // an eager val here would read it as 0 mid-initialization.
-  private lazy val profileCtesSql =
+  private[graft] lazy val profileCtesSql =
     s"""gr AS (
        |  SELECT doc_id, lang, unnest($charTrigramsSql) AS g
        |  FROM documents),
@@ -320,22 +342,11 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val langs = profile.map(_._1).distinct.sorted
-    val prof = profile.toDF("p_lang", "g", "w")
-    val pivots = langs.map(l =>
-      sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
-    val hits = docs
-      .select($"doc_id",
-        posexplode(DedupOps.segmentsOf($"text")).as(Seq("seg_id", "seg")))
-      .select($"doc_id", $"seg_id", explode(charTrigrams($"seg")).as("g"))
-      .join(broadcast(prof), Seq("g"))
-      .groupBy($"doc_id", $"seg_id")
-      .agg(pivots.head, pivots.tail: _*)
-    // strictly-greater fold in ASC lang order — ties keep the smaller
-    // code, mirroring the oracle's (score DESC, lang ASC) rank
-    val best = langs.map { l =>
-      struct(col(s"s_$l").as("s"), lit(l).as("c"))
-    }.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    val hits = profileScores(
+      docs.select($"doc_id",
+        posexplode(DedupOps.segmentsOf($"text")).as(Seq("seg_id", "seg"))),
+      $"seg", Seq($"doc_id", $"seg_id"), profile)
+    val best = bestLangStruct(profileLangs(profile))
     val votes = hits.select($"doc_id", best.getField("c").as("seg_lang"))
       .groupBy($"doc_id", $"seg_lang").agg(count(lit(1)).as("n"))
     val byDoc = Window.partitionBy($"doc_id")

@@ -728,6 +728,102 @@ object StreamingOps {
        |LEFT JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- st13
+
+  /** Minimum average profile weight per trigram occurrence (micro-units)
+    * for an incoming doc to count as confidently identified. Measured on
+    * the fixture: clean docs land in [8048, 10058] at both sf0.001 and
+    * sf0.01, out-of-model gibberish hits almost no profile grams and
+    * lands near 0 — τ at half the clean floor separates them with
+    * headroom both ways. Per-corpus calibration — the GATE is the
+    * contract, exactly mC4's 0.7-confidence posture. */
+  private[graft] val LangGateTauMicro = 4000L
+
+  /** The language gate at the streaming front door — the check every
+    * published web pipeline runs FIRST (CCNet buckets by lang-ID before
+    * anything else touches a page; mC4 drops pages under 0.7 langdetect
+    * confidence): identify each incoming doc with t2b's PERSISTED
+    * trained profile (zero new training) and admit only docs whose
+    * average per-trigram profile weight clears [[LangGateTauMicro]] —
+    * a length-invariant confidence proxy in exact integers (summed
+    * profile weights div trigram occurrences; a gibberish or
+    * out-of-model doc hits few profile grams and lands near 0).
+    * Emits per doc: pred_lang, score_micro, n_tri, conf_micro,
+    * lang_admit.
+    *
+    * Scale shape: t2b's scoring geometry per micro-batch — the profile
+    * broadcasts, grams collapse map-side in ONE (doc_id) aggregate; the
+    * per-doc aggregation runs through foreachBatch (st8/st11/st12's
+    * device), zero state store, nothing accumulates across batches. */
+  def langGate(incoming: DataFrame,
+      profile: Seq[(String, String, Long)]): DataFrame = {
+    import graft.operators.TextOps
+    val langs = TextOps.profileLangs(profile)
+    val best = TextOps.bestLangStruct(langs)
+    incoming
+      .select(col("doc_id"),
+        size(TextOps.charTrigrams(col("text"))).cast("long").as("n_tri"))
+      .join(TextOps.profileScores(incoming, col("text"),
+        Seq(col("doc_id")), profile), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        best.getField("c").as("pred_lang"),
+        best.getField("s").as("score_micro"),
+        col("n_tri"))
+      .withColumn("conf_micro", expr("score_micro div greatest(n_tri, 1)"))
+      .withColumn("lang_admit", col("conf_micro") >= LangGateTauMicro)
+  }
+
+  /** st13: the gate in batch mode over d8's deterministic ingest slice
+    * (st7's registration device), scoring under the standing corpus's
+    * persisted t2b profile. StreamingOpsSpec proves the same kernel
+    * through foreachBatch emits identical rows with no state store. */
+  def st13StreamLangGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DedupOps, TextOps}
+    val docs = Tables.documents(s, dir)
+    langGate(
+      docs.where(col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem),
+      TextOps.langProfileRows(s, dir))
+  }
+
+  // Oracle: the shared profile CTEs (t2b's spelling) scored over the
+  // ingest slice, dense (doc × langs) so ties see every language, the
+  // trigram-occurrence count from the same shared snippet.
+  private lazy val st13Sql = {
+    val m = graft.operators.DedupOps.IngestMod
+    val r = graft.operators.DedupOps.IngestRem
+    val tau = LangGateTauMicro
+    s"WITH ${graft.operators.TextOps.profileCtesSql},\n" +
+    s"""langs AS (SELECT DISTINCT p_lang FROM prof),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % $m = $r),
+       |ig AS (
+       |  SELECT doc_id, unnest(${graft.operators.TextOps.charTrigramsSql}) AS g
+       |  FROM inc),
+       |sc AS (
+       |  SELECT ig.doc_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS s
+       |  FROM ig JOIN prof p ON ig.g = p.g GROUP BY 1, 2),
+       |full_sc AS (
+       |  SELECT i.doc_id, l.p_lang, COALESCE(sc.s, 0) AS s
+       |  FROM inc i CROSS JOIN langs l
+       |  LEFT JOIN sc ON sc.doc_id = i.doc_id AND sc.p_lang = l.p_lang),
+       |best AS (
+       |  SELECT doc_id, p_lang AS pred_lang, CAST(s AS BIGINT) AS score_micro
+       |  FROM (
+       |    SELECT doc_id, p_lang, s,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY s DESC, p_lang) AS rk
+       |    FROM full_sc) q
+       |  WHERE rk = 1),
+       |nt AS (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.operators.TextOps.charTrigramsSql}) AS BIGINT)
+       |      AS n_tri
+       |  FROM inc)
+       |SELECT b.doc_id, b.pred_lang, b.score_micro, nt.n_tri,
+       |  CAST(b.score_micro // greatest(nt.n_tri, 1) AS BIGINT) AS conf_micro,
+       |  b.score_micro // greatest(nt.n_tri, 1) >= $tau AS lang_admit
+       |FROM best b JOIN nt ON b.doc_id = nt.doc_id""".stripMargin
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -751,7 +847,8 @@ object StreamingOps {
     "st9_stream_neardup_screen" -> st9StreamNearDupScreen _,
     "st10_stream_quality_gate" -> st10StreamQualityGate _,
     "st11_stream_attribute_sheet" -> st11StreamAttributeSheet _,
-    "st12_stream_decont_screen" -> st12StreamDecontScreen _)
+    "st12_stream_decont_screen" -> st12StreamDecontScreen _,
+    "st13_stream_lang_gate" -> st13StreamLangGate _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -770,5 +867,6 @@ object StreamingOps {
     "st9_stream_neardup_screen" -> st9Sql,
     "st10_stream_quality_gate" -> st10Sql,
     "st11_stream_attribute_sheet" -> st11Sql,
-    "st12_stream_decont_screen" -> st12Sql)
+    "st12_stream_decont_screen" -> st12Sql,
+    "st13_stream_lang_gate" -> st13Sql)
 }

@@ -684,6 +684,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("st13: t2b's scoring geometry at the front door — profile broadcasts, doc_id-keyed exchanges only") {
+    val p = plan("st13_stream_lang_gate")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+), \\d+\\)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+L?", "")).toSeq
+    assert(keys.nonEmpty && keys.forall(_ == "doc_id"),
+      s"unexpected exchange keys $keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the langs x 300 profile relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m11: keyframe extraction is a PURE narrow map — zero exchanges, one blob scan") {
     // cut detection, histogram totals and the argmin all happen inside
     // the kernel; the blob scan is the only data movement at any size

@@ -316,6 +316,79 @@ class StreamingOpsSpec extends SparkSpec {
       s"unexpected state operators: ${q.lastProgress.stateOperators}")
   }
 
+  test("st13: lang gate — confident docs admit under their language, gibberish rejects; foreachBatch equality; zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference slice (doc_id % 20 == 0) trains the profile: en from
+    // doc 0, zh from doc 20. Ingest slice (% 10 == 7): 7 is clean en
+    // (same trigram stock as doc 0 → conf ≈ 173k micro), 17 clean zh,
+    // 27 out-of-model gibberish (q/v/k trigrams appear in no reference
+    // doc → score 0, conf 0, all-zero tie → 'en' by ascending code)
+    val docs = Seq(
+      (0L, "the then they them", "en"),
+      (20L, "zhong zhou zhu zhang", "zh"),
+      (7L, "the they them then", "xx"),
+      (17L, "zhong zhu zhou zhang", "xx"),
+      (27L, "qq vv kk qqq vvv", "xx"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13").toString
+    docs.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = StreamingOps.st13StreamLangGate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("n_tri"), r.getAs[Long]("conf_micro"),
+          r.getAs[Boolean]("lang_admit"))))
+      .toMap
+    assert(want.keySet === Set(7L, 17L, 27L), "ingest slice only")
+    assert(want(7L)._1 === "en" && want(7L)._5, s"clean en admits: ${want(7L)}")
+    assert(want(17L)._1 === "zh" && want(17L)._5, s"clean zh admits: ${want(17L)}")
+    assert(want(27L) === (("en", 0L, 12L, 0L, false)),
+      "gibberish scores zero, ties to the ascending code, rejects")
+    // conf is exactly the integer average of the emitted columns
+    want.values.foreach { case (_, s, n, c, a) =>
+      assert(c === s / math.max(n, 1L))
+      assert(a === (c >= StreamingOps.LangGateTauMicro))
+    }
+
+    // identical kernel per micro-batch through foreachBatch; two batches
+    // prove per-batch independence (no cross-batch state)
+    val profile = graft.operators.TextOps.langProfileRows(spark, dir)
+    val got = collection.mutable.ArrayBuffer
+      .empty[(Long, (String, Long, Long, Long, Boolean))]
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((7L, "the they them then")))
+    stream.addData(Seq((17L, "zhong zhu zhou zhang"), (27L, "qq vv kk qqq vvv")))
+    val q = stream.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= StreamingOps.langGate(b, profile).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[String]("pred_lang"), r.getAs[Long]("score_micro"),
+              r.getAs[Long]("n_tri"), r.getAs[Long]("conf_micro"),
+              r.getAs[Boolean]("lang_admit"))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toMap === want)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${q.lastProgress.stateOperators}")
+  }
+
+  test("st13: fixture gate — every clean doc clears τ with headroom; output is the ingest slice") {
+    val rows = StreamingOps.st13StreamLangGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 === 7)
+      assert(r.getAs[Long]("conf_micro") ===
+        r.getAs[Long]("score_micro") / math.max(r.getAs[Long]("n_tri"), 1L))
+      // the fixture corpus is clean text — measured floor 8048 micro,
+      // 2× the gate; a τ drifting into the clean band would trip here
+      assert(r.getAs[Long]("conf_micro") >= 2 * StreamingOps.LangGateTauMicro,
+        s"clean doc ${r.getAs[Long]("doc_id")} too close to the gate")
+      assert(r.getAs[Boolean]("lang_admit"))
+    }
+  }
+
   test("st1: streaming and batch modes of hourlyTypeCounts agree") {
     implicit val sqlCtx = spark.sqlContext
     val fixture = Seq(
