@@ -681,8 +681,12 @@ object SamplingOps {
   }
 
   private def p9SqlFor(weights: Seq[(String, Long)]): String = {
-    val w = weights.map { case (l, m) => s"WHEN lang = '$l' THEN $m" }
-      .mkString("CASE ", " ", " ELSE 1 END")
+    // lang values are corpus-derived, not config constants: escape the
+    // single quote so a hostile/odd code can't break (or inject into)
+    // the spliced oracle SQL (ADVICE r14)
+    val w = weights.map { case (l, m) =>
+      s"WHEN lang = '${l.replace("'", "''")}' THEN $m"
+    }.mkString("CASE ", " ", " ELSE 1 END")
     s"""WITH t AS (
        |  SELECT lang,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens

@@ -128,12 +128,17 @@ object TextOps {
         concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))
   }
 
-  private[graft] val charTrigramsSql =
-    """flatten(list_transform(
-      |  list_filter(string_split(lower(text), ' '), w -> length(w) >= 1),
+  /** The SQL spelling of [[charTrigrams]] over an arbitrary column —
+    * parameterized at the source (not respelled per consumer) so t2b,
+    * t22 and st13 all interpolate the ONE snippet (ADVICE r14). */
+  private[graft] def charTrigramsSqlOf(c: String): String =
+    s"""flatten(list_transform(
+      |  list_filter(string_split(lower($c), ' '), w -> length(w) >= 1),
       |  w -> list_transform(generate_series(1, length(w)),
       |         i -> substr(' ' || w || ' ', i, 3))))""".stripMargin
       .replaceAll("\n", " ")
+
+  private[graft] val charTrigramsSql = charTrigramsSqlOf("text")
 
   /** t2b: TRAINED language identification — the Cavnar–Trenkle/fastText
     * char-n-gram profile method, the real-pipeline upgrade over t2's
@@ -184,18 +189,37 @@ object TextOps {
     * and collapsed in ONE map-side-combined aggregate over `keys`,
     * pivoted to per-language `s_<lang>` columns. Rows without a single
     * profile hit are ABSENT (inner gram join) — consumers left-join and
-    * let [[bestLangStruct]]'s coalesce treat them as all-zero. */
+    * let [[bestLangStruct]]'s coalesce treat them as all-zero.
+    *
+    * `withNTri = true` (st13's shape) switches to explode_outer + a
+    * LEFT profile join so the SAME aggregate also counts total trigram
+    * occurrences as `n_tri` and EVERY input row stays present (zero-
+    * trigram and zero-hit rows included, all-zero scores) — one scan,
+    * one aggregate, no re-join on the keys (ADVICE r14). */
   private[graft] def profileScores(rel: DataFrame, text: Column,
-      keys: Seq[Column], profile: Seq[(String, String, Long)]): DataFrame = {
+      keys: Seq[Column], profile: Seq[(String, String, Long)],
+      withNTri: Boolean = false): DataFrame = {
     val s = rel.sparkSession
     import s.implicits._
     val prof = profile.toDF("p_lang", "g", "w")
     val pivots = profileLangs(profile).map(l =>
       sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
-    rel.select(keys :+ explode(charTrigrams(text)).as("g"): _*)
-      .join(broadcast(prof), Seq("g"))
-      .groupBy(keys: _*)
-      .agg(pivots.head, pivots.tail: _*)
+    if (withNTri)
+      // n_tri computed BEFORE the explode (a gram in several languages'
+      // profiles fans out under the left join, so counting post-join
+      // rows would inflate it) and carried through as a per-key
+      // constant folded by first()
+      rel.select(keys ++ Seq(
+          size(charTrigrams(text)).cast("long").as("n_tri"),
+          explode_outer(charTrigrams(text)).as("g")): _*)
+        .join(broadcast(prof), Seq("g"), "left")
+        .groupBy(keys: _*)
+        .agg(first($"n_tri").as("n_tri"), pivots: _*)
+    else
+      rel.select(keys :+ explode(charTrigrams(text)).as("g"): _*)
+        .join(broadcast(prof), Seq("g"))
+        .groupBy(keys: _*)
+        .agg(pivots.head, pivots.tail: _*)
   }
 
   /** The deterministic argmax over [[profileScores]]' pivot columns: a
@@ -364,10 +388,6 @@ object TextOps {
         (coalesce(expr("n * 1000000 div tot"), lit(1000000L)) < SegMixTau)
           .as("lang_mixed"))
   }
-
-  /** [[charTrigramsSql]] over an arbitrary column. */
-  private def charTrigramsSqlOf(c: String): String =
-    charTrigramsSql.replace("lower(text)", s"lower($c)")
 
   // t22's oracle: the SHARED segment CTEs (DedupOps — d14's spelling)
   // + the SHARED profile CTEs (t2b's spelling), dense (segment × langs)

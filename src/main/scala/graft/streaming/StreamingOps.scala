@@ -760,11 +760,11 @@ object StreamingOps {
     import graft.operators.TextOps
     val langs = TextOps.profileLangs(profile)
     val best = TextOps.bestLangStruct(langs)
-    incoming
-      .select(col("doc_id"),
-        size(TextOps.charTrigrams(col("text"))).cast("long").as("n_tri"))
-      .join(TextOps.profileScores(incoming, col("text"),
-        Seq(col("doc_id")), profile), Seq("doc_id"), "left")
+    // ONE scan, ONE (doc_id) aggregate producing both n_tri and the
+    // per-lang scores (ADVICE r14: the old two-subtree + re-join shape
+    // scanned each micro-batch twice and fanned out on duplicate ids)
+    TextOps.profileScores(incoming, col("text"), Seq(col("doc_id")),
+        profile, withNTri = true)
       .select(col("doc_id"),
         best.getField("c").as("pred_lang"),
         best.getField("s").as("score_micro"),
