@@ -547,6 +547,144 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------- d15 containment dedup
+
+  /** One-sided containment flag threshold: a pair is flagged when the
+    * SMALLER side shares ≥ 90% of its trigram set with the other — the
+    * Broder (1997, "On the resemblance and containment of documents")
+    * containment operating point. Per-corpus calibration; the per-side
+    * c(A,B) = |A∩B|/|A| columns are the contract. */
+  private[graft] val ContainTau = 0.9
+
+  /** d15: CONTAINMENT dedup — the one duplication semantics every
+    * symmetric screen in the tier provably misses. d2/d3/d4 score
+    * resemblance |A∩B|/|A∪B|, so a document wholly CONTAINED in a longer
+    * one (a quote inside an article, an article inside a digest —
+    * Broder's containment case) has Jaccard |A|/|B| ≪ any near-dup
+    * threshold and survives; its one-sided containment |A∩B|/|A| is
+    * still 1.0. Emits per qualifying pair: `cont_a` = |∩|/|A|, `cont_b`
+    * = |∩|/|B| (denominators differ per side — containment is not
+    * symmetric), plus the pair's `jaccard` for context, filtered at
+    * greatest(cont_a, cont_b) ≥ [[ContainTau]].
+    *
+    * Candidate plan — deliberately NOT d2's band index: MinHash band
+    * collision probability is J^rows per band, and the operator's whole
+    * point is pairs whose J is LOW (a doc at 25% of its container's
+    * length sits at J ≈ 0.25 → ≈ 1-(1-0.25⁴)⁸ ≈ 3% band recall — the
+    * planted spec pair would be missed 97% of the time). The shipped
+    * plan is d4's exact inverted-index join over the shared 64-bit
+    * trigram-hash relation (recall-complete by construction, measured
+    * winner at this corpus's df ≤ 25); the Σdf² skew switch is
+    * [[d15PrefixContainment]] — prefix filtering adapted to the
+    * one-sided bound (spec-asserted equal output). */
+  def d15Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(s, dir), ContainTau)
+
+  /** The d15 kernel over any (doc_id, text) relation — d4's exact
+    * inverted-index geometry with per-side denominators. */
+  private[graft] def containmentPairsOf(docs: DataFrame, tau: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = withShingleHashes(docs).select($"doc_id", explode($"hs").as("h"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b").hint("SHUFFLE_HASH"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"c" / $"sa.n").as("cont_a"),
+        ($"c" / $"sb.n").as("cont_b"),
+        ($"c" / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+      .where(greatest($"cont_a", $"cont_b") >= tau)
+  }
+
+  /** The df-skew switch for [[d15Containment]] (d4PrefixJaccard's role
+    * for the one-sided bound): if max(cont_a, cont_b) ≥ τ then the
+    * SMALLER side X shares ≥ ⌈τ·|X|⌉ trigrams with the other, so under
+    * any fixed global trigram order X cannot avoid matching within its
+    * first |X| − ⌈τ·|X|⌉ + 1 (pigeonhole) — joining every doc's
+    * ascending-df prefix against the FULL inverted index (one side full,
+    * unlike d4's prefix×prefix, because the larger side's denominator
+    * never binds) is recall-complete, and stopword-grade grams stay out
+    * of prefixes, collapsing Σdf² to Σ prefix-df·df. Candidates then pay
+    * the exact array_intersect verify. Same measured caveat as d4: at
+    * this corpus's df the naive join wins — this is the documented
+    * switch for real stopword skew, shipped spec-asserted equal. */
+  def d15PrefixContainment(s: SparkSession, dir: String,
+      tau: Double = ContainTau): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    verifyContainment(docs, containPrefixCandidates(docs, tau), tau)
+  }
+
+  /** [[d15PrefixContainment]]'s candidate stage: ascending-df prefixes
+    * (the smaller side's pigeonhole bound) probed against the full
+    * index; both orderings covered because EVERY doc's prefix probes. */
+  private[graft] def containPrefixCandidates(docs: DataFrame, tau: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = withShingleHashes(docs)
+      .select($"doc_id", size($"hs").as("n"), explode($"hs").as("h"))
+    val dfRel = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val prefix = sh
+      .join(dfRel.hint("SHUFFLE_HASH"), Seq("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+      .where($"rnk" <= $"n" - ceil(lit(tau) * $"n") + 1)
+      .select($"doc_id", $"h")
+    prefix.as("a").join(sh.select($"doc_id", $"h").as("b").hint("SHUFFLE_HASH"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** [[verifyPairs]]' containment twin: exact per-side verify over the
+    * candidate sliver only (shingle AFTER the candidate filter). */
+  private def verifyContainment(docs: DataFrame, pairs0: DataFrame,
+      tau: Double): DataFrame = {
+    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b")))
+      .as("doc_id")).distinct()
+    val candSh = withShingleHashes(docs.join(candIds, Seq("doc_id")))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
+    pairs
+      .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / size(col("hs_a"))).as("cont_a"),
+        (inter.cast("double") / size(col("hs_b"))).as("cont_b"),
+        (inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
+          .as("jaccard"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= tau)
+  }
+
+  /** d15's oracle: [[jaccardPairsSql]]'s exact-join shape with per-side
+    * denominators (the oracle may brute-force; the engine must not). */
+  private[graft] def containmentPairsSql(tau: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  UNNEST(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w)-2),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(c AS DOUBLE) / sa.n AS cont_a,
+       |  CAST(c AS DOUBLE) / sb.n AS cont_b,
+       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON da = sa.doc_id
+       |JOIN sz sb ON db = sb.doc_id
+       |WHERE greatest(CAST(c AS DOUBLE) / sa.n,
+       |               CAST(c AS DOUBLE) / sb.n) >= $tau""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
 
   /** Sign-LSH for cosine: 256 seeded random hyperplanes, banded 16×16.
@@ -1747,7 +1885,8 @@ object DedupOps {
     "d7_cc_dedup" -> d7CcDedup _,
     "d8_incremental_dedup" -> d8IncrementalDedup _,
     "d9_embedding_cluster_dedup" -> d9EmbeddingClusterDedup _,
-    "d13_priority_dedup" -> d13PriorityDedup _)
+    "d13_priority_dedup" -> d13PriorityDedup _,
+    "d15_containment" -> d15Containment _)
 
   val oracleSql: Map[String, String] = Map(
     "d14_boilerplate_removal" -> d14Sql,
@@ -1763,5 +1902,6 @@ object DedupOps {
     "d7_cc_dedup" -> d7Sql,
     "d8_incremental_dedup" -> d8Sql,
     "d9_embedding_cluster_dedup" -> d9Sql,
-    "d13_priority_dedup" -> d13Sql)
+    "d13_priority_dedup" -> d13Sql,
+    "d15_containment" -> containmentPairsSql(ContainTau))
 }

@@ -126,6 +126,54 @@ class DedupOpsSpec extends SparkSpec {
     assert(sharedHot === (n + 1).toLong)
   }
 
+  test("d15: planted doc-inside-doc pair — Jaccard below every symmetric threshold, containment 1.0; d2/d4 provably miss it") {
+    // container: 120 tokens (118 trigrams); contained: its first 30
+    // tokens (28 trigrams, ALL inside the container) — Broder's
+    // containment case. J = 28/118 ≈ 0.237, below d4's 0.5 and d2's 0.8
+    // verify thresholds, so every symmetric screen in the tier drops the
+    // pair; one-sided containment of the smaller doc is exactly 1.0.
+    val container = (0 until 120).map(i => s"w$i").mkString(" ")
+    val contained = (0 until 30).map(i => s"w$i").mkString(" ")
+    val other = (0 until 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, container), (2L, contained), (3L, other))
+      .toDF("doc_id", "text")
+
+    val rows = DedupOps.containmentPairsOf(docs, 0.9)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    val (_, _, contA, contB, j) = rows.head
+    assert(contB === 1.0, "the contained side's one-sided containment")
+    assert(contA === 28.0 / 118.0)
+    assert(j === 28.0 / 118.0)
+    // the miss proof: brute-force Jaccard over the shingle sets sits
+    // below both symmetric operating points while containment ≥ τ
+    val sh = docs.select($"doc_id", DedupOps.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val jExact = DedupOps.jaccardExact(sh(1L), sh(2L))
+    assert(jExact < 0.5 && jExact < 0.8, s"d4/d2 would both drop j=$jExact")
+    assert(contB >= 0.9)
+
+    // prefix candidates are recall-complete for the same pair
+    val cands = DedupOps.containPrefixCandidates(docs, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("d15: prefix-filter variant is output-identical on the sf0.001 corpus; output superset of symmetric j>=0.9 pairs") {
+    val naive = DedupOps.d15Containment(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val prefix = DedupOps.d15PrefixContainment(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(naive === prefix)
+    assert(naive.nonEmpty)
+    // cont_a, cont_b ≥ jaccard always (|∩|/|A| ≥ |∩|/|∪|): every j ≥ τ
+    // symmetric pair must appear here too
+    naive.foreach { case (_, _, ca, cb, j) =>
+      assert(ca >= j - 1e-12 && cb >= j - 1e-12)
+      assert(math.max(ca, cb) >= 0.9)
+    }
+  }
+
   test("d6: keep bit equals brute-force canonical-then-greedy-drop") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
