@@ -589,6 +589,211 @@ object PipelineOps {
       |  CAST(NULL AS BIGINT) AS n_copies
       |WHERE FALSE""".stripMargin
 
+  // ------------------------------------------------- e9 attrition funnel
+
+  /** The funnel's ordered stages — ONE Seq drives both engines (e7's
+    * generated-arms device): (name, Spark kill-predicate over the joined
+    * per-doc signal frame, DuckDB kill-predicate over the `f` CTE). The
+    * declared order is the published pipeline order (CCNet/RefinedWeb/
+    * FineWeb): language gate first, heuristic rules, the trained
+    * classifier, exact then near dedup, repeated-span cuts,
+    * decontamination last. */
+  private[graft] val funnelStages: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("lang_gate",
+      col("conf_micro") < graft.streaming.StreamingOps.LangGateTauMicro,
+      s"f.conf_micro < ${graft.streaming.StreamingOps.LangGateTauMicro}"),
+    // the five SHAPE rules of t16's battery. r_stopwords is deliberately
+    // NOT a funnel gate: it is an English-prior rule that e7's ablation
+    // measures at a 100% solo kill on this corpus (share_fail_micro =
+    // 10⁶ — zero docs carry the English stopword list), so as stage 2 it
+    // would absorb the entire corpus and mask every downstream stage's
+    // measurement. Real deployments run stopword lists per-language
+    // AFTER the lang gate (Gopher itself is English-only); the funnel
+    // keeps the language-neutral shape rules and leaves stopword
+    // tuning to e7, whose solo/unique columns are built for exactly
+    // that question.
+    ("gopher_rules",
+      not(col("r_word_count") && col("r_mean_word_len") &&
+        col("r_alpha_words") && col("r_symbol_ratio") &&
+        col("r_top_word_mass")),
+      "NOT (f.r_word_count AND f.r_mean_word_len AND f.r_alpha_words " +
+        "AND f.r_symbol_ratio AND f.r_top_word_mass)"),
+    ("classifier", not(col("clf_keep")), "NOT f.clf_keep"),
+    ("exact_dup", not(col("exact_canon")), "NOT f.exact_canon"),
+    ("near_dup", not(col("dedup_keep")), "NOT f.dedup_keep"),
+    ("span_cut", col("has_dup"), "f.has_dup"),
+    ("decontamination", col("contaminated"), "f.contaminated"))
+
+  /** e9: the PIPELINE ATTRITION FUNNEL — the "data funnel" table every
+    * dataset paper opens with (RefinedWeb Table 2's per-stage survivor
+    * counts; FineWeb's per-step removal rates; CCNet's pipeline figure):
+    * stages in declared order, and per stage the docs/tokens ENTERING,
+    * killed HERE, and surviving. Attribution is FIRST-FAILING-STAGE-WINS
+    * — a doc failing both the classifier and decontamination counts
+    * against the classifier only (the published convention: each stage's
+    * removal rate is measured on what reaches it), which is e7's exact
+    * complement: e7 measures rules SOLO/UNIQUE against the whole corpus,
+    * e9 measures them sequentially.
+    *
+    * Stage kill signals: the st13 language gate generalized to the full
+    * corpus (t2b's persisted profile through the one-aggregate scorer),
+    * t16's five language-neutral shape rules (see [[funnelStages]] for
+    * why r_stopwords stays out), t18's clf_keep and d10's has_dup off
+    * the e5 sheet, d1's canonical bit (exact), d6's keep (near), t10's
+    * contaminated.
+    *
+    * Plan shape: every stage reduces to a (doc_id, flag) relation before
+    * joining (the e3 discipline) — the heavy machinery is each stage's
+    * own audited plan; the composition adds one full-text base scan
+    * (token counts + the sha2-window exact bit, e6's device), one
+    * broadcast-profile scoring scan, and id-width joins. The CASE fold
+    * and the (≤ stages+1)-row kill aggregate collapse map-side; the tiny
+    * per-stage relation is persisted eagerly (k5b discipline) so the
+    * totals row and the funnel arithmetic both read ONE aggregate, and
+    * every window downstream runs over ≤ |stages| rows. */
+  def e9AttritionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = e9SignalFrame(s, dir)
+    val killStage = funnelStages.zipWithIndex
+      .foldRight(lit(null).cast("int")) { case (((_, cond, _), i), e) =>
+        when(cond, lit(i)).otherwise(e)
+      }
+    val perStage = f.select(killStage.as("ks"), $"n_toks")
+      .groupBy($"ks").agg(count(lit(1)).as("kd"), sum($"n_toks").as("kt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perStage.count()
+    val skel = funnelStages.zipWithIndex
+      .map { case ((n, _, _), i) => (i, n) }.toDF("stage_idx", "stage")
+    val before = Window.orderBy($"stage_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    skel.join(perStage.where($"ks".isNotNull), $"stage_idx" === $"ks", "left")
+      .select($"stage_idx", $"stage",
+        coalesce($"kd", lit(0L)).as("docs_killed"),
+        coalesce($"kt", lit(0L)).as("tokens_killed"))
+      .crossJoin(broadcast(
+        perStage.agg(sum($"kd").as("td"), sum($"kt").as("tt"))))
+      .withColumn("docs_in",
+        $"td" - coalesce(sum($"docs_killed").over(before), lit(0L)))
+      .withColumn("tokens_in",
+        $"tt" - coalesce(sum($"tokens_killed").over(before), lit(0L)))
+      .select($"stage_idx", $"stage", $"docs_in", $"tokens_in",
+        $"docs_killed", $"tokens_killed",
+        ($"docs_in" - $"docs_killed").as("docs_out"),
+        ($"tokens_in" - $"tokens_killed").as("tokens_out"),
+        expr("(docs_killed * 1000000L) div greatest(docs_in, 1L)")
+          .as("share_killed_micro"))
+  }
+
+  /** e9's per-doc signal frame — the funnel's only corpus-width relation,
+    * exposed so PlanAuditSpec can pin its documents scans to the stages'
+    * sum (e5 + d6 + t10) + 2 (the base scan and the broadcast-profile
+    * lang-scoring scan); everything the funnel adds above it is the
+    * ≤ |stages|-row arithmetic. */
+  private[graft] def e9SignalFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val profile = TextOps.langProfileRows(s, dir)
+    val best = TextOps.bestLangStruct(TextOps.profileLangs(profile))
+    val lang = TextOps.profileScores(docs, $"text", Seq($"doc_id"),
+        profile, withNTri = true)
+      .select($"doc_id", best.getField("s").as("sc"), $"n_tri")
+      .select($"doc_id", expr("sc div greatest(n_tri, 1)").as("conf_micro"))
+    val base = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_toks"),
+      ($"doc_id" === min($"doc_id").over(
+        Window.partitionBy(sha2($"text", 256)))).as("exact_canon"))
+    val sheet = e5AttributeSheet(s, dir)
+      .select($"doc_id", $"r_word_count", $"r_mean_word_len",
+        $"r_alpha_words", $"r_symbol_ratio", $"r_top_word_mass",
+        $"clf_keep", $"has_dup")
+    val dedup = DedupOps.d6DedupKeep(s, dir)
+      .withColumnRenamed("keep", "dedup_keep")
+    val decont = TextOps.t10Decontaminate(s, dir)
+      .select($"doc_id", $"contaminated")
+    base.join(lang, Seq("doc_id")).join(sheet, Seq("doc_id"))
+      .join(dedup, Seq("doc_id")).join(decont, Seq("doc_id"))
+  }
+
+  /** e9's oracle: the identical stage Seq generates both the kill CASE
+    * and the stage skeleton (the two engines cannot drift on the stage
+    * set or order); the signal CTEs are the stage oracles verbatim plus
+    * the full-corpus language-gate spelling (t2b's shared profile CTEs). */
+  private lazy val e9Sql = {
+    val killCase = funnelStages.zipWithIndex
+      .map { case ((_, _, sql), i) => s"WHEN $sql THEN $i" }
+      .mkString("CASE ", " ", " END")
+    val stageRows = funnelStages.zipWithIndex
+      .map { case ((n, _, _), i) => s"($i, '$n')" }.mkString(", ")
+    s"WITH ${TextOps.profileCtesSql},\n" +
+    s"""sc9 AS (
+       |  SELECT gr.doc_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS s
+       |  FROM gr JOIN prof p ON gr.g = p.g GROUP BY 1, 2),
+       |mx9 AS (SELECT doc_id, MAX(s) AS s FROM sc9 GROUP BY 1),
+       |nt9 AS (
+       |  SELECT doc_id, CAST(len(${TextOps.charTrigramsSql}) AS BIGINT)
+       |    AS n_tri
+       |  FROM documents),
+       |lg AS (
+       |  SELECT n.doc_id,
+       |    CAST(COALESCE(m.s, 0) // greatest(n.n_tri, 1) AS BIGINT)
+       |      AS conf_micro
+       |  FROM nt9 n LEFT JOIN mx9 m ON n.doc_id = m.doc_id),
+       |base9 AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY text) AS exact_canon
+       |  FROM documents),
+       |sheet9 AS (SELECT doc_id, r_word_count, r_mean_word_len,
+       |             r_alpha_words, r_symbol_ratio, r_top_word_mass,
+       |             clf_keep, has_dup
+       |           FROM (${e5Sql})),
+       |d69 AS (SELECT doc_id, keep AS dedup_keep FROM (${DedupOps.d6Sql})),
+       |t109 AS (SELECT doc_id, contaminated FROM (${TextOps.t10Sql})),
+       |f AS (
+       |  SELECT b.doc_id, b.n_toks, b.exact_canon, lg.conf_micro,
+       |    s.r_word_count, s.r_mean_word_len, s.r_alpha_words,
+       |    s.r_symbol_ratio, s.r_top_word_mass, s.clf_keep, s.has_dup,
+       |    d.dedup_keep, t.contaminated
+       |  FROM base9 b
+       |  JOIN lg ON b.doc_id = lg.doc_id
+       |  JOIN sheet9 s ON b.doc_id = s.doc_id
+       |  JOIN d69 d ON b.doc_id = d.doc_id
+       |  JOIN t109 t ON b.doc_id = t.doc_id),
+       |k9 AS (SELECT n_toks, $killCase AS ks FROM f),
+       |ps AS (
+       |  SELECT ks, CAST(COUNT(*) AS BIGINT) AS kd,
+       |    CAST(SUM(n_toks) AS BIGINT) AS kt
+       |  FROM k9 GROUP BY 1),
+       |tot9 AS (
+       |  SELECT CAST(SUM(kd) AS BIGINT) AS td,
+       |    CAST(SUM(kt) AS BIGINT) AS tt
+       |  FROM ps),
+       |stages9(stage_idx, stage) AS (VALUES $stageRows),
+       |j9 AS (
+       |  SELECT st.stage_idx, st.stage,
+       |    CAST(COALESCE(ps.kd, 0) AS BIGINT) AS docs_killed,
+       |    CAST(COALESCE(ps.kt, 0) AS BIGINT) AS tokens_killed
+       |  FROM stages9 st LEFT JOIN ps ON ps.ks = st.stage_idx),
+       |r9 AS (
+       |  SELECT *,
+       |    CAST(td - COALESCE(SUM(docs_killed) OVER (ORDER BY stage_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS docs_in,
+       |    CAST(tt - COALESCE(SUM(tokens_killed) OVER (ORDER BY stage_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tokens_in
+       |  FROM j9, tot9)
+       |SELECT stage_idx, stage, docs_in, tokens_in, docs_killed,
+       |  tokens_killed,
+       |  docs_in - docs_killed AS docs_out,
+       |  tokens_in - tokens_killed AS tokens_out,
+       |  CAST((docs_killed * 1000000) // greatest(docs_in, 1) AS BIGINT)
+       |    AS share_killed_micro
+       |FROM r9""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
@@ -597,7 +802,8 @@ object PipelineOps {
     "e5_attribute_sheet" -> e5AttributeSheet _,
     "e6_corpus_report" -> e6CorpusReport _,
     "e7_rule_ablation" -> e7RuleAblation _,
-    "e8_topic_mix" -> e8TopicMix _)
+    "e8_topic_mix" -> e8TopicMix _,
+    "e9_attrition_funnel" -> e9AttritionFunnel _)
 
   // def, not val: e8's entry reads the TrainedOracle registry, populated
   // when the e8 query resolves the persisted quantizer (Verify's order).
@@ -610,5 +816,6 @@ object PipelineOps {
     "e6_corpus_report" -> e6Sql,
     "e7_rule_ablation" -> e7Sql,
     "e8_topic_mix" ->
-      graft.sources.TrainedOracle.sqlFor("e8_topic_mix", e8Fallback))
+      graft.sources.TrainedOracle.sqlFor("e8_topic_mix", e8Fallback),
+    "e9_attrition_funnel" -> e9Sql)
 }

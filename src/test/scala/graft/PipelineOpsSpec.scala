@@ -338,4 +338,72 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._5).max - 4.0) < 1e-9, "binding cluster at cap")
     assert(got.values.map(_._5).min < 4.0, "non-binding clusters below cap")
   }
+
+  test("e9: the funnel equals an independent first-failing-stage replay over the stage outputs") {
+    val got = PipelineOps.e9AttritionFunnel(spark, sf).orderBy($"stage_idx")
+      .as[(Int, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    // skeleton: every declared stage present, in declared order
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      PipelineOps.funnelStages.zipWithIndex
+        .map { case ((n, _, _), i) => (i, n) })
+
+    // per-doc signals from the standalone stage operators (the e5/e7
+    // spec convention) + an independent Scala replay of the lang gate
+    val docsRel = graft.sources.Tables.documents(spark, sf)
+    val texts = docsRel.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1).length.toLong }
+    def grams(t: String): Seq[String] = t.toLowerCase.split(" ", -1)
+      .filter(_.nonEmpty)
+      .flatMap { w => val p = s" $w "; (0 until w.length).map(i => p.substring(i, i + 3)) }
+    val profile = TextOps.langProfileRows(spark, sf)
+    val weights = profile.map { case (l, g, w) => (l, g) -> w }.toMap
+    val langsP = profile.map(_._1).distinct
+    val conf = texts.map { case (id, t) =>
+      val gs = grams(t)
+      val bestScore = langsP
+        .map(l => gs.map(g => weights.getOrElse((l, g), 0L)).sum).max
+      id -> bestScore / math.max(gs.size.toLong, 1L)
+    }
+    val gopher = TextOps.t16GopherRules(spark, sf)
+      .select($"doc_id", $"r_word_count" && $"r_mean_word_len" &&
+        $"r_alpha_words" && $"r_symbol_ratio" && $"r_top_word_mass")
+      .as[(Long, Boolean)].collect().toMap
+    val clf = TextOps.t18QualityClassifier(spark, sf)
+      .select($"doc_id", $"clf_keep").as[(Long, Boolean)].collect().toMap
+    val spans = DedupOps.d10SpanDedup(spark, sf)
+      .select($"doc_id", $"has_dup").as[(Long, Boolean)].collect().toMap
+    val dedup = DedupOps.d6DedupKeep(spark, sf)
+      .as[(Long, Boolean)].collect().toMap
+    val decont = TextOps.t10Decontaminate(spark, sf)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    val canon = texts.toSeq.groupBy(_._2).values
+      .flatMap { g => val m = g.map(_._1).min; g.map(d => d._1 -> (d._1 == m)) }
+      .toMap
+    val tau = 4000L // StreamingOps.LangGateTauMicro — restated on purpose
+    def killStage(id: Long): Option[Int] =
+      Seq(conf(id) < tau, !gopher(id), !clf(id), !canon(id),
+        !dedup(id), spans(id), decont(id)).zipWithIndex
+        .collectFirst { case (true, i) => i }
+
+    val ids = texts.keys.toSeq
+    var docsIn = ids.size.toLong
+    var toksIn = ids.map(toks).sum
+    got.foreach { case (i, _, dIn, tIn, dK, tK, dOut, tOut, share) =>
+      val killed = ids.filter(killStage(_).contains(i))
+      assert(dIn === docsIn, s"stage $i docs_in")
+      assert(tIn === toksIn, s"stage $i tokens_in")
+      assert(dK === killed.size.toLong, s"stage $i docs_killed")
+      assert(tK === killed.map(toks).sum, s"stage $i tokens_killed")
+      assert(dOut === dIn - dK && tOut === tIn - tK, s"stage $i outs")
+      assert(share === dK * 1000000L / math.max(dIn, 1L), s"stage $i share")
+      docsIn -= dK; toksIn -= tK
+    }
+    // the funnel must measure real attrition here: something dies at
+    // more than one stage and something survives the whole chain
+    assert(got.count(_._5 > 0) >= 2, "at least two stages kill")
+    assert(got.last._7 > 0, "survivors exist")
+    assert(got.last._7 === ids.count(killStage(_).isEmpty).toLong)
+  }
 }

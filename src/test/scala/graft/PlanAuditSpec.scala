@@ -535,6 +535,33 @@ class PlanAuditSpec extends SparkSpec {
     }.nonEmpty), s"the unpivot must consume the 1-row global aggregate:\n$opt")
   }
 
+  test("e9: the signal frame adds at most two corpus scans (base + lang scoring) over its stages' sum") {
+    // the funnel's only corpus-width relation is the signal frame; the
+    // arithmetic above it runs over a persisted ≤ stages+1-row aggregate
+    // (cache-fed, asserted by the funnel replay spec). The frame's claim:
+    // composing the stage relations adds the base scan (tokens + the
+    // sha2-window exact bit) and the broadcast-profile scoring scan,
+    // nothing else.
+    val f = graft.operators.PipelineOps.e9SignalFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    val stages = Seq("e5_attribute_sheet", "d6_dedup_keep",
+      "t10_decontaminate").map(plan)
+    // ≤, not ==: composing prunes columns THROUGH the stage subtrees
+    // (measured: the funnel's narrow e5 projection drops two of t17's
+    // standalone scans), so the sum is an upper bound — the claim under
+    // audit is that composition never ADDS a corpus re-scan beyond the
+    // two declared ones
+    assert(scansOf(f, "documents") <=
+      stages.map(scansOf(_, "documents")).sum + 2,
+      s"e9 signal frame may only add the base + lang-scoring scans:\n$f")
+    // and the two declared additions are really present: the sha2
+    // exact-dup window on the base scan, and the broadcast-profile
+    // trigram scorer
+    assert(f.contains("sha2("), f)
+    assert("Window \\[min\\(doc_id".r.findAllIn(f).nonEmpty, f)
+    assert(!f.contains("CartesianProduct"), f)
+  }
+
   test("p8: one (stage, shard) window over id-width rows; text never reaches it") {
     val p = plan("p8_curriculum_order")
     // the curriculum adds exactly one exchange over t17's scoring plan —
