@@ -1567,12 +1567,26 @@ object SimilarityOps {
     * broadcasts (the st12 argument, embedding-space edition); scoring
     * is the broadcast fan-out collapsed by a map-side-combined max
     * aggregate — one (vec_id, partial-max) exchange, no window, nothing
-    * driver-side. A deployment whose eval suite outgrows broadcast
-    * probes the persisted IVF index instead (s2's machinery — same
-    * verdict, indexed probe); at every scale the training side is
-    * scanned exactly once. */
-  def t21SemanticDecont(s: SparkSession, dir: String): DataFrame =
-    semanticDecontOf(Tables.embeddings(s, dir))
+    * driver-side. An eval suite past [[EvalBroadcastCap]] switches to
+    * [[semanticDecontProbe]] — the persisted-IVF probe path with
+    * EXACT cell-bound pruning, bit-identical verdicts (spec-asserted
+    * and oracle-checked: the 80× scale leg crosses the cap live); at
+    * every scale the training side is scanned exactly once. */
+  def t21SemanticDecont(s: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(s, dir)
+    val evalN = n / graft.operators.TextOps.DecontMod
+    val emb = Tables.embeddings(s, dir)
+    if (evalN <= EvalBroadcastCap) semanticDecontOf(emb)
+    else semanticDecontProbe(emb, centroidsFor(s, dir, ivfK(evalN)))
+  }
+
+  /** Eval-slice size above which t21 stops broadcasting the eval
+    * embeddings and probes the cell-partitioned index instead. Sized to
+    * the same order as the driver-side collect bounds: 10k × dim × 4 B
+    * ≈ 4 MB is comfortably broadcastable; past it the broadcast cost
+    * (and the N_train × N_eval fan-out) grows without bound while the
+    * probe path's fan-out stays bounded by the per-vector probe set. */
+  private[graft] val EvalBroadcastCap = 10000L
 
   /** The t21 kernel over any (vec_id, embedding) relation — t21 binds
     * the corpus; the spec drives planted paraphrase embeddings. */
@@ -1587,6 +1601,97 @@ object SimilarityOps {
       .groupBy($"vec_id").agg(max($"c").as("max_eval_cos"))
       .select($"vec_id", $"max_eval_cos",
         ($"max_eval_cos" >= SemDecontTau).as("contaminated"))
+  }
+
+  /** t21's indexed-probe path — EXACT, not approximate-with-recall: the
+    * broadcast path's bit-identical twin for eval suites past broadcast
+    * size. The eval slice is bucketed by the persisted (dir, k)
+    * quantizer (s2's machinery, zero new geometry) and each cell
+    * publishes its angular radius r_c = max angle(member, centroid).
+    * For a training vector q at angle θ_c to cell c's centroid, the
+    * spherical triangle inequality gives hard bounds on any member e:
+    *
+    *   cos(θ_c + r_c) ≤ cos(q, e) ≤ cos(θ_c − r_c)
+    *
+    * so LB_c = cos(min(π, θ_c + r_c)) is ACHIEVED by some member (the
+    * cell is nonempty) and UB_c = cos(max(0, θ_c − r_c)) caps every
+    * member. q probes exactly the cells whose UB clears its best LB
+    * (minus a 1e-9 margin dwarfing double trig error) — the true-max
+    * cell always survives (its UB ≥ true max ≥ every LB), so the probed
+    * max IS the exact max and the output hash-matches the brute-force
+    * oracle by construction (st7b's no-false-negative posture in
+    * embedding space; the bound is Elkan 2003's triangle-inequality
+    * device on the unit sphere). Pruning power is data-dependent: tight
+    * on clustered real embedding spaces (the spec's planted corpus
+    * probes 1 of k cells), weak on isotropic random fixtures — the
+    * CONTRACT is exactness at bounded probe cost, never worse than
+    * one-cell-resolution of the eval set.
+    *
+    * Scale shape: the bounds are k inline sub-expressions in ONE narrow
+    * projection over the training scan (no fan-out exchange — the
+    * probeCellsInline geometry); the per-cell radius aggregate collapses
+    * map-side to ≤ k rows and collects driver-side (bounded by index
+    * geometry, never data); the candidate join is an equi-join on cell
+    * against the cell-partitioned eval slice — at deployment, partition
+    * pruning on the persisted index table. k = ivfK(|eval|) stays under
+    * [[InlineCentroidCap]] up to ~65M eval docs; past that the
+    * broadcast-centroid-relation variant (probeCells' k > cap arm) is
+    * the documented growth path. */
+  private[graft] def semanticDecontProbe(emb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val (cand, evCells) = semanticProbePlan(emb, centroids)
+    cand
+      .join(evCells.select($"cell", $"ev_emb").hint("SHUFFLE_HASH"), Seq("cell"))
+      .select($"vec_id", round(cosineCol($"embedding", $"ev_emb"), 6).as("c"))
+      .groupBy($"vec_id").agg(max($"c").as("max_eval_cos"))
+      .select($"vec_id", $"max_eval_cos",
+        ($"max_eval_cos" >= SemDecontTau).as("contaminated"))
+  }
+
+  /** [[semanticDecontProbe]]'s candidate stage, exposed so the spec can
+    * measure pruning: returns (the (vec_id, embedding, cell) probe
+    * relation, the cell-assigned eval slice). */
+  private[graft] def semanticProbePlan(emb: DataFrame,
+      centroids: Array[Array[Double]]): (DataFrame, DataFrame) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    require(centroids.length <= InlineCentroidCap,
+      s"t21 probe path: k=${centroids.length} exceeds the inline cap " +
+        s"$InlineCentroidCap — use the broadcast centroid-relation variant")
+    val isEval = $"vec_id" % graft.operators.TextOps.DecontMod === 0
+    val ev = emb.where(isEval)
+      .select($"vec_id".as("ev_id"), $"embedding".as("ev_emb"))
+    val evCells = assignCells(ev, "ev_id", "ev_emb", centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clamp = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
+    // the centroid is an arbitrary reference point — float-rounding it
+    // is sound because the radius AND the query bounds both use the
+    // SAME rounded vector (the cosineSim kernel is float-array native)
+    // per-cell angular radius: ≤ k rows, map-side-combined, driver-bounded
+    val radii = evCells
+      .join(broadcast(centroidRelation(s, centroids)), $"cell" === $"cell_id")
+      .select($"cell",
+        acos(clamp(cosineCol($"ev_emb", $"c_vec".cast("array<float>"))))
+          .as("ang"))
+      .groupBy($"cell").agg(max($"ang").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val stats = radii.toSeq.sortBy(_._1)
+      .map { case (cid, r) => (cid, centroids(cid), r) }
+    val bounds = array(stats.map { case (cid, mu, r) =>
+      val th = acos(clamp(cosineCol($"embedding",
+        typedLit(mu.map(_.toFloat).toSeq))))
+      struct(lit(cid).as("cell"),
+        cos(greatest(lit(0.0), th - lit(r))).as("ub"),
+        cos(least(lit(math.Pi), th + lit(r))).as("lb"))
+    }: _*)
+    val lbmax = array_max(transform(bounds, x => x.getField("lb")))
+    val probed = filter(bounds, x => x.getField("ub") >= lbmax - lit(1e-9))
+    val cand = emb.where(!isEval)
+      .select($"vec_id", $"embedding",
+        explode(transform(probed, x => x.getField("cell"))).as("cell"))
+    (cand, evCells)
   }
 
   private val t21Sql = {
