@@ -698,6 +698,133 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** KLL doubles quantile sketch aggregate (Karnin–Lang–Liberty 2016, the
+  * DataSketches implementation Spark itself bundles for its HLL
+  * functions) — the mergeable-quantile twin of Spark's `hll_sketch_agg`:
+  * per-shard sketches a few KB each, union-aggregated without re-scanning
+  * the data. Modeled line-for-line on Spark's own
+  * `HllSketchAgg` (datasketchesAggregates.scala): a
+  * `TypedImperativeAggregate` whose buffer is the live heap sketch,
+  * serialized through the sketch's own compact byte format. Emits the
+  * serialized sketch (`binary`), so the output IS the mergeable artifact
+  * a deployment stores per partition/day/source.
+  *
+  * Determinism note: KLL compaction draws random offsets, so at sizes
+  * past `k` the sketch bytes are not run-stable — every consumer contract
+  * is therefore bound-shaped (rank error ≤ ε at high confidence) or
+  * exact-mode (n ≤ k retains all values exactly); SketchOpsSpec pins
+  * both. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    org.apache.datasketches.kll.KllDoublesSketch]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+  with ExpectsInputTypes {
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+  override def update(buf: KllDoublesSketch,
+      input: org.apache.spark.sql.catalyst.InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(buf: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = { buf.merge(other); buf }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Union aggregate over serialized KLL sketches — `hll_union_agg`'s
+  * quantile twin: input is [[KllSketchAgg]]'s binary column, output the
+  * merged sketch's bytes. Re-aggregation never touches the raw data. */
+case class KllUnionAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    org.apache.datasketches.kll.KllDoublesSketch]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+  with ExpectsInputTypes {
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_union_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+  override def update(buf: KllDoublesSketch,
+      input: org.apache.spark.sql.catalyst.InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+  override def merge(buf: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = { buf.merge(other); buf }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override def withNewMutableAggBufferOffset(n: Int): KllUnionAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllUnionAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllUnionAgg =
+    copy(child = newChild)
+}
+
+/** Scalar quantile lookup on a serialized KLL sketch (INCLUSIVE search
+  * criteria — the DataSketches default and the deterministic choice:
+  * the returned value is always a retained item). NULL on an empty
+  * sketch. Interpreted-only (`CodegenFallback`): it runs on aggregate
+  * OUTPUT rows — group-cardinality-many, never data-cardinality. */
+case class KllQuantile(child: Expression, rank: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+  import org.apache.datasketches.kll.KllDoublesSketch
+  import org.apache.datasketches.memory.Memory
+
+  require(rank >= 0.0 && rank <= 1.0, s"rank $rank outside [0, 1]")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantile"
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getQuantile(rank,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+  }
+  override protected def withNewChildInternal(newChild: Expression): KllQuantile =
+    copy(child = newChild)
+}
+
 object GraftColumns {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -726,4 +853,16 @@ object GraftColumns {
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
     ExpressionUtils.column(
       BpeTokenCount(ExpressionUtils.expression(text), vocab))
+
+  def kllSketchAgg(v: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KllSketchAgg(ExpressionUtils.expression(v), k).toAggregateExpression())
+
+  def kllUnionAgg(sk: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KllUnionAgg(ExpressionUtils.expression(sk), k).toAggregateExpression())
+
+  def kllQuantile(sk: Column, rank: Double): Column =
+    ExpressionUtils.column(
+      KllQuantile(ExpressionUtils.expression(sk), rank))
 }

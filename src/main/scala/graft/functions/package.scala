@@ -47,4 +47,20 @@ package object functions {
     * [[org.apache.spark.sql.graftext.BpeTokenCount]]). */
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
     org.apache.spark.sql.graftext.GraftColumns.bpeTokenCount(text, vocab)
+
+  /** KLL doubles quantile-sketch aggregate over a double column — the
+    * mergeable-quantile twin of `hll_sketch_agg`, emitting the sketch's
+    * compact bytes (see [[org.apache.spark.sql.graftext.KllSketchAgg]]). */
+  def kllSketchAgg(v: Column, k: Int): Column =
+    org.apache.spark.sql.graftext.GraftColumns.kllSketchAgg(v, k)
+
+  /** Union aggregate over serialized KLL sketches (see
+    * [[org.apache.spark.sql.graftext.KllUnionAgg]]). */
+  def kllUnionAgg(sk: Column, k: Int): Column =
+    org.apache.spark.sql.graftext.GraftColumns.kllUnionAgg(sk, k)
+
+  /** Quantile lookup on a serialized KLL sketch (see
+    * [[org.apache.spark.sql.graftext.KllQuantile]]). */
+  def kllQuantile(sk: Column, rank: Double): Column =
+    org.apache.spark.sql.graftext.GraftColumns.kllQuantile(sk, rank)
 }

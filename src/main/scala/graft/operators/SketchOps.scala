@@ -80,6 +80,75 @@ object SketchOps {
       |  TRUE AS sketch_within_2pct
       |FROM events GROUP BY 1""".stripMargin
 
+  // --------------------------------------- k2b mergeable quantile union
+
+  /** KLL sketch size parameter — the DataSketches default: k = 200 gives
+    * ~1.65% normalized rank error at 99% confidence (Karnin–Lang–Liberty
+    * 2016; the published DataSketches accuracy table). */
+  private[graft] val KllK = 200
+  /** Asserted rank bracket — 3× the 99%-confidence error above, so the
+    * boolean contract survives KLL's randomized compaction across runs
+    * (the k1/k4 ≥5σ posture applied to rank space). */
+  private[graft] val KllRankEps = 0.05
+
+  /** k2b: TWO-LEVEL quantile merge — k4's re-aggregation proof for the
+    * quantile sketch family, the other panel a 100 TB observability
+    * stack stores per shard. k2 keeps only prose about the mergeable
+    * path ("at 100 TB you'd keep ONLY the sketch column"); k2b is that
+    * path as code: per-(event_type, shard) KLL sketches (the custom
+    * [[graft.functions.kllSketchAgg]] `TypedImperativeAggregate` —
+    * Spark's own HLL-aggregate architecture applied to DataSketches
+    * KLL), union-aggregated per event type WITHOUT re-scanning the
+    * events ([[graft.functions.kllUnionAgg]] reads the few-KB binary
+    * column only), quantile lookups on the merged sketch asserted
+    * inside the published rank-error bound against the exact
+    * percentile (k2's exact+bound contract): the merged p50/p95 must
+    * land between the exact ±[[KllRankEps]]-rank quantiles.
+    *
+    * Scale shape: the sketch pass is one map-side-combined aggregate
+    * whose state is a few KB per (type, shard); the union input is
+    * O(types × shards × KB) regardless of corpus size; the exact
+    * percentile join exists only for the verification contract (a
+    * deployment keeps the sketches alone — that is the point). */
+  def k2bQuantileUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val perShard = ev.withColumn("shard", pmod($"user_id", lit(4)))
+      .groupBy($"event_type", $"shard")
+      .agg(graft.functions.kllSketchAgg($"value", KllK).as("sk"))
+    val merged = perShard.groupBy($"event_type")
+      .agg(graft.functions.kllUnionAgg($"sk", KllK).as("msk"),
+        count(lit(1)).as("n_sketches"))
+      .select($"event_type", $"n_sketches",
+        graft.functions.kllQuantile($"msk", 0.5).as("sp50"),
+        graft.functions.kllQuantile($"msk", 0.95).as("sp95"))
+    val exact = ev.groupBy($"event_type").agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"),
+      expr(s"percentile(value, ${0.5 - KllRankEps})").as("lo50"),
+      expr(s"percentile(value, ${0.5 + KllRankEps})").as("hi50"),
+      expr(s"percentile(value, ${0.95 - KllRankEps})").as("lo95"),
+      expr("percentile(value, 1.0)").as("hi95"))
+    merged.join(exact, Seq("event_type"))
+      .select($"event_type", $"p50", $"p95", $"n_sketches",
+        ($"sp50" >= $"lo50" && $"sp50" <= $"hi50")
+          .as("kll_p50_within_rank_eps"),
+        ($"sp95" >= $"lo95" && $"sp95" <= $"hi95")
+          .as("kll_p95_within_rank_eps"))
+  }
+
+  // n_sketches from the data (k4's device); the sketch-side booleans are
+  // the engine's to earn — the oracle states the contract as TRUE.
+  private val k2bSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  CAST(COUNT(DISTINCT ((user_id % 4) + 4) % 4) AS BIGINT)
+      |    AS n_sketches,
+      |  TRUE AS kll_p50_within_rank_eps,
+      |  TRUE AS kll_p95_within_rank_eps
+      |FROM events GROUP BY 1""".stripMargin
+
   /** k3: heavy hitters via count-min sketch — the top-5 users by event
     * count, each with the exact count and a boolean asserting the CMS
     * estimate landed inside its guarantee (est ≥ exact always; est ≤
@@ -610,6 +679,7 @@ object SketchOps {
     "k8_ingest_drift" -> k8IngestDrift _,
     "k1_hll_distinct" -> k1HllDistinct _,
     "k2_quantile_sketch" -> k2QuantileSketch _,
+    "k2b_quantile_union" -> k2bQuantileUnion _,
     "k3_cms_topk" -> k3CmsTopk _,
     "k4_sketch_union" -> k4SketchUnion _,
     "k5_source_overlap" -> k5SourceOverlap _,
@@ -620,6 +690,7 @@ object SketchOps {
   val oracleSql: Map[String, String] = Map(
     "k1_hll_distinct" -> k1Sql,
     "k2_quantile_sketch" -> k2Sql,
+    "k2b_quantile_union" -> k2bSql,
     "k3_cms_topk" -> k3Sql,
     "k4_sketch_union" -> k4Sql,
     "k5_source_overlap" -> k5Sql,

@@ -227,6 +227,64 @@ class SketchOpsSpec extends SparkSpec {
     assert(fr.getAs[Long]("ingest_mean_len") === 8L)
   }
 
+  test("k2b: in exact mode (n <= k) the shard union IS the one-shot sketch IS the exact quantile") {
+    // 120 values across 4 shards — far under KllK = 200, so every sketch
+    // retains every value and no randomized compaction ever runs:
+    // equality is exact, not statistical
+    val vals = (0 until 120).map(i => ((i * 37 + 11) % 120).toDouble)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+      .withColumn("shard", pmod($"id", lit(4)))
+    import graft.{functions => gf}
+    val oneShot = df.agg(gf.kllSketchAgg($"value", SketchOps.KllK).as("sk"))
+    val union = df.groupBy($"shard")
+      .agg(gf.kllSketchAgg($"value", SketchOps.KllK).as("sk"))
+      .agg(gf.kllUnionAgg($"sk", SketchOps.KllK).as("sk"))
+    val ranks = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.95)
+    def qs(sk: org.apache.spark.sql.DataFrame): Seq[Double] =
+      sk.select(ranks.map(r => gf.kllQuantile($"sk", r)): _*)
+        .collect().head.toSeq.map(_.asInstanceOf[Double])
+    val a = qs(oneShot)
+    val b = qs(union)
+    assert(a === b, "union must equal the one-shot sketch in exact mode")
+    // INCLUSIVE rule at retained-everything: value whose rank ceiling
+    // covers r — replay against the sorted data
+    val sorted = vals.sorted
+    val want = ranks.map(r => sorted(math.ceil(r * vals.size).toInt - 1))
+    assert(a === want, "exact-mode quantiles are the true order statistics")
+  }
+
+  test("k2b: at compaction sizes the union estimate stays inside the rank bracket; fixture booleans hold") {
+    // 40k values per shard — deep into compaction, the randomized
+    // regime: the contract is the published rank bound, at 3x margin
+    val n = 160000
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i.toLong * 48271) % 99991).toDouble)
+    }.toDF("id", "value").withColumn("shard", pmod($"id", lit(4)))
+    import graft.{functions => gf}
+    val sk = df.groupBy($"shard")
+      .agg(gf.kllSketchAgg($"value", SketchOps.KllK).as("sk"))
+      .agg(gf.kllUnionAgg($"sk", SketchOps.KllK).as("sk"))
+    val Seq(sp50, sp95) = sk
+      .select(gf.kllQuantile($"sk", 0.5), gf.kllQuantile($"sk", 0.95))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toSeq
+    val sorted = (0 until n).map(i => ((i.toLong * 48271) % 99991).toDouble).sorted
+    def rankOf(v: Double): Double =
+      sorted.count(_ <= v).toDouble / n
+    assert(math.abs(rankOf(sp50) - 0.5) <= SketchOps.KllRankEps,
+      s"p50 estimate $sp50 at rank ${rankOf(sp50)}")
+    assert(math.abs(rankOf(sp95) - 0.95) <= SketchOps.KllRankEps,
+      s"p95 estimate $sp95 at rank ${rankOf(sp95)}")
+    // the registered panel's booleans must hold on the fixture
+    val got = SketchOps.k2bQuantileUnion(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("kll_p50_within_rank_eps"), r.toString)
+      assert(r.getAs[Boolean]("kll_p95_within_rank_eps"), r.toString)
+      assert(r.getAs[Long]("n_sketches") >= 1L)
+    }
+  }
+
   test("k8: the registered panel equals an independent replay over the d8 slices") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"lang", $"n_chars")
