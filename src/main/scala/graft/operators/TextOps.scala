@@ -1175,6 +1175,94 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // --------------------------------------- t9b validated structured PII
+
+  /** Candidate pattern for card numbers — 16-digit runs, in the same
+    * Java/RE2-agreeing simple-class subset as [[PiiPatterns]]. A 17+
+    * digit run matches its first 16 (no boundary assertions in the
+    * subset) — documented, and irrelevant to the Luhn contract: a
+    * random longer run's prefix still fails validation 90% of the time
+    * and a real card embedded in one is not a real card. */
+  private[graft] val CardPattern = "[0-9]{16}"
+
+  /** Luhn checksum validity of a 16-digit string column — EXACT integer
+    * arithmetic as a native fold (no UDF): 1-based position i from the
+    * LEFT of a 16-length string is odd exactly when the digit is in an
+    * even position from the right, i.e. the doubled rail; doubled
+    * digits over 9 fold back by −9; valid iff the total ≡ 0 (mod 10). */
+  private[graft] def luhnValid(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(16)), i => {
+        val d = c.substr(i, lit(1)).cast("int")
+        when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x) % 10 === 0
+
+  /** t9b: VALIDATED structured-PII redaction — the production posture
+    * over t9's pattern pass: a 16-digit string is only a credit card if
+    * its Luhn checksum holds (ISO/IEC 7812 — the reason the check digit
+    * exists), so t9b validates BEFORE redacting: candidates come from
+    * [[CardPattern]], each is Luhn-checked by the native integer fold
+    * ([[luhnValid]]), and only valid numbers are replaced by `<CARD>` —
+    * an invoice number that happens to be 16 digits survives. The
+    * conditional rebuild is declarative: split on the pattern, then
+    * zip the candidate array back between the parts with the token
+    * substituted only where the checksum held — one narrow codegen'd
+    * projection, nothing shuffles (t9's shape).
+    *
+    * The fixture corpus plants no 16-digit runs (t9's
+    * corpus-plants-none pattern) — the oracle still checks the zero
+    * counts and pass-through lengths exactly; TextOpsSpec proves the
+    * valid-redacts / invalid-survives behavior on planted documents
+    * with a spec-computed check digit. */
+  def t9bPiiValidated(s: SparkSession, dir: String): DataFrame =
+    cardRedactOf(Tables.documents(s, dir))
+
+  /** The t9b kernel over any (doc_id, text) relation. */
+  private[graft] def cardRedactOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cands = regexp_extract_all($"text", lit(CardPattern), lit(0))
+    val parts = split($"text", CardPattern, -1)
+    val segs = zip_with(cands,
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      (c, p) => concat(when(luhnValid(c), lit("<CARD>")).otherwise(c), p))
+    val rebuilt = concat(element_at(parts, 1), array_join(segs, ""))
+    docs.select($"doc_id",
+      size(cands).as("n_card_candidate"),
+      size(filter(cands, luhnValid _)).as("n_card_valid"),
+      length(rebuilt).as("redacted_len"))
+  }
+
+  // the identical Luhn fold as a DuckDB list comprehension — both
+  // engines state the arithmetic independently and the hash compare
+  // proves them equal
+  private val t9bSql =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(text, '$CardPattern') AS cands,
+       |    str_split_regex(text, '$CardPattern') AS parts
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, cands, parts,
+       |    [list_sum([CASE WHEN i % 2 = 1
+       |        THEN CASE WHEN 2 * CAST(cd[i] AS INT) > 9
+       |             THEN 2 * CAST(cd[i] AS INT) - 9
+       |             ELSE 2 * CAST(cd[i] AS INT) END
+       |        ELSE CAST(cd[i] AS INT) END
+       |      for i in generate_series(1, 16)]) % 10 = 0
+       |      for cd in cands] AS valids
+       |  FROM c)
+       |SELECT doc_id,
+       |  CAST(len(cands) AS INT) AS n_card_candidate,
+       |  CAST(len(list_filter(valids, x -> x)) AS INT) AS n_card_valid,
+       |  CAST(length(parts[1] || COALESCE(list_aggregate(
+       |    [CASE WHEN valids[i] THEN '<CARD>' ELSE cands[i] END
+       |       || parts[i + 1]
+       |     for i in generate_series(1, len(cands))],
+       |    'string_agg', ''), '')) AS INT) AS redacted_len
+       |FROM v""".stripMargin
+
   // ------------------------------------------------- t10 decontamination
 
   /** Word-gram size for the contamination check. Real pipelines use 8–13;
@@ -2333,6 +2421,7 @@ object TextOps {
     "t7_repetition" -> t7Repetition _,
     "t8_bigram_lm" -> t8BigramLm _,
     "t9_pii_redact" -> t9PiiRedact _,
+    "t9b_pii_validated" -> t9bPiiValidated _,
     "t10_decontaminate" -> t10Decontaminate _,
     "t19_span_decontaminate" -> t19SpanDecontaminate _,
     "t20_ingest_novelty" -> t20IngestNovelty _,
@@ -2364,6 +2453,7 @@ object TextOps {
     "t7_repetition" -> t7Sql,
     "t8_bigram_lm" -> t8Sql,
     "t9_pii_redact" -> t9Sql,
+    "t9b_pii_validated" -> t9bSql,
     "t10_decontaminate" -> t10Sql,
     "t19_span_decontaminate" -> t19Sql,
     "t20_ingest_novelty" -> t20Sql,

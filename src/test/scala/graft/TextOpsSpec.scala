@@ -268,6 +268,48 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t9b: the valid-checksum card redacts, the invalid one survives; adjacent runs and pass-through hold") {
+    // independent Scala Luhn (the engine's convention: 1-based from-left
+    // odd positions are the doubled rail of a 16-length string)
+    def luhn(s: String): Boolean = s.zipWithIndex.map { case (ch, idx) =>
+      val d = ch - '0'
+      if ((idx + 1) % 2 == 1) { val x = 2 * d; if (x > 9) x - 9 else x }
+      else d
+    }.sum % 10 == 0
+    // construct the fixtures instead of trusting a memorized number:
+    // solve the check digit, then break it by +1 (mod 10)
+    val base15 = "452801511283036"
+    val valid = (0 to 9).map(d => base15 + d).find(luhn).get
+    val invalid = valid.init + ((valid.last - '0' + 1) % 10).toString
+    assert(luhn(valid) && !luhn(invalid))
+
+    val docs = Seq(
+      (1L, s"pay $valid today"),
+      (2L, s"invoice $invalid is not a card"),
+      (3L, s"two cards $valid and $valid plus junk $invalid end"),
+      (4L, "plain clean text with no digits"),
+      (5L, s"adjacent $valid$invalid runs"))
+      .toDF("doc_id", "text")
+    val got = TextOps.cardRedactOf(docs)
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1, 1, s"pay <CARD> today".length)))
+    assert(got(2L) === ((1, 0, s"invoice $invalid is not a card".length)),
+      "the invalid checksum must NOT redact")
+    assert(got(3L) === ((3, 2,
+      s"two cards <CARD> and <CARD> plus junk $invalid end".length)))
+    assert(got(4L) === ((0, 0, "plain clean text with no digits".length)))
+    // 32 adjacent digits = two 16-digit matches, validated independently
+    assert(got(5L) === ((2, 1, s"adjacent <CARD>$invalid runs".length)))
+    // the real corpus plants no 16-digit runs: pure pass-through
+    val corpus = TextOps.t9bPiiValidated(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Int]("n_card_candidate") === 0)
+      assert(r.getAs[Int]("n_card_valid") === 0)
+    }
+  }
+
   test("t10: planted 8-gram overlap is flagged; clean and eval docs are not") {
     val dir = java.nio.file.Files.createTempDirectory("graft_t10").toString
     val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // one full 8-gram
