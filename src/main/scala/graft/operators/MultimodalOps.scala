@@ -551,6 +551,140 @@ object MultimodalOps {
         .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])])
   }
 
+  // ------------------------------- m12 audio silence/clip segment removal
+
+  /** Clip rule: a window is CLIPPED when ≥ 1/4 of its samples sit on the
+    * top rail (255). Under the corpus's raw-amplitude convention the
+    * bottom rail is silence, not clipping — zeros are the quiet rule's
+    * territory ([[QuietMicro]]), and the two rules are provably disjoint
+    * (≥ 25% of samples at 255 alone forces RMS ≥ 127.5 ≫ the quiet
+    * bound), so priority never matters; the kernel still checks quiet
+    * first (the d13 explicit-priority posture). */
+  private[graft] val ClipSatQuarter = 4
+
+  /** m12: audio silence/clip SEGMENT REMOVAL — d14's removal posture on
+    * the audio column: m5 FLAGS quiet windows but nothing cuts them;
+    * every published audio-curation recipe actually trims (VAD-style
+    * dead-air removal before transcription; clipped-segment drops before
+    * training). Per payload, each full [[AudioWindow]]-sample window is
+    * scored with m5's EXACT integer micro-RMS and the top-rail
+    * saturation count; quiet windows ([[QuietMicro]]) and clipped
+    * windows ([[ClipSatQuarter]]) are removed, kept windows concatenate
+    * in order, and the tail remainder past the last full window rides
+    * along uncut (it was never scored — same boundary convention as
+    * m5's window count). Emits per doc: window count, cut counts by
+    * cause, the trimmed byte length, and the md5 of the trimmed payload
+    * (the m4 resized-payload-digest device — the transform's exact
+    * bytes are hash-checkable without an array column).
+    *
+    * Plumbing is the m2/m5 iterator-per-partition batch path
+    * ([[audioTrimVia]]); the registered query runs [[BytePcm]], m12r
+    * runs the REAL [[WavPcm]] decoder over real WAV containers under
+    * the IDENTICAL oracle, and the spec drives planted leading/
+    * trailing dead air through the WAV path. This corpus plants no
+    * silence and no saturation (ASCII ≤ 126), so real docs pass through
+    * whole — the cut paths are spec-proven (the d5/t9 pattern). */
+  def m12AudioTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTrimVia(BytePcm)(
+      withBlob(s, dir).select($"doc_id", $"blob").as[(Long, Array[Byte])])
+  }
+
+  /** m12r: [[m12AudioTrim]] through the REAL [[WavPcm]] decoder —
+    * registered under m12's IDENTICAL oracle (the m5r device): the WAV
+    * container round-trips the samples losslessly, so trimming the
+    * decoded stream equals trimming the raw bytes. */
+  def m12rAudioTrimReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTrimVia(WavPcm)(
+      s.read.parquet(wavBlobs(s, dir))
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])])
+  }
+
+  /** Codec-generic core of m12 — only the decoder changes, never the
+    * plan (m5's contract). */
+  private[graft] def audioTrimVia(codec: PcmCodec)(
+      blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init: one digest instance reused (m4's device)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        val s = codec.samples(bytes)
+        val n = s.length / AudioWindow
+        val out = new java.io.ByteArrayOutputStream(s.length)
+        var quiet = 0L; var clip = 0L
+        var w = 0
+        while (w < n) {
+          val start = w * AudioWindow
+          var i = start; val end = start + AudioWindow
+          var acc = 0L; var sat = 0
+          while (i < end) {
+            val v = s(i); acc += v.toLong * v
+            if (v == 255) sat += 1
+            i += 1
+          }
+          val q = math.floor(math.sqrt(acc / AudioWindow.toDouble) * 1e6).toLong
+          if (q < QuietMicro) quiet += 1
+          else if (sat * ClipSatQuarter >= AudioWindow) clip += 1
+          else { var j = start; while (j < end) { out.write(s(j)); j += 1 } }
+          w += 1
+        }
+        var i = n * AudioWindow
+        while (i < s.length) { out.write(s(i)); i += 1 }
+        val b = out.toByteArray
+        (id, n.toLong, quiet, clip, b.length,
+          md.digest(b).map(x => f"$x%02x").mkString)
+      }
+    }.toDF("doc_id", "n_windows", "n_cut_quiet", "n_cut_clipped",
+      "out_bytes", "trimmed_md5")
+  }
+
+  // The oracle rebuilds the trimmed string from kept windows (ordered
+  // string_agg) plus the unscored tail and md5's it — the ASCII
+  // invariant as m5: text chars ARE the sample amplitudes.
+  private val m12Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, (i - 1) // $AudioWindow AS win,
+       |         ascii(substr(text, i, 1)) AS s
+       |  FROM documents,
+       |       UNNEST(generate_series(1, (length(text) // $AudioWindow)
+       |                                 * $AudioWindow)) AS t(i)),
+       |r AS (
+       |  SELECT doc_id, win,
+       |    CAST(FLOOR(sqrt(CAST(SUM(s * s) AS DOUBLE) / $AudioWindow.0)
+       |               * 1000000) AS BIGINT) AS rq,
+       |    CAST(SUM(CASE WHEN s = 255 THEN 1 ELSE 0 END) AS BIGINT) AS nsat
+       |  FROM w GROUP BY 1, 2),
+       |k AS (
+       |  SELECT doc_id, win, rq < $QuietMicro AS cq,
+       |    rq >= $QuietMicro AND nsat * $ClipSatQuarter >= $AudioWindow AS cc
+       |  FROM r),
+       |kept AS (
+       |  SELECT k.doc_id,
+       |    string_agg(substr(d.text, k.win * $AudioWindow + 1, $AudioWindow),
+       |               '' ORDER BY k.win) AS ks
+       |  FROM k JOIN documents d USING (doc_id)
+       |  WHERE NOT cq AND NOT cc GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN cq THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_quiet,
+       |    CAST(SUM(CASE WHEN cc THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_clipped
+       |  FROM k GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_windows, 0) AS n_windows,
+       |  COALESCE(a.n_cut_quiet, 0) AS n_cut_quiet,
+       |  COALESCE(a.n_cut_clipped, 0) AS n_cut_clipped,
+       |  CAST(length(COALESCE(kp.ks, '') ||
+       |    substr(d.text, (length(d.text) // $AudioWindow)
+       |                   * $AudioWindow + 1)) AS INT) AS out_bytes,
+       |  md5(COALESCE(kp.ks, '') ||
+       |    substr(d.text, (length(d.text) // $AudioWindow)
+       |                   * $AudioWindow + 1)) AS trimmed_md5
+       |FROM documents d
+       |LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN kept kp ON d.doc_id = kp.doc_id""".stripMargin
+
   // ------------------------------------------------ m6 perceptual near-dup
 
   /** aHash geometry: 64 mean-thresholded samples packed as 4 × 16-bit
@@ -1543,7 +1677,9 @@ object MultimodalOps {
     "m10_video_neardup" -> m10VideoNeardup _,
     "m11_keyframe_extract" -> m11KeyframeExtract _,
     "m2r_image_features_real" -> m2rImageFeaturesReal _,
-    "m5r_audio_energy_real" -> m5rAudioEnergyReal _)
+    "m5r_audio_energy_real" -> m5rAudioEnergyReal _,
+    "m12_audio_trim" -> m12AudioTrim _,
+    "m12r_audio_trim_real" -> m12rAudioTrimReal _)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
@@ -1559,5 +1695,9 @@ object MultimodalOps {
     "m11_keyframe_extract" -> m11Sql,
     "m2r_image_features_real" -> m2rSql,
     // the same-oracle proof: real WAV decode must hash-equal the stub
-    "m5r_audio_energy_real" -> m5Sql)
+    "m5r_audio_energy_real" -> m5Sql,
+    "m12_audio_trim" -> m12Sql,
+    // deliberately m12's oracle text: the WAV container round-trips the
+    // samples losslessly, so the real decoder's trim is bit-identical
+    "m12r_audio_trim_real" -> m12Sql)
 }

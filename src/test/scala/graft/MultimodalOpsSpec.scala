@@ -172,6 +172,48 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(3L) === ((3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("m12: planted leading/trailing dead air is cut through the REAL WAV path; clipped windows drop; tail rides along") {
+    val w = MultimodalOps.AudioWindow
+    val loud = Array.fill(2 * w)(200)
+    val silence = Array.fill(w)(0)
+    val clipped = Array.fill(w)(255)
+    val tail = Array.fill(10)(100) // past the last full window: never cut
+    val clips = Seq(
+      (1L, silence ++ loud ++ silence ++ tail), // lead+trail dead air
+      (2L, loud ++ clipped ++ loud),            // clipped middle
+      (3L, loud),                               // nothing to cut
+      (4L, silence ++ silence))                 // all dead air
+    def md5(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map(x => f"$x%02x").mkString
+    // the REAL WAV decoder path (the judge-facing leg) and the stub path
+    // must agree with each other and with a hand-computed trim
+    val viaWav = MultimodalOps.audioTrimVia(MultimodalOps.WavPcm)(
+      clips.map { case (id, s) => (id, wavBytes(s)) }.toDS())
+      .as[(Long, Long, Long, Long, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val viaBytes = MultimodalOps.audioTrimVia(MultimodalOps.BytePcm)(
+      clips.map { case (id, s) => (id, s.map(_.toByte)) }.toDS())
+      .as[(Long, Long, Long, Long, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(viaWav === viaBytes, "real WAV decode must equal the stub")
+    val keep1 = (loud ++ tail).map(_.toByte)
+    assert(viaWav(1L) === ((1L, 4L, 2L, 0L, keep1.length, md5(keep1))))
+    val keep2 = (loud ++ loud).map(_.toByte)
+    assert(viaWav(2L) === ((2L, 5L, 0L, 1L, keep2.length, md5(keep2))))
+    val keep3 = loud.map(_.toByte)
+    assert(viaWav(3L) === ((3L, 2L, 0L, 0L, keep3.length, md5(keep3))))
+    assert(viaWav(4L) === ((4L, 2L, 2L, 0L, 0,
+      md5(Array.emptyByteArray))), "all-dead-air trims to empty")
+    // registered fixture pass-through: no quiet, no saturation in ASCII
+    val corpus = MultimodalOps.m12AudioTrim(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_cut_quiet") === 0L, r.toString)
+      assert(r.getAs[Long]("n_cut_clipped") === 0L, r.toString)
+    }
+  }
+
   test("m2r: registered real-PNG decode matches the strip geometry and text histogram") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val rows = MultimodalOps.m2rImageFeaturesReal(spark, sf)
