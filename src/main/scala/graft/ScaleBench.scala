@@ -73,7 +73,9 @@ object ScaleBench {
     "hll_within_5pct",   // k1
     "sketch_within_2pct",// k2
     "cms_within_bound",  // k3
-    "merged_within_5pct" // k4
+    "merged_within_5pct",// k4
+    "kll_p50_within_rank_eps", // k2b
+    "kll_p95_within_rank_eps"  // k2b
   )
 
   def main(args: Array[String]): Unit = {

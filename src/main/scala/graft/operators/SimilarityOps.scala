@@ -1621,11 +1621,22 @@ object SimilarityOps {
     * max IS the exact max and the output hash-matches the brute-force
     * oracle by construction (st7b's no-false-negative posture in
     * embedding space; the bound is Elkan 2003's triangle-inequality
-    * device on the unit sphere). Pruning power is data-dependent: tight
-    * on clustered real embedding spaces (the spec's planted corpus
-    * probes 1 of k cells), weak on isotropic random fixtures — the
-    * CONTRACT is exactness at bounded probe cost, never worse than
-    * one-cell-resolution of the eval set.
+    * device on the unit sphere). Pruning power is data-dependent and
+    * MEASURED before sizing the switch ([[graft.T21ScaleProbe]], the
+    * m10 pre-ship-probe discipline): on a clustered space pruning is
+    * total (the spec's planted corpus probes 1 of k cells); on the
+    * ISOTROPIC 80× replica angles concentrate at 90° and radii cover
+    * the sphere, so the probed ratio measured exactly 1.000 and the
+    * probe path ran 1.5× SLOWER than broadcast (228–262 s vs
+    * 149–162 s) — which is the information-theoretic floor talking: no
+    * EXACT screen can beat Ω(train × eval) pair work on isotropic
+    * data, and an nprobe-capped approximate screen would silently
+    * change verdicts past the size threshold. [[EvalBroadcastCap]] is
+    * therefore a broadcast-FEASIBILITY bound, not a speed bound: below
+    * it the linear broadcast plan is optimal and ships; above it
+    * broadcast is off the table physically and this path keeps the
+    * semantics exact at the cell-partitioned join's cost, with the
+    * clustered-space pruning as upside on real embedding spaces.
     *
     * Scale shape: the bounds are k inline sub-expressions in ONE narrow
     * projection over the training scan (no fan-out exchange — the
