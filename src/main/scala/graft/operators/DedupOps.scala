@@ -199,25 +199,36 @@ object DedupOps {
     * relation lives until the session ends or `spark.catalog.clearCache()`
     * — one id-pair relation per operator build, not per query execution. */
   private def verifyPairs(docs: DataFrame, pairs0: DataFrame,
-                          threshold: Double): DataFrame = {
+                          threshold: Double): DataFrame =
+    verifiedSetMetrics(docs, pairs0)
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** The ONE exact-verify scaffold behind [[verifyPairs]] and
+    * [[verifyContainment]]: candidate pairs eagerly materialized,
+    * shingling AFTER the candidate filter (computing the sets below the
+    * join would re-shingle the whole corpus once per pair side), |∩| via
+    * native array_intersect over the distinct trigram-hash sets (same
+    * values as over the string sets), every set metric emitted —
+    * long/long division in double, identical to the oracles' formulas.
+    * Consumers filter and project; Catalyst prunes the columns they
+    * drop, so the jaccard-only path pays nothing for the containment
+    * columns. */
+  private def verifiedSetMetrics(docs: DataFrame, pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b")))
       .as("doc_id")).distinct()
-    // Shingle AFTER the candidate filter — computing the sets below the
-    // join would re-shingle the whole corpus once per pair side. The
-    // exact Jaccard is native: |∩| via array_intersect over the distinct
-    // trigram-hash sets (same value as over the string sets), long/long
-    // division in double — identical to the oracle's formula.
     val candSh = withShingleHashes(docs.join(candIds, Seq("doc_id")))
     val inter = size(array_intersect(col("hs_a"), col("hs_b")))
     pairs
       .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / size(col("hs_a"))).as("cont_a"),
+        (inter.cast("double") / size(col("hs_b"))).as("cont_b"),
+        (inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
+          .as("jaccard"))
   }
 
   /** d2: MinHash-LSH near-duplicate pairs, exact-verified at j ≥ 0.8.
@@ -289,23 +300,31 @@ object DedupOps {
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairsFor(s, dir, "full")(Tables.documents(s, dir))
 
+  /** The word-trigram shingle relation + per-doc set sizes + the exact
+    * shared-shingle pair counts — ONE SQL spelling of the brute-force
+    * pair scaffold, shared by [[jaccardPairsSql]] and
+    * [[containmentPairsSql]] (the charTrigramsSqlOf lesson: shared
+    * fragments, never per-consumer respellings). */
+  private[graft] val shinglePairCtesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM toks,
+      |  UNNEST(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2),
+      |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared oracle for the verified near-dup family: exact shingle-join
     * Jaccard over all pairs (the oracle may brute-force; the engine must
     * not). */
   private[graft] def jaccardPairsSql(threshold: Double): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, s FROM toks,
-       |  UNNEST(CASE WHEN len(w) >= 3
-       |    THEN list_transform(generate_series(1, len(w)-2),
-       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-       |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT da AS doc_a, db AS doc_b,
+    s"WITH $shinglePairCtesSql\n" +
+    s"""SELECT da AS doc_a, db AS doc_b,
        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
        |FROM inter
        |JOIN sz sa ON da = sa.doc_id
@@ -639,43 +658,18 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** [[verifyPairs]]' containment twin: exact per-side verify over the
-    * candidate sliver only (shingle AFTER the candidate filter). */
+  /** [[verifyPairs]]' containment twin over the SAME scaffold
+    * ([[verifiedSetMetrics]]) — only the filter differs. */
   private def verifyContainment(docs: DataFrame, pairs0: DataFrame,
-      tau: Double): DataFrame = {
-    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b")))
-      .as("doc_id")).distinct()
-    val candSh = withShingleHashes(docs.join(candIds, Seq("doc_id")))
-    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
-    pairs
-      .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / size(col("hs_a"))).as("cont_a"),
-        (inter.cast("double") / size(col("hs_b"))).as("cont_b"),
-        (inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
-          .as("jaccard"))
+      tau: Double): DataFrame =
+    verifiedSetMetrics(docs, pairs0)
       .where(greatest(col("cont_a"), col("cont_b")) >= tau)
-  }
 
-  /** d15's oracle: [[jaccardPairsSql]]'s exact-join shape with per-side
-    * denominators (the oracle may brute-force; the engine must not). */
+  /** d15's oracle: [[jaccardPairsSql]]'s exact-join shape (the shared
+    * [[shinglePairCtesSql]] scaffold) with per-side denominators. */
   private[graft] def containmentPairsSql(tau: Double): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, s FROM toks,
-       |  UNNEST(CASE WHEN len(w) >= 3
-       |    THEN list_transform(generate_series(1, len(w)-2),
-       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-       |    ELSE [array_to_string(w, ' ')] END) AS u(s)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT da AS doc_a, db AS doc_b,
+    s"WITH $shinglePairCtesSql\n" +
+    s"""SELECT da AS doc_a, db AS doc_b,
        |  CAST(c AS DOUBLE) / sa.n AS cont_a,
        |  CAST(c AS DOUBLE) / sb.n AS cont_b,
        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard

@@ -600,8 +600,8 @@ object PipelineOps {
     * decontamination last. */
   private[graft] val funnelStages: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
     ("lang_gate",
-      col("conf_micro") < graft.streaming.StreamingOps.LangGateTauMicro,
-      s"f.conf_micro < ${graft.streaming.StreamingOps.LangGateTauMicro}"),
+      col("conf_micro") < TextOps.LangGateTauMicro,
+      s"f.conf_micro < ${TextOps.LangGateTauMicro}"),
     // the five SHAPE rules of t16's battery. r_stopwords is deliberately
     // NOT a funnel gate: it is an English-prior rule that e7's ablation
     // measures at a 100% solo kill on this corpus (share_fail_micro =

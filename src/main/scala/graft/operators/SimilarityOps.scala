@@ -1576,8 +1576,14 @@ object SimilarityOps {
     val n = corpusCount(s, dir)
     val evalN = n / graft.operators.TextOps.DecontMod
     val emb = Tables.embeddings(s, dir)
+    // k capped at the inline bound: the probe path is EXACT at ANY k
+    // (a coarser quantizer only enlarges cells — less pruning
+    // resolution, same verdicts), so capping costs correctness nothing
+    // and removes the k > InlineCentroidCap crash window a √evalN
+    // sizing would open past 65k eval vectors
     if (evalN <= EvalBroadcastCap) semanticDecontOf(emb)
-    else semanticDecontProbe(emb, centroidsFor(s, dir, ivfK(evalN)))
+    else semanticDecontProbe(emb,
+      centroidsFor(s, dir, math.min(ivfK(evalN), InlineCentroidCap)))
   }
 
   /** Eval-slice size above which t21 stops broadcasting the eval
@@ -1644,10 +1650,12 @@ object SimilarityOps {
     * map-side to ≤ k rows and collects driver-side (bounded by index
     * geometry, never data); the candidate join is an equi-join on cell
     * against the cell-partitioned eval slice — at deployment, partition
-    * pruning on the persisted index table. k = ivfK(|eval|) stays under
-    * [[InlineCentroidCap]] up to ~65M eval docs; past that the
-    * broadcast-centroid-relation variant (probeCells' k > cap arm) is
-    * the documented growth path. */
+    * pruning on the persisted index table. The dispatch caps k at
+    * [[InlineCentroidCap]] (exactness holds at any k — only pruning
+    * RESOLUTION saturates at 256 cells), so the path works at every
+    * eval size; a deployment wanting finer resolution past that
+    * implements the broadcast-centroid-relation variant (probeCells'
+    * k > cap arm), which is a speed lever, never a correctness one. */
   private[graft] def semanticDecontProbe(emb: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     val s = emb.sparkSession

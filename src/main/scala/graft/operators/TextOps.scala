@@ -178,6 +178,17 @@ object TextOps {
         best.getField("s").as("score_micro"))
   }
 
+  /** Minimum average profile weight per trigram occurrence (micro-units)
+    * for a doc to count as confidently identified under the trained
+    * profile — the calibration shared by st13's streaming gate and e9's
+    * funnel stage, homed with the profile it calibrates. Measured on
+    * the fixture: clean docs land in [8048, 10058] at both sf0.001 and
+    * sf0.01, out-of-model gibberish hits almost no profile grams and
+    * lands near 0 — τ at half the clean floor separates them with
+    * headroom both ways. Per-corpus calibration — the GATE is the
+    * contract, exactly mC4's 0.7-confidence posture. */
+  private[graft] val LangGateTauMicro = 4000L
+
   /** The distinct sorted language codes a profile carries — the pivot
     * and argmax column order every profile consumer shares. */
   private[graft] def profileLangs(profile: Seq[(String, String, Long)]): Seq[String] =

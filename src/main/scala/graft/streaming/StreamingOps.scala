@@ -730,14 +730,14 @@ object StreamingOps {
 
   // -------------------------------------------------------------- st13
 
-  /** Minimum average profile weight per trigram occurrence (micro-units)
-    * for an incoming doc to count as confidently identified. Measured on
-    * the fixture: clean docs land in [8048, 10058] at both sf0.001 and
-    * sf0.01, out-of-model gibberish hits almost no profile grams and
-    * lands near 0 — τ at half the clean floor separates them with
-    * headroom both ways. Per-corpus calibration — the GATE is the
-    * contract, exactly mC4's 0.7-confidence posture. */
-  private[graft] val LangGateTauMicro = 4000L
+  /** The gate threshold lives with the trained profile it calibrates
+    * ([[graft.operators.TextOps.LangGateTauMicro]]); this alias keeps
+    * st13's call sites and specs reading naturally — and keeps the
+    * operators tier free of a dependency on this module (ADVICE-class
+    * layering: streaming already depends on operators, never the
+    * reverse). */
+  private[graft] val LangGateTauMicro =
+    graft.operators.TextOps.LangGateTauMicro
 
   /** The language gate at the streaming front door — the check every
     * published web pipeline runs FIRST (CCNet buckets by lang-ID before
