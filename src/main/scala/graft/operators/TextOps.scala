@@ -202,11 +202,19 @@ object TextOps {
     * profile hit are ABSENT (inner gram join) — consumers left-join and
     * let [[bestLangStruct]]'s coalesce treat them as all-zero.
     *
-    * `withNTri = true` (st13's shape) switches to explode_outer + a
-    * LEFT profile join so the SAME aggregate also counts total trigram
-    * occurrences as `n_tri` and EVERY input row stays present (zero-
-    * trigram and zero-hit rows included, all-zero scores) — one scan,
-    * one aggregate, no re-join on the keys (ADVICE r14). */
+    * `withNTri = true` (st13's and e9's shape) keeps ONE scan and ONE
+    * aggregate while also emitting total trigram occurrences as `n_tri`
+    * with EVERY input row present: n_tri is computed BEFORE the explode
+    * (post-join rows fan out on grams shared across language profiles)
+    * and folded by first(); the LEFT profile join is immediately
+    * re-filtered to profile HITS plus ONE sentinel row per input row
+    * (pos 0, or the null row explode_outer emits for empty text) — the
+    * sentinel keeps zero-hit rows present with all-zero scores while
+    * the wide pivot aggregate still consumes only hit-volume input.
+    * (The first cut of this path aggregated ALL gram occurrences and
+    * benched 20× slower than the two-subtree shape it replaced — the
+    * inner-join filtering, not the scan count, is what the scorer's
+    * speed lives on.) */
   private[graft] def profileScores(rel: DataFrame, text: Column,
       keys: Seq[Column], profile: Seq[(String, String, Long)],
       withNTri: Boolean = false): DataFrame = {
@@ -216,14 +224,20 @@ object TextOps {
     val pivots = profileLangs(profile).map(l =>
       sum(when($"p_lang" === l, $"w").otherwise(0L)).as(s"s_$l"))
     if (withNTri)
-      // n_tri computed BEFORE the explode (a gram in several languages'
-      // profiles fans out under the left join, so counting post-join
-      // rows would inflate it) and carried through as a per-key
-      // constant folded by first()
-      rel.select(keys ++ Seq(
-          size(charTrigrams(text)).cast("long").as("n_tri"),
-          explode_outer(charTrigrams(text)).as("g")): _*)
+      // the trigram array is materialized in its OWN projection and
+      // referenced twice above (size + posexplode): CollapseProject
+      // refuses to inline a non-cheap expression used twice, so the
+      // array builds ONCE per input row BELOW the Generate. Spelling
+      // size(charTrigrams(text)) directly in the generator's select
+      // collapsed the array build above the Generate — rebuilt per
+      // exploded GRAM, O(len²) per doc (the withShingleHashes trap;
+      // benched 20× slow before this shape).
+      rel.select(keys :+ charTrigrams(text).as("__tri"): _*)
+        .select(keys ++ Seq(
+          size($"__tri").cast("long").as("n_tri"),
+          posexplode_outer($"__tri").as(Seq("pos", "g"))): _*)
         .join(broadcast(prof), Seq("g"), "left")
+        .where($"p_lang".isNotNull || $"pos" === 0 || $"pos".isNull)
         .groupBy(keys: _*)
         .agg(first($"n_tri").as("n_tri"), pivots: _*)
     else
