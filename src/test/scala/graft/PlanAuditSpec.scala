@@ -562,6 +562,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!f.contains("CartesianProduct"), f)
   }
 
+  test("st13: the trigram array builds ONCE below the Generate — the scorer's n_tri rides an attribute, never a rebuild") {
+    // regression pin for the round-15 CollapseProject trap: spelling
+    // size(charTrigrams(text)) beside the generator collapsed the array
+    // build ABOVE the Generate — rebuilt per exploded gram, O(len²) per
+    // doc, a measured 20× on st13 and 25× on e9. The fixed shape
+    // materializes the array in its own projection (referenced twice,
+    // so CollapseProject must keep it); the plan therefore spells the
+    // trigram construction exactly once.
+    val p = plan("st13_stream_lang_gate")
+    val builds = "flatten\\(transform\\(filter\\(split\\(lower\\(".r
+      .findAllIn(p).length
+    assert(builds === 1,
+      s"the trigram array must be constructed exactly once, found $builds:\n$p")
+  }
+
   test("p8: one (stage, shard) window over id-width rows; text never reaches it") {
     val p = plan("p8_curriculum_order")
     // the curriculum adds exactly one exchange over t17's scoring plan —
