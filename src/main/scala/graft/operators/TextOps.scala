@@ -1203,11 +1203,15 @@ object TextOps {
   // --------------------------------------- t9b validated structured PII
 
   /** Candidate pattern for card numbers — 16-digit runs, in the same
-    * Java/RE2-agreeing simple-class subset as [[PiiPatterns]]. A 17+
-    * digit run matches its first 16 (no boundary assertions in the
-    * subset) — documented, and irrelevant to the Luhn contract: a
-    * random longer run's prefix still fails validation 90% of the time
-    * and a real card embedded in one is not a real card. */
+    * Java/RE2-agreeing simple-class subset as [[PiiPatterns]]. The
+    * subset has no boundary assertions, so a 17+-digit run (an
+    * account/reference number) still MATCHES its leading 16 — the
+    * redactor rejects those candidates structurally instead (see
+    * [[cardRedactOf]]): a match is part of a longer digit run exactly
+    * when a split part adjacent to it is empty (back-to-back matches)
+    * or its following part begins with a digit (the run's < 16-digit
+    * leftover), both decidable from the split array the rebuild
+    * already carries. */
   private[graft] val CardPattern = "[0-9]{16}"
 
   /** Luhn checksum validity of a 16-digit string column — EXACT integer
@@ -1244,24 +1248,40 @@ object TextOps {
   def t9bPiiValidated(s: SparkSession, dir: String): DataFrame =
     cardRedactOf(Tables.documents(s, dir))
 
-  /** The t9b kernel over any (doc_id, text) relation. */
+  /** The t9b kernel over any (doc_id, text) relation. A candidate is
+    * redacted only when BOTH hold: its Luhn checksum validates AND it
+    * is a free-standing 16-digit run, not a slice of a longer one.
+    * The run guard needs no lookarounds (excluded from the shared
+    * regex subset): candidate i (0-based) sits inside a longer run iff
+    * its following split part begins with a digit (a 17–31-digit run's
+    * leftover), it abuts the NEXT candidate (empty separator — runs of
+    * 32+), or it abuts the PREVIOUS one (the continuation slices). The
+    * part BEFORE a match can never otherwise end in a digit — the
+    * leftmost-match rule would have started the match there. */
   private[graft] def cardRedactOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val cands = regexp_extract_all($"text", lit(CardPattern), lit(0))
     val parts = split($"text", CardPattern, -1)
-    val segs = zip_with(cands,
-      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
-      (c, p) => concat(when(luhnValid(c), lit("<CARD>")).otherwise(c), p))
+    def inLongRun(i: Column): Column =
+      element_at(parts, i + 2).rlike("^[0-9]") ||
+        (element_at(parts, i + 2) === "" && i + 1 < size(cands)) ||
+        (element_at(parts, i + 1) === "" && i > 0)
+    def cardValid(c: Column, i: Column): Column = luhnValid(c) && !inLongRun(i)
+    val segs = transform(cands, (c, i) =>
+      concat(when(cardValid(c, i), lit("<CARD>")).otherwise(c),
+        element_at(parts, i + 2)))
     val rebuilt = concat(element_at(parts, 1), array_join(segs, ""))
     docs.select($"doc_id",
       size(cands).as("n_card_candidate"),
-      size(filter(cands, luhnValid _)).as("n_card_valid"),
+      size(filter(transform(cands, cardValid _), v => v)).as("n_card_valid"),
       length(rebuilt).as("redacted_len"))
   }
 
   // the identical Luhn fold as a DuckDB list comprehension — both
   // engines state the arithmetic independently and the hash compare
-  // proves them equal
+  // proves them equal; the long-run guard mirrors cardRedactOf's with
+  // DuckDB's 1-based candidate index i (part after candidate i is
+  // parts[i + 1], part before is parts[i])
   private val t9bSql =
     s"""WITH c AS (
        |  SELECT doc_id,
@@ -1270,13 +1290,16 @@ object TextOps {
        |  FROM documents),
        |v AS (
        |  SELECT doc_id, cands, parts,
-       |    [list_sum([CASE WHEN i % 2 = 1
-       |        THEN CASE WHEN 2 * CAST(cd[i] AS INT) > 9
-       |             THEN 2 * CAST(cd[i] AS INT) - 9
-       |             ELSE 2 * CAST(cd[i] AS INT) END
-       |        ELSE CAST(cd[i] AS INT) END
-       |      for i in generate_series(1, 16)]) % 10 = 0
-       |      for cd in cands] AS valids
+       |    [list_sum([CASE WHEN j % 2 = 1
+       |        THEN CASE WHEN 2 * CAST(cands[i][j] AS INT) > 9
+       |             THEN 2 * CAST(cands[i][j] AS INT) - 9
+       |             ELSE 2 * CAST(cands[i][j] AS INT) END
+       |        ELSE CAST(cands[i][j] AS INT) END
+       |      for j in generate_series(1, 16)]) % 10 = 0
+       |      AND NOT (regexp_matches(parts[i + 1], '^[0-9]')
+       |        OR (parts[i + 1] = '' AND i < len(cands))
+       |        OR (parts[i] = '' AND i > 1))
+       |      for i in generate_series(1, len(cands))] AS valids
        |  FROM c)
        |SELECT doc_id,
        |  CAST(len(cands) AS INT) AS n_card_candidate,

@@ -288,7 +288,16 @@ class TextOpsSpec extends SparkSpec {
       (2L, s"invoice $invalid is not a card"),
       (3L, s"two cards $valid and $valid plus junk $invalid end"),
       (4L, "plain clean text with no digits"),
-      (5L, s"adjacent $valid$invalid runs"))
+      (5L, s"adjacent $valid$invalid runs"),
+      // 17-digit run whose leading 16 are Luhn-valid: a longer
+      // account/reference number, NOT a card — must survive whole
+      (6L, s"ref ${valid}7 is an account"),
+      // a valid card flush against the end of the text (empty tail
+      // part with no following candidate) still redacts
+      (7L, s"ends with $valid"),
+      // 33 digits: two adjacent matches plus a leftover digit — all
+      // slices of one run, nothing redacts
+      (8L, s"long $valid${valid}9 run"))
       .toDF("doc_id", "text")
     val got = TextOps.cardRedactOf(docs)
       .as[(Long, Int, Int, Int)].collect()
@@ -299,8 +308,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === ((3, 2,
       s"two cards <CARD> and <CARD> plus junk $invalid end".length)))
     assert(got(4L) === ((0, 0, "plain clean text with no digits".length)))
-    // 32 adjacent digits = two 16-digit matches, validated independently
-    assert(got(5L) === ((2, 1, s"adjacent <CARD>$invalid runs".length)))
+    // 32 adjacent digits = two 16-digit matches, but they are slices
+    // of ONE 32-digit run — the boundary guard keeps both unredacted
+    // even though the first slice's checksum happens to validate
+    assert(got(5L) === ((2, 0, s"adjacent $valid$invalid runs".length)),
+      "slices of a longer digit run must NOT redact")
+    assert(got(6L) === ((1, 0, s"ref ${valid}7 is an account".length)),
+      "a Luhn-valid 16-prefix of a 17-digit run must NOT redact")
+    assert(got(7L) === ((1, 1, s"ends with <CARD>".length)))
+    assert(got(8L) === ((2, 0, s"long $valid${valid}9 run".length)))
     // the real corpus plants no 16-digit runs: pure pass-through
     val corpus = TextOps.t9bPiiValidated(spark, sf).collect()
     assert(corpus.nonEmpty)
