@@ -595,10 +595,12 @@ object PipelineOps {
     * generated-arms device): (name, Spark kill-predicate over the joined
     * per-doc signal frame, DuckDB kill-predicate over the `f` CTE). The
     * declared order is the published pipeline order (CCNet/RefinedWeb/
-    * FineWeb): language gate first, heuristic rules, the trained
-    * classifier, exact then near dedup, repeated-span cuts,
-    * decontamination last. */
+    * FineWeb): URL/domain gate first (RefinedWeb Table 2's opening
+    * "URL filtering" row — d16's blocklist bit, round 16), then the
+    * language gate, heuristic rules, the trained classifier, exact then
+    * near dedup, repeated-span cuts, decontamination last. */
   private[graft] val funnelStages: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("url_gate", col("url_blocked"), "f.url_blocked"),
     ("lang_gate",
       col("conf_micro") < TextOps.LangGateTauMicro,
       s"f.conf_micro < ${TextOps.LangGateTauMicro}"),
@@ -700,10 +702,15 @@ object PipelineOps {
         profile, withNTri = true)
       .select($"doc_id", best.getField("s").as("sc"), $"n_tri")
       .select($"doc_id", expr("sc div greatest(n_tri, 1)").as("conf_micro"))
+    // url_blocked is a pure narrow expression over (doc_id, source) —
+    // d16's derivation → canonical host → registrable domain →
+    // blocklist membership — so stage 0 rides the base scan for free
+    // (zero additional corpus scans; the plan audit's bound holds).
     val base = docs.select($"doc_id",
       size(split($"text", " ")).cast("long").as("n_toks"),
       ($"doc_id" === min($"doc_id").over(
-        Window.partitionBy(sha2($"text", 256)))).as("exact_canon"))
+        Window.partitionBy(sha2($"text", 256)))).as("exact_canon"),
+      UrlOps.urlBlockedCol.as("url_blocked"))
     val sheet = e5AttributeSheet(s, dir)
       .select($"doc_id", $"r_word_count", $"r_mean_word_len",
         $"r_alpha_words", $"r_symbol_ratio", $"r_top_word_mass",
@@ -726,8 +733,11 @@ object PipelineOps {
       .mkString("CASE ", " ", " END")
     val stageRows = funnelStages.zipWithIndex
       .map { case ((n, _, _), i) => s"($i, '$n')" }.mkString(", ")
-    s"WITH ${TextOps.profileCtesSql},\n" +
-    s"""sc9 AS (
+    s"WITH ${TextOps.profileCtesSql},\n${UrlOps.urlCanonCtesSql},\n" +
+    s"""urlb9 AS (
+       |  SELECT doc_id, domain IN ${UrlOps.blockedInSql} AS url_blocked
+       |  FROM urlc),
+       |sc9 AS (
        |  SELECT gr.doc_id, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS s
        |  FROM gr JOIN prof p ON gr.g = p.g GROUP BY 1, 2),
        |mx9 AS (SELECT doc_id, MAX(s) AS s FROM sc9 GROUP BY 1),
@@ -755,12 +765,13 @@ object PipelineOps {
        |  SELECT b.doc_id, b.n_toks, b.exact_canon, lg.conf_micro,
        |    s.r_word_count, s.r_mean_word_len, s.r_alpha_words,
        |    s.r_symbol_ratio, s.r_top_word_mass, s.clf_keep, s.has_dup,
-       |    d.dedup_keep, t.contaminated
+       |    d.dedup_keep, t.contaminated, u.url_blocked
        |  FROM base9 b
        |  JOIN lg ON b.doc_id = lg.doc_id
        |  JOIN sheet9 s ON b.doc_id = s.doc_id
        |  JOIN d69 d ON b.doc_id = d.doc_id
-       |  JOIN t109 t ON b.doc_id = t.doc_id),
+       |  JOIN t109 t ON b.doc_id = t.doc_id
+       |  JOIN urlb9 u ON b.doc_id = u.doc_id),
        |k9 AS (SELECT n_toks, $killCase AS ks FROM f),
        |ps AS (
        |  SELECT ks, CAST(COUNT(*) AS BIGINT) AS kd,

@@ -382,8 +382,15 @@ class PipelineOpsSpec extends SparkSpec {
       .flatMap { g => val m = g.map(_._1).min; g.map(d => d._1 -> (d._1 == m)) }
       .toMap
     val tau = 4000L // StreamingOps.LangGateTauMicro — restated on purpose
+    // stage 0's blocked bit replayed from the documented modular
+    // convention directly (the registrable domain is a pure function of
+    // doc_id — no URL string round-trip, an independent spelling)
+    val blockedSet = Set("src3-3.com", "src7-2.org", "src12-2.co.uk")
+    def blocked(id: Long): Boolean = blockedSet(
+      s"src${id % 20}-${id % 5}" +
+        (id % 3 match { case 0 => ".com"; case 1 => ".org"; case _ => ".co.uk" }))
     def killStage(id: Long): Option[Int] =
-      Seq(conf(id) < tau, !gopher(id), !clf(id), !canon(id),
+      Seq(blocked(id), conf(id) < tau, !gopher(id), !clf(id), !canon(id),
         !dedup(id), spans(id), decont(id)).zipWithIndex
         .collectFirst { case (true, i) => i }
 
