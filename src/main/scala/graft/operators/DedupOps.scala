@@ -204,8 +204,8 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-  /** The ONE exact-verify scaffold behind [[verifyPairs]] and
-    * [[verifyContainment]]: candidate pairs eagerly materialized,
+  /** The ONE exact-verify scaffold behind [[verifyPairs]] and the
+    * prefix arms: candidate pairs eagerly materialized,
     * shingling AFTER the candidate filter (computing the sets below the
     * join would re-shingle the whole corpus once per pair side), |∩| via
     * native array_intersect over the distinct trigram-hash sets (same
@@ -214,9 +214,21 @@ object DedupOps {
     * Consumers filter and project; Catalyst prunes the columns they
     * drop, so the jaccard-only path pays nothing for the containment
     * columns. */
-  private def verifiedSetMetrics(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+  private def verifiedSetMetrics(docs: DataFrame, pairs0: DataFrame): DataFrame =
+    verifiedSetMetricsOn(docs, eagerPairs(pairs0))
+
+  /** Persist + materialize a candidate-pair relation (the eager half of
+    * [[verifiedSetMetrics]], exposed so the dir-keyed prefix entry
+    * points can memoize THIS relation per corpus fingerprint instead of
+    * pinning a fresh copy per invocation). */
+  private def eagerPairs(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
+    pairs
+  }
+
+  /** The verify scaffold over an ALREADY-materialized pair relation. */
+  private def verifiedSetMetricsOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val candIds = pairs.select(explode(array(col("doc_a"), col("doc_b")))
       .as("doc_id")).distinct()
     val candSh = withShingleHashes(docs.join(candIds, Seq("doc_id")))
@@ -499,11 +511,71 @@ object DedupOps {
     * only those prefixes, then exact-verify candidates via
     * [[verifyPairs]]). Measured here it LOSES ~2× (extra df join + per-doc
     * rank window + verify pass ≈ 4-7s vs 2.5s at sf0.1) because this
-    * corpus's max trigram df is 25 — there is no explosion to prevent —
-    * so the simple join stays the shipped plan and the prefix variant is
-    * the documented switch once df skew is real. d2 MinHash remains the
-    * headline path at 100 TB either way. */
-  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * corpus's max trigram df is 25 — there is no explosion to prevent.
+    * Since round 16 the choice is AUTOMATIC (t21's measure-then-guard
+    * device): [[usePrefixPlan]] reads the memoized (Σdf, Σdf²) statistic
+    * and dispatches to [[d4PrefixJaccard]] only when the
+    * occurrence-weighted mean df says the naive intermediate stops
+    * being linear in the corpus — a deployment never needs to know the
+    * second entry point exists. Both arms are spec-asserted
+    * output-identical, so the dispatch can never change results. d2
+    * MinHash remains the headline path at 100 TB either way. */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    if (usePrefixPlan(s, dir)) d4PrefixJaccard(s, dir)
+    else d4InvertedJaccard(s, dir)
+
+  /** Dispatch threshold for the prefix arms, on the statistic
+    * R = Σdf²/Σdf — the occurrence-weighted MEAN document frequency of
+    * a trigram, i.e. the naive join's expected fan-out per gram
+    * occurrence. R is scale-invariant where a raw Σdf² cutoff is not: a
+    * 100 TB corpus with bounded df has astronomical Σdf² but R stays at
+    * the df bound (intermediate volume = R × corpus gram count —
+    * linear, the naive join's measured-winner regime), while true
+    * stopword-grade skew sends R to the hot gram's df (quadratic in the
+    * hot class).
+    *
+    * Sized from the D15SkewProbe measurement (SCALING.md round 16, the
+    * 20k-doc hot-block series): naive wins at R = 10 (sf0.1: 3.2 s vs
+    * 7.0 s) and stays the winner on the content-decorrelated scale
+    * replicas (same R class); prefix already wins at R = 36 (2.2 s vs
+    * 3.4 s) and the naive arm detonates quadratically above it (R = 218
+    * → 27 s vs 2.4 s; R = 824 → 120 s vs 3.8 s; R = 2979 → 566 s vs
+    * 2.2 s). The crossover sits in (10, 36); 32 splits it — and errs
+    * LOW on purpose: a mis-dispatch to prefix costs a bounded ~2×
+    * (the two extra exchanges), a mis-dispatch to naive costs an
+    * unbounded quadratic. */
+  private[graft] val PrefixSwitchRatio = 32L
+
+  private val dfStatsMemo =
+    new graft.sources.FingerprintMemo[(Long, Long)](_ => ())
+
+  /** (Σdf, Σdf²) over the corpus trigram-hash df relation — the cheap
+    * statistic guarding the d4/d15 prefix dispatch: one scan + one
+    * map-side-combined aggregate + a 1-ROW collect, memoized per corpus
+    * fingerprint (shared by d4 and d15 at every τ, priced once per
+    * corpus snapshot — the quantizer-memo discipline). */
+  private[graft] def dfSkewStats(s: SparkSession, dir: String): (Long, Long) =
+    dfStatsMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "dfstats",
+      graft.sources.Layouts.tableFingerprint(dir, "documents")) {
+      import s.implicits._
+      val row = withShingleHashes(Tables.documents(s, dir))
+        .select(explode($"hs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("df"))
+        .agg(sum($"df").as("s1"), sum($"df" * $"df").as("s2"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+  /** True when the corpus's trigram-df skew makes the prefix-filtered
+    * candidate plan the safe one (see [[PrefixSwitchRatio]]). */
+  private[graft] def usePrefixPlan(s: SparkSession, dir: String): Boolean = {
+    val (s1, s2) = dfSkewStats(s, dir)
+    s2 / math.max(s1, 1L) > PrefixSwitchRatio
+  }
+
+  /** d4's naive arm — the exact inverted-index join (the measured winner
+    * at bounded trigram df; see [[d4NgramJaccard]]'s scale note). */
+  private[graft] def d4InvertedJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = withShingleHashes(Tables.documents(s, dir))
       .select($"doc_id", explode($"hs").as("h"))
@@ -535,13 +607,31 @@ object DedupOps {
     * per-doc rank window) plus a candidate dedupe, and those are NOT
     * free: measured, the naive join wins 2× at sf0.1 (max df 25) and
     * still 4× at a 20×-replicated corpus (max df ≈ 500, Σdf² ≈ 5×10⁸) —
-    * this variant's regime is true stopword-grade skew with df in the
-    * tens of thousands. Measure before switching; outputs are identical
-    * by construction (spec-asserted). See SCALING.md. */
+    * this variant's regime is true stopword-grade skew. Since round 16
+    * [[d4NgramJaccard]] dispatches here automatically when the measured
+    * R = Σdf²/Σdf statistic crosses [[PrefixSwitchRatio]]; outputs are
+    * identical by construction (spec-asserted). See SCALING.md. */
   def d4PrefixJaccard(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    verifyPairs(docs, prefixCandidates(docs, t), t)
+    verifiedSetMetricsOn(docs, prefixPairsFor(s, dir, s"d4prefix:$t")(
+        prefixCandidates(docs, t)))
+      .where(col("jaccard") >= t)
+      .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** The prefix arms' materialized candidate-pair relation, memoized per
+    * (corpus fingerprint, variant) — one pinned (long, long) relation
+    * per corpus snapshot instead of one per invocation (the pairMemo
+    * discipline applied to the dir-keyed prefix entry points; a corpus
+    * rewrite misses the memo and unpersists the stale relation). */
+  private val prefixPairMemo =
+    new graft.sources.FingerprintMemo[DataFrame](_.unpersist(false))
+
+  private def prefixPairsFor(s: SparkSession, dir: String, variant: String)(
+      pairs0: => DataFrame): DataFrame =
+    prefixPairMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), variant,
+      graft.sources.Layouts.tableFingerprint(dir, "documents"))(
+      eagerPairs(pairs0))
 
   /** [[d4PrefixJaccard]]'s candidate stage, exposed so the skew spec can
     * assert the claim the switch exists for: one stopword-grade trigram
@@ -595,9 +685,12 @@ object DedupOps {
     * trigram-hash relation (recall-complete by construction, measured
     * winner at this corpus's df ≤ 25); the Σdf² skew switch is
     * [[d15PrefixContainment]] — prefix filtering adapted to the
-    * one-sided bound (spec-asserted equal output). */
+    * one-sided bound (spec-asserted equal output), dispatched
+    * AUTOMATICALLY on the memoized R = Σdf²/Σdf statistic since
+    * round 16 (see [[PrefixSwitchRatio]]). */
   def d15Containment(s: SparkSession, dir: String): DataFrame =
-    containmentPairsOf(Tables.documents(s, dir), ContainTau)
+    if (usePrefixPlan(s, dir)) d15PrefixContainment(s, dir)
+    else containmentPairsOf(Tables.documents(s, dir), ContainTau)
 
   /** The d15 kernel over any (doc_id, text) relation — d4's exact
     * inverted-index geometry with per-side denominators. */
@@ -629,12 +722,15 @@ object DedupOps {
     * never binds) is recall-complete, and stopword-grade grams stay out
     * of prefixes, collapsing Σdf² to Σ prefix-df·df. Candidates then pay
     * the exact array_intersect verify. Same measured caveat as d4: at
-    * this corpus's df the naive join wins — this is the documented
-    * switch for real stopword skew, shipped spec-asserted equal. */
+    * this corpus's df the naive join wins — this is the switch for real
+    * stopword skew, shipped spec-asserted equal and auto-dispatched by
+    * [[d15Containment]] via [[usePrefixPlan]]. */
   def d15PrefixContainment(s: SparkSession, dir: String,
       tau: Double = ContainTau): DataFrame = {
     val docs = Tables.documents(s, dir)
-    verifyContainment(docs, containPrefixCandidates(docs, tau), tau)
+    verifiedSetMetricsOn(docs, prefixPairsFor(s, dir, s"d15prefix:$tau")(
+        containPrefixCandidates(docs, tau)))
+      .where(greatest(col("cont_a"), col("cont_b")) >= tau)
   }
 
   /** [[d15PrefixContainment]]'s candidate stage: ascending-df prefixes
@@ -657,13 +753,6 @@ object DedupOps {
         greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
-
-  /** [[verifyPairs]]' containment twin over the SAME scaffold
-    * ([[verifiedSetMetrics]]) — only the filter differs. */
-  private def verifyContainment(docs: DataFrame, pairs0: DataFrame,
-      tau: Double): DataFrame =
-    verifiedSetMetrics(docs, pairs0)
-      .where(greatest(col("cont_a"), col("cont_b")) >= tau)
 
   /** d15's oracle: [[jaccardPairsSql]]'s exact-join shape (the shared
     * [[shinglePairCtesSql]] scaffold) with per-side denominators. */

@@ -159,6 +159,50 @@ class DedupOpsSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("d4/d15 auto-dispatch: a planted stopword-skew corpus takes the prefix arm, the fixture corpus stays naive, outputs equal either way") {
+    // the fixture corpus sits far below the switch (max trigram df 25)
+    assert(!DedupOps.usePrefixPlan(spark, sf),
+      "the benign corpus must keep the measured-winner naive arm")
+
+    // skewed corpus: six shared leading tokens put four trigrams at
+    // df = n, pushing R = Σdf²/Σdf ≈ 300 over the 200 threshold; doc n
+    // duplicates doc 5 so both operators have a true pair to find
+    val n = 600
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"hot stop word very common block u${i}a u${i}b u${i}c u${i}d")
+    } :+ (n.toLong, "hot stop word very common block u5a u5b u5c u5d")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val (s1, s2) = DedupOps.dfSkewStats(spark, dir)
+    assert(s2 / s1 > DedupOps.PrefixSwitchRatio,
+      s"planted skew must cross the threshold, got R = ${s2 / s1}")
+    assert(DedupOps.usePrefixPlan(spark, dir),
+      "the skewed corpus must take the prefix arm")
+
+    // the dispatched operators equal their naive arms bit-for-bit on
+    // the corpus where the dispatch actually flipped
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect().toSeq
+    val d15 = rows(DedupOps.d15Containment(spark, dir))
+    assert(d15 === rows(DedupOps.containmentPairsOf(
+      graft.sources.Tables.documents(spark, dir), DedupOps.ContainTau)))
+    assert(d15.map(r => (r.getLong(0), r.getLong(1))).contains((5L, n.toLong)))
+    val d4 = rows(DedupOps.d4NgramJaccard(spark, dir))
+    assert(d4 === rows(DedupOps.d4InvertedJaccard(spark, dir)))
+    assert(d4.map(r => (r.getLong(0), r.getLong(1))).contains((5L, n.toLong)))
+
+    // the prefix arm's candidate relation is memoized per corpus
+    // fingerprint: repeated invocations pin NO additional relations
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    DedupOps.d15PrefixContainment(spark, dir).count()
+    DedupOps.d15PrefixContainment(spark, dir).count()
+    DedupOps.d4PrefixJaccard(spark, dir).count()
+    assert(spark.sparkContext.getPersistentRDDs.size === persisted,
+      "re-invoking the prefix arms must reuse the memoized pair relation")
+  }
+
   test("d15: prefix-filter variant is output-identical on the sf0.001 corpus; output superset of symmetric j>=0.9 pairs") {
     val naive = DedupOps.d15Containment(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toSet
