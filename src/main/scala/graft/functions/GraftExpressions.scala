@@ -698,6 +698,140 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** [[BpeTokenCount]]'s id-emitting sibling (round 16): the IDENTICAL
+  * greedy longest-prefix scan, but returning the token-id SEQUENCE a
+  * trainer reads instead of its length — `array<int>`, one id per
+  * token. The id space is deterministic and stated identically by the
+  * DuckDB oracle:
+  *
+  *   - a matched vocab piece's id = its rank in the packed-long-sorted
+  *     distinct vocab (binarySearch position). Packing is big-endian
+  *     over 'a'..'z' bytes, so packed order ≡ (piece length, then
+  *     lexicographic) — the oracle ranks by `(plen, piece)`;
+  *   - an unmatched single letter c = V + (c − 'a')   (V = vocab size);
+  *   - any other code point cp    = V + 26 + cp.
+  *
+  * Decoding is therefore total and lossless up to spaces: concatenating
+  * the decoded tokens reproduces the ASCII-lowercased text with spaces
+  * removed (spec-asserted), which is what makes the column trainable —
+  * the packer ships sequences a decoder can read back.
+  *
+  * Same design rationale as the count: the vocab rides as ONE packed
+  * `long[]` reference object and the scan stays allocation-bounded
+  * (one int buffer per row) inside whole-stage codegen — no per-token
+  * shuffle, no join against a piece table. */
+case class BpeTokenIds(child: Expression, vocab: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(vocab.nonEmpty && vocab.forall(p =>
+    p.length >= 2 && p.length <= 8 && p.forall(c => c >= 'a' && c <= 'z')),
+    "vocab pieces must be 2..8 lowercase ASCII letters")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_token_ids"
+
+  private val maxPieceLen = vocab.map(_.length).max
+
+  @transient private lazy val packed: Array[Long] = {
+    val a = vocab.distinct
+      .map(_.foldLeft(0L)((acc, c) => (acc << 8) | c.toLong)).toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = s.length
+    val v = packed.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+    var i = 0
+    while (i < n) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c == ' ') i += 1
+      else if (c >= 'a' && c <= 'z') {
+        var best = 1
+        var bestId = v + (c - 'a')
+        var p = c.toLong
+        var l = 2
+        var run = true
+        while (run && l <= maxPieceLen && i + l <= n) {
+          val d0 = s.charAt(i + l - 1)
+          val d = if (d0 >= 'A' && d0 <= 'Z') (d0 + 32).toChar else d0
+          if (d < 'a' || d > 'z') run = false
+          else {
+            p = (p << 8) | d.toLong
+            val idx = java.util.Arrays.binarySearch(packed, p)
+            if (idx >= 0) { best = l; bestId = idx }
+            l += 1
+          }
+        }
+        out += bestId
+        i += best
+      } else {
+        val cp = s.codePointAt(i)
+        out += v + 26 + cp
+        i += Character.charCount(cp)
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocabPacked", packed, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val buf = ctx.freshName("buf")
+      val c = ctx.freshName("c")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val p = ctx.freshName("p")
+      val l = ctx.freshName("l")
+      val d = ctx.freshName("d")
+      val idx = ctx.freshName("idx")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $x.toString();
+         |int $n = $s.length();
+         |int[] $buf = new int[$n];
+         |int $i = 0; int $m = 0;
+         |while ($i < $n) {
+         |  char $c = $s.charAt($i);
+         |  if ($c >= 'A' && $c <= 'Z') $c = (char) ($c + 32);
+         |  if ($c == ' ') { $i++; continue; }
+         |  if ($c >= 'a' && $c <= 'z') {
+         |    int $best = 1;
+         |    int $bestId = $vocabRef.length + ($c - 'a');
+         |    long $p = (long) $c;
+         |    for (int $l = 2; $l <= $maxPieceLen && $i + $l <= $n; $l++) {
+         |      char $d = $s.charAt($i + $l - 1);
+         |      if ($d >= 'A' && $d <= 'Z') $d = (char) ($d + 32);
+         |      if ($d < 'a' || $d > 'z') break;
+         |      $p = ($p << 8) | (long) $d;
+         |      int $idx = java.util.Arrays.binarySearch($vocabRef, $p);
+         |      if ($idx >= 0) { $best = $l; $bestId = $idx; }
+         |    }
+         |    $buf[$m++] = $bestId; $i += $best;
+         |  } else {
+         |    int $cp = $s.codePointAt($i);
+         |    $buf[$m++] = $vocabRef.length + 26 + $cp;
+         |    $i += java.lang.Character.charCount($cp);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData
+         |  .toArrayData(java.util.Arrays.copyOf($buf, $m));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
 /** KLL doubles quantile sketch aggregate (Karnin–Lang–Liberty 2016, the
   * DataSketches implementation Spark itself bundles for its HLL
   * functions) — the mergeable-quantile twin of Spark's `hll_sketch_agg`:
@@ -853,6 +987,10 @@ object GraftColumns {
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
     ExpressionUtils.column(
       BpeTokenCount(ExpressionUtils.expression(text), vocab))
+
+  def bpeTokenIds(text: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(
+      BpeTokenIds(ExpressionUtils.expression(text), vocab))
 
   def kllSketchAgg(v: Column, k: Int): Column =
     ExpressionUtils.column(

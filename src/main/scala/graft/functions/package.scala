@@ -48,6 +48,14 @@ package object functions {
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
     org.apache.spark.sql.graftext.GraftColumns.bpeTokenCount(text, vocab)
 
+  /** Greedy longest-match subword token-ID SEQUENCE (`array<int>`) of a
+    * string column under the same vocabulary contract — the scan
+    * [[bpeTokenCount]] runs, emitting what the trainer reads: piece ids
+    * by packed-vocab rank, then single letters, then raw code points
+    * (see [[org.apache.spark.sql.graftext.BpeTokenIds]]). */
+  def bpeTokenIds(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.graftext.GraftColumns.bpeTokenIds(text, vocab)
+
   /** KLL doubles quantile-sketch aggregate over a double column — the
     * mergeable-quantile twin of `hll_sketch_agg`, emitting the sketch's
     * compact bytes (see [[org.apache.spark.sql.graftext.KllSketchAgg]]). */

@@ -72,35 +72,45 @@ object PipelineOps {
     *               ∧ ¬t10.is_eval          (held-out docs never train)
     *               ∧ ¬t10.contaminated     (n-gram overlap with eval)
     *   output    = survivors packed into fixed-token-budget training
-    *               sequences ([[SamplingOps.packSequences]], own salt).
+    *               sequences ([[SamplingOps.packSequences]], own salt),
+    *               budgeted in REAL tokenizer tokens since round 16:
+    *               n_tokens = the t4d id-sequence length under
+    *               [[TextOps.BpeVocab]] (the count the trainer pays
+    *               for), with each doc's `ids_sig` digest riding the
+    *               pack row so a consumer can verify the exact sequence
+    *               that shipped (t4d's decode contract).
     *
     * Plan shape: e1's and t10's corpus-side relations both reduce to
     * (doc_id, flag) before joining — the three-way survivor join moves
-    * ids only, the token counts ride the same documents scan that feeds
-    * e1's signals, and the packing adds one per-shard window over
-    * (doc_id, n_tokens). Everything heavy (LSH, gram semi-join) is the
-    * stages' own documented machinery; the composition itself is
-    * id-width. */
+    * ids only, the token-id scan rides the same documents scan that
+    * feeds e1's signals (one codegen'd kernel, no per-token shuffle),
+    * and the packing adds one per-shard window over (doc_id, n_tokens,
+    * 32-char sig) — the id ARRAY itself never enters an exchange.
+    * Everything heavy (LSH, gram semi-join) is the stages' own
+    * documented machinery; the composition itself is id-width. */
   def e2TrainingShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val kept = e1Pipeline(s, dir).where($"keep").select($"doc_id")
     val clean = TextOps.t10Decontaminate(s, dir)
       .where(!$"is_eval" && !$"contaminated").select($"doc_id")
-    val sizes = Tables.documents(s, dir)
-      .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+    val sizes = TextOps.withTokenIdCols(Tables.documents(s, dir), $"text")
+      .select($"doc_id", $"n_ids".as("n_tokens"), $"ids_sig")
     SamplingOps.packSequences(
       sizes.join(kept, Seq("doc_id"), "left_semi")
         .join(clean, Seq("doc_id"), "left_semi"),
       "e2:")
   }
 
-  private val e2Sql = SamplingOps.packSequencesSql(
-    s"""(SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-       |    FROM documents
-       |    WHERE doc_id IN (SELECT doc_id FROM ($e1Sql) WHERE keep)
-       |      AND doc_id IN (SELECT doc_id FROM (${TextOps.t10Sql})
-       |                     WHERE NOT is_eval AND NOT contaminated))""".stripMargin,
-    "e2:")
+  private val e2Sql =
+    s"""WITH RECURSIVE docse2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM ($e1Sql) WHERE keep)
+       |    AND doc_id IN (SELECT doc_id FROM (${TextOps.t10Sql})
+       |                   WHERE NOT is_eval AND NOT contaminated)),
+       |${TextOps.bpeIdsCtesSql("docse2", "e2")}
+       |SELECT * FROM (${SamplingOps.packSequencesSql(
+             "(SELECT doc_id, n_ids AS n_tokens, ids_sig FROM idse2)",
+             "e2:", Seq("ids_sig"))})""".stripMargin
 
   /** e3: the FULL curation capstone — e1's disposition chain extended by
     * the round-8/9 additions into the complete per-document verdict a
@@ -158,28 +168,38 @@ object PipelineOps {
     * closing the d10→d11→d12 story into the pipeline tier — the Lee et al.
     * 2022 "dedup inside the document, then train on what's left" recipe.
     * Documents cleaned to nothing (wholly-late copies, n_tokens_kept = 0)
-    * drop out of the pack; everything else packs at its post-cut size.
+    * drop out of the pack; everything else packs at its post-cut size —
+    * since round 16, the post-cut size in REAL tokenizer tokens: the
+    * t4d id sequence of the CLEANED text (spans already cut), with its
+    * `ids_sig` digest on every pack row. This is the pair e2 cannot
+    * express: e2 tokenizes surviving documents whole; e4 tokenizes what
+    * the span cutter left.
     *
     * Plan shape: d12's machinery end-to-end (8-byte window hashes at the
     * scan, class counts map-side combined, keep-first rank over the
-    * semi-joined duplicated sliver only); the composition adds exactly one
-    * exchange — the per-shard packing window over (doc_id, n_tokens) —
-    * because packSequences consumes d12's n_tokens_kept column directly,
-    * never re-scanning or re-tokenizing the cleaned text. */
+    * semi-joined duplicated sliver only); the composition adds the
+    * token-id kernel as a narrow map over d12's clean_text output and
+    * exactly one exchange — the per-shard packing window over (doc_id,
+    * n_tokens, 32-char sig); the id array never enters an exchange. */
   def e4CleanPack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SamplingOps.packSequences(
-      DedupOps.d12SpanRemoval(s, dir)
-        .where($"n_tokens_kept" > 0)
-        .select($"doc_id", $"n_tokens_kept".as("n_tokens")),
+      TextOps.withTokenIdCols(
+          DedupOps.d12SpanRemoval(s, dir).where($"n_tokens_kept" > 0),
+          $"clean_text")
+        .select($"doc_id", $"n_ids".as("n_tokens"), $"ids_sig"),
       "e4:")
   }
 
-  private val e4Sql = SamplingOps.packSequencesSql(
-    s"""(SELECT doc_id, n_tokens_kept AS n_tokens
-       |    FROM (${DedupOps.d12Sql})
-       |    WHERE n_tokens_kept > 0)""".stripMargin,
-    "e4:")
+  private val e4Sql =
+    s"""WITH RECURSIVE docse4 AS (
+       |  SELECT doc_id, clean_text AS text
+       |  FROM (${DedupOps.d12Sql})
+       |  WHERE n_tokens_kept > 0),
+       |${TextOps.bpeIdsCtesSql("docse4", "e4")}
+       |SELECT * FROM (${SamplingOps.packSequencesSql(
+             "(SELECT doc_id, n_ids AS n_tokens, ids_sig FROM idse4)",
+             "e4:", Seq("ids_sig"))})""".stripMargin
 
   /** e5: the per-document ATTRIBUTE SHEET — the artifact modern open
     * curation stacks (Dolma's attributes files, RedPajama-v2's quality

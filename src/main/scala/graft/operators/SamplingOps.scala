@@ -277,31 +277,40 @@ object SamplingOps {
       .select($"doc_id", size(split($"text", " ")).as("n_tokens")), "p4:")
   }
 
-  /** The packing kernel over any (doc_id, n_tokens) relation — p4 binds it
-    * to the whole corpus; [[PipelineOps.e2TrainingShards]] to the cleaned
-    * survivor set. A distinct salt per caller keeps the shard draws
-    * independent channels, same rule as p1/p2/t6. */
+  /** The packing kernel over any (doc_id, n_tokens, extras*) relation —
+    * p4 binds it to the whole corpus; [[PipelineOps.e2TrainingShards]] /
+    * e4 to their survivor sets with the token-id signature riding along.
+    * Extra input columns pass through the packing window untouched
+    * (they ride the per-shard exchange, so keep them narrow — e2/e4
+    * ship a 32-char digest, never the id array itself). A distinct salt
+    * per caller keeps the shard draws independent channels, same rule
+    * as p1/p2/t6. */
   private[operators] def packSequences(docs: DataFrame, salt: String): DataFrame = {
-    val sharded = docs.select(col("doc_id"), col("n_tokens"),
-      pmod(hashRank(col("doc_id"), salt), lit(PackShards)).cast("int").as("shard"))
+    val extras = docs.columns.filterNot(Set("doc_id", "n_tokens")).toSeq
+    val sharded = docs.withColumn("shard",
+      pmod(hashRank(col("doc_id"), salt), lit(PackShards)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     sharded.withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("int").as("pack_id"))
+      .select((Seq(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("int")
+          .as("pack_id")) ++ extras.map(col)): _*)
   }
 
   /** SQL half of [[packSequences]]: pack `fromRelation` (any relation with
-    * doc_id + n_tokens columns) under the same salt. */
-  private[operators] def packSequencesSql(fromRelation: String, salt: String): String =
+    * doc_id + n_tokens + `extraCols` columns) under the same salt. */
+  private[operators] def packSequencesSql(fromRelation: String, salt: String,
+      extraCols: Seq[String] = Nil): String = {
+    val ex = extraCols.map(c => s", $c").mkString
     s"""SELECT doc_id, shard, n_tokens,
-       |  CAST(floor((cum - n_tokens) / $PackBudget.0) AS INT) AS pack_id
+       |  CAST(floor((cum - n_tokens) / $PackBudget.0) AS INT) AS pack_id$ex
        |FROM (
        |  SELECT doc_id, shard, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum$ex
        |  FROM (
        |    SELECT doc_id, n_tokens,
-       |      CAST(${hashRankSql(salt)} % $PackShards AS INT) AS shard
+       |      CAST(${hashRankSql(salt)} % $PackShards AS INT) AS shard$ex
        |    FROM $fromRelation))""".stripMargin
+  }
 
   private val p4Sql = packSequencesSql(
     s"""(SELECT doc_id,

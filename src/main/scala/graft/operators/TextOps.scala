@@ -849,6 +849,103 @@ object TextOps {
       |  CAST(NULL AS BIGINT) AS docs, CAST(NULL AS INT) AS vocab_pieces
       |WHERE FALSE""".stripMargin
 
+  // ---------------------------------------------- t4d token-id emission
+
+  /** t4d: token-ID EMISSION — the artifact a trainer actually reads.
+    * t4/t4b/t4c count tokens (budget math); t4d emits the id SEQUENCE
+    * under [[BpeVocab]] via [[graft.functions.bpeTokenIds]] — the same
+    * greedy longest-prefix scan as t4b's counter, one codegen'd narrow
+    * map, nothing shuffles. The id space is deterministic (piece rank in
+    * the packed-sorted vocab ≡ (length, lexicographic); then single
+    * letters; then raw code points) and decoding is lossless up to
+    * spaces — TextOpsSpec re-decodes the ids back to the pre-token
+    * stream.
+    *
+    * The registered output carries the sequence as (count, md5 of the
+    * comma-joined ids) rather than the raw array — the m4/m12 digest
+    * contract: the driver's hash compare cannot sort array columns, and
+    * the digest pins every id and its order anyway. The DuckDB oracle
+    * re-derives the ids INDEPENDENTLY (t4b's recursive-CTE segmentation
+    * extended to accumulate id lists) and digests identically. */
+  def t4dTokenIds(s: SparkSession, dir: String): DataFrame =
+    withTokenIdCols(Tables.documents(s, dir), col("text"))
+      .select(col("doc_id"), col("n_ids"), col("ids_sig"))
+
+  /** The t4d kernel over any relation: appends `n_ids` (int) and
+    * `ids_sig` (md5 of the comma-joined id sequence) computed from
+    * `text` — shared by t4d, e2, and e4 so the engines cannot drift on
+    * the digest spelling. */
+  private[graft] def withTokenIdCols(docs: DataFrame, text: Column): DataFrame =
+    docs.withColumn("ids", graft.functions.bpeTokenIds(text, BpeVocab))
+      .withColumn("n_ids", size(col("ids")))
+      .withColumn("ids_sig",
+        md5(array_join(transform(col("ids"), _.cast("string")), ",")))
+      .drop("ids")
+
+  /** The oracle's token-id CTE chain over a caller-defined CTE `docCte`
+    * = (doc_id, text): t4b's per-word-type recursive segmentation
+    * extended to accumulate the id list (ids ranked by (piece length,
+    * piece) — provably the packed-long order the engine's binarySearch
+    * index realizes, since all bytes are 'a'..'z'), non-letter
+    * pre-tokens mapped per code point, per-doc concatenation in
+    * pre-token order. Ends in CTE `ids$sfx` = (doc_id, n_ids, ids_str,
+    * ids_sig); instantiate with a unique `sfx` per use. Caller must open
+    * with WITH RECURSIVE. */
+  private[operators] def bpeIdsCtesSql(docCte: String, sfx: String): String = {
+    val pieces = BpeVocab.distinct.sortBy(p => (p.length, p))
+    val v = pieces.size
+    val values = pieces.zipWithIndex
+      .map { case (p, i) => s"('$p', ${p.length}, $i)" }.mkString(", ")
+    s"""vocab$sfx(piece, plen, id) AS (
+       |  SELECT * FROM (VALUES $values) AS v(piece, plen, id)),
+       |pre$sfx AS (
+       |  SELECT doc_id, unnest(ws) AS w,
+       |    unnest(generate_series(1, len(ws))) AS i
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '$BpeTokenRe') AS ws
+       |        FROM $docCte)),
+       |words$sfx AS (
+       |  SELECT DISTINCT w FROM pre$sfx WHERE regexp_matches(w, '^[a-z]')),
+       |seg$sfx(w, pos, ids) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST([] AS INTEGER[]) FROM words$sfx
+       |  UNION ALL
+       |  SELECT s.w,
+       |    (s.pos + COALESCE((SELECT MAX(v.plen) FROM vocab$sfx v
+       |       WHERE (substr(s.w, CAST(s.pos AS INTEGER), v.plen) = v.piece)), 1)),
+       |    list_append(s.ids, CAST(COALESCE(
+       |      (SELECT v.id FROM vocab$sfx v
+       |       WHERE (substr(s.w, CAST(s.pos AS INTEGER), v.plen) = v.piece)
+       |       ORDER BY v.plen DESC LIMIT 1),
+       |      $v + unicode(substr(s.w, CAST(s.pos AS INTEGER), 1))
+       |        - unicode('a')) AS INTEGER))
+       |  FROM seg$sfx s WHERE (s.pos <= length(s.w))),
+       |wids$sfx AS (
+       |  SELECT w, ids FROM seg$sfx WHERE pos = length(w) + 1),
+       |tokids$sfx AS (
+       |  SELECT p.doc_id, p.i,
+       |    CASE WHEN regexp_matches(p.w, '^[a-z]') THEN c.ids
+       |         ELSE [CAST($v + 26 + unicode(p.w[j]) AS INTEGER)
+       |               for j in generate_series(1, length(p.w))] END AS ids
+       |  FROM pre$sfx p LEFT JOIN wids$sfx c ON (p.w = c.w)),
+       |docids$sfx AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(array_to_string(ids, ','), ',' ORDER BY i), '')
+       |      AS ids_str,
+       |    CAST(COALESCE(SUM(len(ids)), 0) AS INT) AS n_ids
+       |  FROM tokids$sfx GROUP BY doc_id),
+       |ids$sfx AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(di.n_ids, 0) AS INT) AS n_ids,
+       |    COALESCE(di.ids_str, '') AS ids_str,
+       |    md5(COALESCE(di.ids_str, '')) AS ids_sig
+       |  FROM $docCte d LEFT JOIN docids$sfx di ON (d.doc_id = di.doc_id))""".stripMargin
+  }
+
+  private val t4dSql =
+    s"WITH RECURSIVE docs4d AS (SELECT doc_id, text FROM documents),\n" +
+      bpeIdsCtesSql("docs4d", "4d") +
+      "\nSELECT doc_id, n_ids, ids_sig FROM ids4d"
+
   // --------------------------------------------------- t5 fingerprinting
 
   /** t5: canonical document fingerprint — md5 over the sorted distinct
@@ -2478,7 +2575,8 @@ object TextOps {
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t2b_lang_id_trained" -> t2bLangIdTrained _,
     "t22_segment_langmix" -> t22SegmentLangmix _,
-    "t4c_bpe_vocab_train" -> t4cBpeVocabTrain _)
+    "t4c_bpe_vocab_train" -> t4cBpeVocabTrain _,
+    "t4d_token_ids" -> t4dTokenIds _)
 
   // def, not val: t4c's entry reads the TrainedOracle registry, populated
   // when the t4c query resolves its learned vocabulary (Verify's order).
@@ -2508,5 +2606,6 @@ object TextOps {
     "t11_perplexity_filter" -> t11Sql,
     "t12_boilerplate" -> t12Sql,
     "t18_quality_classifier" -> t18Sql,
-    "t2b_lang_id_trained" -> t2bSql)
+    "t2b_lang_id_trained" -> t2bSql,
+    "t4d_token_ids" -> t4dSql)
 }

@@ -86,10 +86,10 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("e2: packs exactly the e1-kept ∧ clean ∧ non-eval docs, sequentially re-packable") {
+  test("e2: packs exactly the e1-kept ∧ clean ∧ non-eval docs at their REAL token counts, sequentially re-packable") {
     val packed = PipelineOps.e2TrainingShards(spark, sf)
-      .select($"doc_id", $"shard", $"n_tokens", $"pack_id")
-      .as[(Long, Int, Int, Int)].collect()
+      .select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"ids_sig")
+      .as[(Long, Int, Int, Int, String)].collect()
     // membership: exactly the survivor intersection of the component queries
     val kept = PipelineOps.e1Pipeline(spark, sf).where($"keep")
       .select($"doc_id").as[Long].collect().toSet
@@ -100,10 +100,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(packed.nonEmpty)
     // the eval slice is excluded by construction
     assert(packed.forall(_._1 % TextOps.DecontMod != 0))
+    // budgets and signatures are t4d's: the trainer-facing token count
+    // and the digest of the exact id sequence that ships
+    val t4d = TextOps.t4dTokenIds(spark, sf)
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    packed.foreach { case (id, _, n, _, sig) =>
+      assert((n, sig) === t4d(id), s"doc $id token budget/signature")
+    }
     // pack ids replay as sequential concatenate-then-chunk per shard
     packed.groupBy(_._2).foreach { case (_, docs) =>
       var offset = 0L
-      docs.sortBy(_._1).foreach { case (id, _, n, pack) =>
+      docs.sortBy(_._1).foreach { case (id, _, n, pack, _) =>
         assert(pack === (offset / graft.operators.SamplingOps.PackBudget).toInt,
           s"doc $id at offset $offset")
         offset += n
@@ -111,22 +119,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("e4: packs exactly the d12 survivors at their post-cut sizes, sequentially re-packable") {
+  test("e4: packs exactly the d12 survivors at their CLEANED texts' real token counts, sequentially re-packable") {
     val packed = PipelineOps.e4CleanPack(spark, sf)
-      .select($"doc_id", $"shard", $"n_tokens", $"pack_id")
-      .as[(Long, Int, Int, Int)].collect()
+      .select($"doc_id", $"shard", $"n_tokens", $"pack_id", $"ids_sig")
+      .as[(Long, Int, Int, Int, String)].collect()
     val cleaned = graft.operators.DedupOps.d12SpanRemoval(spark, sf)
-      .select($"doc_id", $"n_tokens_kept").as[(Long, Int)].collect().toMap
+      .select($"doc_id", $"n_tokens_kept", $"clean_text")
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     // membership: every doc with surviving tokens, nothing else (a doc
     // cleaned to '' must not reach the trainer)
-    assert(packed.map(_._1).toSet === cleaned.filter(_._2 > 0).keySet)
+    assert(packed.map(_._1).toSet === cleaned.filter(_._2._1 > 0).keySet)
     assert(packed.nonEmpty)
-    // sizes are d12's post-cut counts, not the raw token counts
-    packed.foreach { case (id, _, n, _) => assert(n === cleaned(id), s"doc $id") }
+    // budgets are the CLEANED text's t4d counts (post-cut, tokenizer
+    // tokens — not whitespace counts), signatures its exact sequence
+    val withIds = TextOps.withTokenIdCols(
+        cleaned.toSeq.map { case (id, (_, ct)) => (id, ct) }
+          .toDF("doc_id", "clean_text"), $"clean_text")
+      .select($"doc_id", $"n_ids", $"ids_sig")
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    packed.foreach { case (id, _, n, _, sig) =>
+      assert((n, sig) === withIds(id), s"doc $id cleaned budget/signature")
+    }
+    // a doc whose spans were cut must pack SMALLER than its full text
+    val full = TextOps.t4dTokenIds(spark, sf)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r._2).toMap
+    val cut = cleaned.collect { case (id, (k, _)) if k > 0 => id }
+      .filter(id => packed.exists(_._1 == id))
+    assert(packed.exists { case (id, _, n, _, _) => n < full(id) },
+      "at least one span-cut doc packs below its full-text budget")
+    assert(cut.nonEmpty)
     // pack ids replay as sequential concatenate-then-chunk per shard
     packed.groupBy(_._2).foreach { case (_, ds) =>
       var offset = 0L
-      ds.sortBy(_._1).foreach { case (id, _, n, pack) =>
+      ds.sortBy(_._1).foreach { case (id, _, n, pack, _) =>
         assert(pack === (offset / graft.operators.SamplingOps.PackBudget).toInt,
           s"doc $id at offset $offset")
         offset += n

@@ -705,6 +705,96 @@ class TextOpsSpec extends SparkSpec {
     assert(bpe0 === want, s"$src0 bpe recount")
   }
 
+  /** Independent reference for [[graft.functions.bpeTokenIds]]: the
+    * substring-Set greedy scan emitting ids under the documented id
+    * space — piece rank by (length, piece), then single letters, then
+    * raw code points. */
+  private def bpeIdsReference(text: String, vocab: Seq[String]): Seq[Int] = {
+    val pieces = vocab.distinct.sortBy(p => (p.length, p))
+    val rank = pieces.zipWithIndex.toMap
+    val v = pieces.size
+    val maxLen = vocab.map(_.length).max
+    val s = text.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    val out = Seq.newBuilder[Int]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == ' ') i += 1
+      else if (c >= 'a' && c <= 'z') {
+        var best = 1
+        var l = 2
+        while (l <= maxLen && i + l <= s.length &&
+               s(i + l - 1) >= 'a' && s(i + l - 1) <= 'z') {
+          if (rank.contains(s.substring(i, i + l))) best = l
+          l += 1
+        }
+        out += (if (best == 1) v + (c - 'a') else rank(s.substring(i, i + best)))
+        i += best
+      } else {
+        val cp = s.codePointAt(i)
+        out += v + 26 + cp
+        i += Character.charCount(cp)
+      }
+    }
+    out.result()
+  }
+
+  /** Total decoder over the t4d id space — the lossless-up-to-spaces
+    * contract's other half. */
+  private def decodeIds(ids: Seq[Int], vocab: Seq[String]): String = {
+    val pieces = vocab.distinct.sortBy(p => (p.length, p))
+    val v = pieces.size
+    ids.map { id =>
+      if (id < v) pieces(id)
+      else if (id < v + 26) ('a' + (id - v)).toChar.toString
+      else new String(Character.toChars(id - v - 26))
+    }.mkString
+  }
+
+  test("t4d: expression ids match the independent reference and re-decode to the spaceless text; codegen == interpreted") {
+    val rng = new scala.util.Random(1604L)
+    val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-"
+    val texts = Seq.fill(200)(
+      Seq.fill(rng.nextInt(80))(alpha(rng.nextInt(alpha.length))).mkString) ++
+      Seq("", "   ", "the table", "TABLE42!x")
+    val df = texts.toDF("text")
+    def run(): Array[Seq[Int]] =
+      df.select(graft.functions.bpeTokenIds($"text", TextOps.BpeVocab))
+        .as[Seq[Int]].collect()
+    val gen = run()
+    texts.zip(gen).foreach { case (t, ids) =>
+      assert(ids === bpeIdsReference(t, TextOps.BpeVocab), s"ids of '$t'")
+      // decoding reproduces the lowercased text with spaces removed
+      assert(decodeIds(ids, TextOps.BpeVocab) ===
+        t.toLowerCase.replace(" ", ""), s"decode of '$t'")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(gen.toSeq === run().toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("t4d: corpus relation — n_ids equals the t4b counter, the digest pins the exact sequence") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = TextOps.t4dTokenIds(spark, sf)
+      .as[(Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(got.size === docs.length)
+    docs.foreach { case (id, t) =>
+      val ids = bpeIdsReference(t, TextOps.BpeVocab)
+      assert(got(id)._1 === ids.size, s"doc $id n_ids")
+      assert(got(id)._1 === bpeReference(t, TextOps.BpeVocab), s"doc $id vs t4b")
+      assert(got(id)._2 === md5hex(ids.mkString(",")), s"doc $id ids_sig")
+    }
+  }
+
   test("t14: top-k per source equals an independent Scala TF-IDF recount") {
     val got = TextOps.t14TfidfTerms(spark, sf)
       .as[(String, Int, String, Long, Long, Long)].collect()
