@@ -637,7 +637,8 @@ object SketchOps {
         ($"id" === 0L).as("only_in_standing"))
   }
 
-  private val k8Sql = {
+  // private[graft]: st14's oracle wraps this panel with its alarm arm
+  private[graft] val k8Sql = {
     val m = DedupOps.IngestMod
     val r = DedupOps.IngestRem
     s"""WITH st AS (

@@ -824,6 +824,60 @@ object StreamingOps {
        |FROM best b JOIN nt ON b.doc_id = nt.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- st14
+
+  /** Micro-batch share-drift alarm threshold, integer micro share units
+    * (15 share points). Sized from measurement: the fixtures' 50/5-doc
+    * ingest slices — batches drawn from the SAME distribution as the
+    * standing corpus, i.e. pure small-sample noise — measure max
+    * |share_delta_micro| of 75,555 (sf0.01) and 71,111 (sf0.001), so
+    * the alarm sits at ~2× the noise floor; the spec's planted source
+    * switches land ≥ 300,000. Per-deployment calibration, like every
+    * gate τ in the tier. */
+  private[graft] val DriftAlarmMicro = 150000L
+
+  /** The DRIFT gate at the streaming front door (round 16 — k8's
+    * observability panel turned into an admit signal: the st7–st13
+    * battery screens DOCUMENTS; nothing watched the BATCH): each
+    * micro-batch compared per-language against the standing corpus —
+    * k8's exact panel (doc counts, micro shares, signed share delta,
+    * mean lengths, appeared/vanished flags) plus the verdict column
+    * `drift_alarm` = appeared ∨ vanished ∨ |share delta| >
+    * [[DriftAlarmMicro]]. A tripped alarm is the earliest signal of a
+    * source switch, crawler bug, or encoding regression — caught
+    * per batch, before it lands in the lake.
+    *
+    * Scale shape: k8's exactly (dictionary-encoded routing columns
+    * only — text never loads; two lang-bounded map-side-combined
+    * aggregates, one ≤ langs-row broadcast stitch); the aggregation
+    * runs through foreachBatch (st8's device) — zero state store,
+    * per-batch independence spec-asserted. */
+  def driftGate(incoming: DataFrame, standing: DataFrame): DataFrame =
+    graft.operators.SketchOps.ingestDriftOf(standing, incoming)
+      .withColumn("drift_alarm",
+        col("only_in_ingest") || col("only_in_standing") ||
+          abs(col("share_delta_micro")) > DriftAlarmMicro)
+
+  /** st14: the gate in batch mode over d8's deterministic ingest slice
+    * (st7's registration device) — k8's oracle shape plus the generated
+    * alarm arm. StreamingOpsSpec proves the same kernel through
+    * foreachBatch emits identical rows with no state store. */
+  def st14StreamDriftGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val isBatch = col("doc_id") % DedupOps.IngestMod === DedupOps.IngestRem
+    driftGate(docs.where(isBatch), docs.where(!isBatch))
+  }
+
+  // Oracle: k8's panel verbatim with the alarm spelled over its columns
+  // — the st7b under-the-existing-gate pattern, extended by one arm.
+  private lazy val st14Sql =
+    s"""SELECT *,
+       |  (only_in_ingest OR only_in_standing
+       |    OR abs(share_delta_micro) > $DriftAlarmMicro) AS drift_alarm
+       |FROM (${graft.operators.SketchOps.k8Sql})""".stripMargin
+
   private def deleteRecursively(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
@@ -848,7 +902,8 @@ object StreamingOps {
     "st10_stream_quality_gate" -> st10StreamQualityGate _,
     "st11_stream_attribute_sheet" -> st11StreamAttributeSheet _,
     "st12_stream_decont_screen" -> st12StreamDecontScreen _,
-    "st13_stream_lang_gate" -> st13StreamLangGate _)
+    "st13_stream_lang_gate" -> st13StreamLangGate _,
+    "st14_stream_drift_gate" -> st14StreamDriftGate _)
 
   val oracleSql: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
@@ -868,5 +923,6 @@ object StreamingOps {
     "st10_stream_quality_gate" -> st10Sql,
     "st11_stream_attribute_sheet" -> st11Sql,
     "st12_stream_decont_screen" -> st12Sql,
-    "st13_stream_lang_gate" -> st13Sql)
+    "st13_stream_lang_gate" -> st13Sql,
+    "st14_stream_drift_gate" -> st14Sql)
 }

@@ -374,6 +374,85 @@ class StreamingOpsSpec extends SparkSpec {
       s"unexpected state operators: ${q.lastProgress.stateOperators}")
   }
 
+  test("st14: drift gate — appeared/vanished/shifted languages alarm, same-distribution batch stays quiet; foreachBatch equality; zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    // standing (doc_id % 10 != 7): en 50%, zh 40%, fr 10%.
+    // batch (% 10 == 7): en 40% (−10 pts — under the 15-pt alarm),
+    // zh 40% (0), xx 20% (appeared), fr absent (vanished).
+    val standing = Seq(
+      (0L, "en", 10L), (1L, "en", 10L), (2L, "en", 10L), (3L, "en", 10L),
+      (4L, "en", 10L), (5L, "zh", 20L), (6L, "zh", 20L), (8L, "zh", 20L),
+      (9L, "zh", 20L), (10L, "fr", 30L))
+    val batch = Seq(
+      (7L, "en", 12L), (17L, "en", 12L), (27L, "zh", 24L),
+      (37L, "zh", 24L), (47L, "xx", 50L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st14").toString
+    (standing ++ batch)
+      .map { case (id, l, n) => (id, "t", l, "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val want = StreamingOps.st14StreamDriftGate(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("standing_docs"), r.getAs[Long]("ingest_docs"),
+          r.getAs[Long]("share_delta_micro"), r.getAs[Boolean]("only_in_ingest"),
+          r.getAs[Boolean]("only_in_standing"), r.getAs[Boolean]("drift_alarm"))))
+      .toMap
+    assert(want.keySet === Set("en", "zh", "fr", "xx"))
+    assert(want("en") === ((5L, 2L, -100000L, false, false, false)),
+      "a 10-pt swing is batch noise, no alarm")
+    assert(want("zh") === ((4L, 2L, 0L, false, false, false)))
+    assert(want("xx") === ((0L, 1L, 200000L, true, false, true)),
+      "an appeared language alarms")
+    assert(want("fr") === ((1L, 0L, -100000L, false, true, true)),
+      "a vanished language alarms")
+
+    // identical kernel per micro-batch through foreachBatch; two
+    // batches prove per-batch independence (each panel is computed
+    // against the standing corpus from that batch alone)
+    val standingDf = standing.toDF("doc_id", "lang", "n_chars")
+    val b1 = batch.take(2)
+    val b2 = batch.drop(2)
+    val panels = collection.mutable.ArrayBuffer
+      .empty[Map[String, (Long, Long, Boolean)]]
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData(b1)
+    val q = stream.toDF.toDF("doc_id", "lang", "n_chars").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) panels += StreamingOps.driftGate(b, standingDf)
+          .collect().map(r => r.getAs[String]("lang") ->
+            ((r.getAs[Long]("ingest_docs"), r.getAs[Long]("share_delta_micro"),
+              r.getAs[Boolean]("drift_alarm")))).toMap
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    def wantFor(b: Seq[(Long, String, Long)]) =
+      StreamingOps.driftGate(b.toDF("doc_id", "lang", "n_chars"), standingDf)
+        .collect().map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Long]("ingest_docs"), r.getAs[Long]("share_delta_micro"),
+            r.getAs[Boolean]("drift_alarm")))).toMap
+    assert(panels.toSeq === Seq(wantFor(b1), wantFor(b2)))
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected state operators: ${q.lastProgress.stateOperators}")
+  }
+
+  test("st14: fixture batch stays under the alarm — the threshold clears the measured noise floor") {
+    val rows = StreamingOps.st14StreamDriftGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the fixture's ingest slice IS drawn from the standing
+      // distribution: measured max |delta| 71,111 micro vs τ = 150,000
+      assert(math.abs(r.getAs[Long]("share_delta_micro")) <
+        StreamingOps.DriftAlarmMicro,
+        s"lang ${r.getAs[String]("lang")} delta inside the noise band")
+      assert(!r.getAs[Boolean]("drift_alarm"))
+    }
+  }
+
   test("st13: fixture gate — every clean doc clears τ with headroom; output is the ingest slice") {
     val rows = StreamingOps.st13StreamLangGate(spark, sf).collect()
     assert(rows.nonEmpty)
