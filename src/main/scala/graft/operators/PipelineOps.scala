@@ -673,15 +673,19 @@ object PipelineOps {
     * per-stage relation is persisted eagerly (k5b discipline) so the
     * totals row and the funnel arithmetic both read ONE aggregate, and
     * every window downstream runs over ≤ |stages| rows. */
+  /** First-failing-stage index over the signal frame's columns; NULL =
+    * the doc survives the whole funnel (shared by e9 and e10's cut). */
+  private[graft] def killStageCol: org.apache.spark.sql.Column =
+    funnelStages.zipWithIndex
+      .foldRight(lit(null).cast("int")) { case (((_, cond, _), i), e) =>
+        when(cond, lit(i)).otherwise(e)
+      }
+
   def e9AttritionFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val f = e9SignalFrame(s, dir)
-    val killStage = funnelStages.zipWithIndex
-      .foldRight(lit(null).cast("int")) { case (((_, cond, _), i), e) =>
-        when(cond, lit(i)).otherwise(e)
-      }
-    val perStage = f.select(killStage.as("ks"), $"n_toks")
+    val perStage = f.select(killStageCol.as("ks"), $"n_toks")
       .groupBy($"ks").agg(count(lit(1)).as("kd"), sum($"n_toks").as("kt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     perStage.count()
@@ -743,17 +747,16 @@ object PipelineOps {
       .join(dedup, Seq("doc_id")).join(decont, Seq("doc_id"))
   }
 
-  /** e9's oracle: the identical stage Seq generates both the kill CASE
-    * and the stage skeleton (the two engines cannot drift on the stage
-    * set or order); the signal CTEs are the stage oracles verbatim plus
-    * the full-corpus language-gate spelling (t2b's shared profile CTEs). */
-  private lazy val e9Sql = {
-    val killCase = funnelStages.zipWithIndex
-      .map { case ((_, _, sql), i) => s"WHEN $sql THEN $i" }
-      .mkString("CASE ", " ", " END")
-    val stageRows = funnelStages.zipWithIndex
-      .map { case ((n, _, _), i) => s"($i, '$n')" }.mkString(", ")
-    s"WITH ${TextOps.profileCtesSql},\n${UrlOps.urlCanonCtesSql},\n" +
+  /** The generated first-failing CASE over the `f` CTE — NULL = survivor
+    * (e9's kill attribution and e10's survivor filter, one spelling). */
+  private[graft] lazy val killCaseSql: String = funnelStages.zipWithIndex
+    .map { case ((_, _, sql), i) => s"WHEN $sql THEN $i" }
+    .mkString("CASE ", " ", " END")
+
+  /** The signal-frame CTE chain (profile + url + stage oracles, ending
+    * in `f`) — shared by e9's funnel oracle and e10's cut oracle. */
+  private lazy val e9FrameCtesSql: String =
+    s"${TextOps.profileCtesSql},\n${UrlOps.urlCanonCtesSql},\n" +
     s"""urlb9 AS (
        |  SELECT doc_id, domain IN ${UrlOps.blockedInSql} AS url_blocked
        |  FROM urlc),
@@ -791,8 +794,17 @@ object PipelineOps {
        |  JOIN sheet9 s ON b.doc_id = s.doc_id
        |  JOIN d69 d ON b.doc_id = d.doc_id
        |  JOIN t109 t ON b.doc_id = t.doc_id
-       |  JOIN urlb9 u ON b.doc_id = u.doc_id),
-       |k9 AS (SELECT n_toks, $killCase AS ks FROM f),
+       |  JOIN urlb9 u ON b.doc_id = u.doc_id)""".stripMargin
+
+  /** e9's oracle: the identical stage Seq generates both the kill CASE
+    * and the stage skeleton (the two engines cannot drift on the stage
+    * set or order); the signal CTEs are the stage oracles verbatim plus
+    * the full-corpus language-gate spelling (t2b's shared profile CTEs). */
+  private lazy val e9Sql = {
+    val stageRows = funnelStages.zipWithIndex
+      .map { case ((n, _, _), i) => s"($i, '$n')" }.mkString(", ")
+    s"WITH $e9FrameCtesSql,\n" +
+    s"""k9 AS (SELECT n_toks, $killCaseSql AS ks FROM f),
        |ps AS (
        |  SELECT ks, CAST(COUNT(*) AS BIGINT) AS kd,
        |    CAST(SUM(n_toks) AS BIGINT) AS kt
@@ -825,6 +837,111 @@ object PipelineOps {
        |FROM r9""".stripMargin
   }
 
+  // ------------------------------------------------- e10 release cut
+
+  /** The release artifact's per-doc relation: e9's SURVIVORS (first-
+    * failing stage NULL across all [[funnelStages]]) carrying the FULL
+    * e5 attribute sheet and p8's (stage, shard, seq) training
+    * coordinates. Coordinates are the CORPUS-stable p8 assignment
+    * joined as-is — a re-cut after a rule change never moves a
+    * surviving doc's coordinate (the checkpoint-resume property a
+    * trainer depends on); within a shard the reader walks ascending
+    * seq, with gaps where the funnel killed. `cut_part` = stage ×
+    * PackShards + shard is the store's partition key — one directory
+    * per training shard file. */
+  private[graft] def releaseCutRelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val survivors = e9SignalFrame(s, dir)
+      .where(killStageCol.isNull)
+      .select($"doc_id", $"n_toks")
+    survivors
+      .join(e5AttributeSheet(s, dir), Seq("doc_id"))
+      .join(SamplingOps.p8CurriculumOrder(s, dir), Seq("doc_id"))
+      .withColumn("cut_part",
+        $"stage" * SamplingOps.PackShards + $"shard")
+  }
+
+  private val cutStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The committed release-cut store (fingerprint-named root, built once
+    * per corpus snapshot): the cut relation folded through
+    * [[graft.sources.GenStore]] in Manifest mode (the object-store-
+    * portable claim/sweep protocol — src5/s8's device) and compacted to
+    * one file per training shard. The fingerprint-named root means a
+    * regenerated corpus can never serve a stale cut; compact doubles as
+    * the resume step for a build that crashed between fold and
+    * compact, and a racing builder's lost claim is the winner doing
+    * identical work (deterministic content per fingerprint). */
+  private[graft] def releaseCutStore(s: SparkSession, dir: String): String = {
+    import graft.sources.{GenStore, Layouts}
+    val path = java.nio.file.Paths.get("target",
+      s"graft_release_cut_f${Layouts.tableFingerprint(dir, "documents")}_" +
+        Layouts.dirTag(dir)).toAbsolutePath.toString
+    cutStores.getOrElseUpdate(path, {
+      def tolerateRace(body: => Unit): Unit =
+        try body
+        catch { case _: GenStore.ConcurrentFoldException => () }
+      if (GenStore.currentGen(path).isEmpty)
+        tolerateRace(GenStore.fold(s, path, releaseCutRelation(s, dir),
+          partCol = "cut_part", idCol = "doc_id", mode = GenStore.Manifest))
+      tolerateRace(GenStore.compact(s, path, targetFiles = 1, maxFiles = 4,
+        mode = GenStore.Manifest))
+      path
+    })
+  }
+
+  /** e10: the RELEASE CUT — the artifact a trainer actually reads,
+    * closing the loop the tier built stage by stage: e9 says what
+    * survives, e5 says what each survivor is, p8 says when it trains,
+    * src5/s8's store says how it ships. e10 materializes the survivors
+    * + sheet + coordinates through the generational store as ONE
+    * committed generation (Manifest mode, one file per training shard
+    * after compaction) and registers a per-(stage, shard) content
+    * fingerprint of the COMMITTED store — docs, tokens, id extrema and
+    * sums, coordinate sums, and the sheet's quality-score mass —
+    * hash-checked against the fully declarative survivor replay (the
+    * src5 device), so the driver's gate proves the bytes on disk ARE
+    * the declarative cut. GenStoreSpec-class batteries (fold ≡ rebuild,
+    * crash/partial-commit, race) run on the cut store in
+    * PipelineOpsSpec.
+    *
+    * Scale shape: the cut relation is the stages' own audited plans +
+    * id-width joins; the store write is one shuffle by cut_part (the
+    * training-shard count — p4's PackShards story), the fingerprint one
+    * map-side-combined aggregate over ≤ 3 × PackShards groups. */
+  def e10ReleaseCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.GenStore.load(s, releaseCutStore(s, dir))
+      .groupBy($"stage", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"),
+        sum($"doc_id").as("sum_doc_id"),
+        sum($"seq").as("sum_seq"),
+        sum($"score_micro").as("sum_score_micro"))
+  }
+
+  private lazy val e10Sql =
+    s"WITH $e9FrameCtesSql,\n" +
+    s"""surv AS (
+       |  SELECT doc_id, n_toks FROM f WHERE ($killCaseSql) IS NULL),
+       |sheet10 AS (SELECT doc_id, score_micro FROM ($e5Sql)),
+       |coords10 AS (
+       |  SELECT doc_id, stage, shard, seq FROM (${SamplingOps.p8Sql}))
+       |SELECT c.stage, c.shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(s.n_toks) AS BIGINT) AS n_tokens,
+       |  MIN(s.doc_id) AS min_doc_id,
+       |  MAX(s.doc_id) AS max_doc_id,
+       |  CAST(SUM(s.doc_id) AS BIGINT) AS sum_doc_id,
+       |  CAST(SUM(c.seq) AS BIGINT) AS sum_seq,
+       |  CAST(SUM(sh.score_micro) AS BIGINT) AS sum_score_micro
+       |FROM surv s
+       |JOIN sheet10 sh ON s.doc_id = sh.doc_id
+       |JOIN coords10 c ON s.doc_id = c.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
@@ -834,7 +951,8 @@ object PipelineOps {
     "e6_corpus_report" -> e6CorpusReport _,
     "e7_rule_ablation" -> e7RuleAblation _,
     "e8_topic_mix" -> e8TopicMix _,
-    "e9_attrition_funnel" -> e9AttritionFunnel _)
+    "e9_attrition_funnel" -> e9AttritionFunnel _,
+    "e10_release_cut" -> e10ReleaseCut _)
 
   // def, not val: e8's entry reads the TrainedOracle registry, populated
   // when the e8 query resolves the persisted quantizer (Verify's order).
@@ -848,5 +966,6 @@ object PipelineOps {
     "e7_rule_ablation" -> e7Sql,
     "e8_topic_mix" ->
       graft.sources.TrainedOracle.sqlFor("e8_topic_mix", e8Fallback),
-    "e9_attrition_funnel" -> e9Sql)
+    "e9_attrition_funnel" -> e9Sql,
+    "e10_release_cut" -> e10Sql)
 }

@@ -352,7 +352,8 @@ object SamplingOps {
       .select($"doc_id", $"stage", $"shard", $"seq")
   }
 
-  private val p8Sql =
+  // private[operators]: e10's cut oracle joins the coordinate replay
+  private[operators] val p8Sql =
     s"""WITH tier AS (
        |  SELECT doc_id, ppl_bucket FROM (${graft.operators.TextOps.t17Sql})),
        |st AS (

@@ -366,6 +366,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.map(_._5).min < 4.0, "non-binding clusters below cap")
   }
 
+  test("e10: the committed cut IS the declarative survivor relation; funnel cross-check; fold ≡ rebuild; crash staging converges") {
+    import graft.sources.GenStore
+    val want = PipelineOps.releaseCutRelation(spark, sf)
+    val cols = want.columns.sorted
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val wantRows = rows(want)
+    assert(wantRows.nonEmpty, "survivors exist to cut")
+
+    // 1. bytes on disk == the declarative cut, column for column
+    val store = PipelineOps.releaseCutStore(spark, sf)
+    val got = GenStore.load(spark, store)
+    assert(rows(got) === wantRows)
+
+    // 2. the cut is exactly what e9's funnel says ships: docs_out and
+    // tokens_out of the LAST stage
+    val funnel = PipelineOps.e9AttritionFunnel(spark, sf)
+      .orderBy($"stage_idx").collect()
+    assert(got.count() === funnel.last.getAs[Long]("docs_out"))
+    assert(got.agg(sum($"n_toks")).head().getLong(0) ===
+      funnel.last.getAs[Long]("tokens_out"))
+
+    // 3. fold ≡ rebuild: the cut folded as two id-split batches into a
+    // fresh root equals the one-shot store (s8's battery on the cut)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e10").toString
+    val rel = want
+    GenStore.fold(spark, tmp, rel.where($"doc_id" % 2 === 0),
+      partCol = "cut_part", idCol = "doc_id", mode = GenStore.Manifest)
+    GenStore.fold(spark, tmp, rel.where($"doc_id" % 2 === 1),
+      partCol = "cut_part", idCol = "doc_id", mode = GenStore.Manifest)
+    assert(rows(GenStore.load(spark, tmp)) === wantRows)
+
+    // 4. crash debris: an uncommitted staging dir (a fold that died
+    // pre-commit) never changes the committed view and is swept by the
+    // next successful fold; re-folding existing rows is idempotent
+    val stray = java.nio.file.Paths.get(tmp, "gen-000002-pXcrash")
+    java.nio.file.Files.createDirectories(stray)
+    java.nio.file.Files.writeString(stray.resolve("junk"), "torn write")
+    assert(rows(GenStore.load(spark, tmp)) === wantRows,
+      "uncommitted staging must be invisible")
+    GenStore.fold(spark, tmp, rel.where($"doc_id" % 2 === 1),
+      partCol = "cut_part", idCol = "doc_id", mode = GenStore.Manifest)
+    assert(rows(GenStore.load(spark, tmp)) === wantRows,
+      "re-folding the same rows is idempotent")
+    assert(!java.nio.file.Files.exists(stray), "crash staging swept")
+  }
+
   test("e9: the funnel equals an independent first-failing-stage replay over the stage outputs") {
     val got = PipelineOps.e9AttritionFunnel(spark, sf).orderBy($"stage_idx")
       .as[(Int, String, Long, Long, Long, Long, Long, Long, Long)]
