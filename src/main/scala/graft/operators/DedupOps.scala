@@ -563,7 +563,8 @@ object DedupOps {
         .groupBy($"h").agg(count(lit(1)).as("df"))
         .agg(sum($"df").as("s1"), sum($"df" * $"df").as("s2"))
         .head()
-      (row.getLong(0), row.getLong(1))
+      // an empty corpus aggregates to (null, null): R = 0, naive arm
+      if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
     }
 
   /** True when the corpus's trigram-df skew makes the prefix-filtered

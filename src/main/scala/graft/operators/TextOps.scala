@@ -902,7 +902,18 @@ object TextOps {
        |  SELECT doc_id, unnest(ws) AS w,
        |    unnest(generate_series(1, len(ws))) AS i
        |  FROM (SELECT doc_id,
-       |          regexp_extract_all(lower(text), '$BpeTokenRe') AS ws
+       |          -- ASCII-ONLY case fold (translate, not lower): the
+       |          -- engine's scan lowers 'A'..'Z' alone, and t4d ids
+       |          -- ENCODE code points — a full-Unicode lower() would
+       |          -- emit V+26+cp of the folded char (or even change the
+       |          -- code-point COUNT: 'İ' folds to two) and desync the
+       |          -- engines on any case-folding non-ASCII character.
+       |          -- t4b's count oracle tolerates lower() because 1:1
+       |          -- folds are count-invariant; the id space is not.
+       |          regexp_extract_all(
+       |            translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |                            'abcdefghijklmnopqrstuvwxyz'),
+       |            '$BpeTokenRe') AS ws
        |        FROM $docCte)),
        |words$sfx AS (
        |  SELECT DISTINCT w FROM pre$sfx WHERE regexp_matches(w, '^[a-z]')),

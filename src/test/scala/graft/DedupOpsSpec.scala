@@ -165,8 +165,10 @@ class DedupOpsSpec extends SparkSpec {
       "the benign corpus must keep the measured-winner naive arm")
 
     // skewed corpus: six shared leading tokens put four trigrams at
-    // df = n, pushing R = Σdf²/Σdf ≈ 300 over the 200 threshold; doc n
-    // duplicates doc 5 so both operators have a true pair to find
+    // df = n, pushing R = Σdf²/Σdf ≈ 300 — an order of magnitude over
+    // PrefixSwitchRatio (32, sized from the D15SkewProbe crossover in
+    // (10, 36)); doc n duplicates doc 5 so both operators have a true
+    // pair to find
     val n = 600
     val docs = (0 until n).map { i =>
       (i.toLong, s"hot stop word very common block u${i}a u${i}b u${i}c u${i}d")

@@ -756,18 +756,30 @@ class TextOpsSpec extends SparkSpec {
     val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-"
     val texts = Seq.fill(200)(
       Seq.fill(rng.nextInt(80))(alpha(rng.nextInt(alpha.length))).mkString) ++
-      Seq("", "   ", "the table", "TABLE42!x")
+      // non-ASCII case-folding chars stay RAW code points (the id space
+      // folds ASCII A-Z only — full Unicode lowering would desync the
+      // engines; see the bpeIdsCtesSql translate() note)
+      Seq("", "   ", "the table", "TABLE42!x", "caFÉ İstanbul Δx")
     val df = texts.toDF("text")
     def run(): Array[Seq[Int]] =
       df.select(graft.functions.bpeTokenIds($"text", TextOps.BpeVocab))
         .as[Seq[Int]].collect()
     val gen = run()
+    // the decode contract's fold is ASCII-only, like the engine's scan
+    def asciiLower(t: String): String =
+      t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
     texts.zip(gen).foreach { case (t, ids) =>
       assert(ids === bpeIdsReference(t, TextOps.BpeVocab), s"ids of '$t'")
-      // decoding reproduces the lowercased text with spaces removed
+      // decoding reproduces the ASCII-lowercased text with spaces removed
       assert(decodeIds(ids, TextOps.BpeVocab) ===
-        t.toLowerCase.replace(" ", ""), s"decode of '$t'")
+        asciiLower(t).replace(" ", ""), s"decode of '$t'")
     }
+    // the non-ASCII uppers survive as their RAW code points
+    val nonAscii = gen(texts.indexOf("caFÉ İstanbul Δx"))
+    val v = TextOps.BpeVocab.distinct.size
+    assert(nonAscii.contains(v + 26 + 'É'.toInt))
+    assert(nonAscii.contains(v + 26 + 'İ'.toInt))
+    assert(nonAscii.contains(v + 26 + 'Δ'.toInt))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try assert(gen.toSeq === run().toSeq)
