@@ -50,6 +50,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!e5.contains("CartesianProduct"), e5)
   }
 
+  test("e2/e4/t4d: the token-id ARRAY never enters an exchange — only the count and the 32-char digest ride a shuffle") {
+    // the scale claim e2/e4's scaladocs make: the bpe_token_ids scan is
+    // a narrow map whose array output collapses to (n, md5) IN THE SAME
+    // stage; the packing window shuffles id-width rows + the digest.
+    // The id space is array<int> and nothing else in these plans is —
+    // the dedup tier's candidate shingle arrays are array<bigint> — so
+    // "no exchange output carries array<int>" pins exactly this claim.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    for (name <- Seq("e2_training_shards", "e4_clean_pack", "t4d_token_ids")) {
+      val exec = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      val leaked = exec.collect {
+        case e: ShuffleExchangeExec if e.child.output.exists(a =>
+          a.dataType == ArrayType(IntegerType, containsNull = false)) => e
+      }
+      assert(leaked.isEmpty,
+        s"$name ships the raw id array through an exchange:\n$exec")
+      // and the kernel is really in the plan (the claim is non-vacuous)
+      assert(exec.toString.contains("bpe_token_ids"), s"$name:\n$exec")
+    }
+  }
+
   test("q1_agg: partial+final aggregation over exactly one shuffle") {
     val p = plan("q1_agg")
     assert(shuffles(p) === 1, p)
