@@ -487,7 +487,7 @@ object DedupOps {
     * shifted slices — NOT element_at inside a transform lambda, which
     * Catalyst's project-collapsing can turn into an O(tokens) re-eval of
     * the token-hash array per trigram (quadratic per document). */
-  private def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[graft] def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
     val th = transform(split(col("text"), " "), t => xxhash64(t))
     val m = size(th) - lit(n - 1) // trigram count
     val tri = zip_with(
@@ -557,15 +557,36 @@ object DedupOps {
   private[graft] def dfSkewStats(s: SparkSession, dir: String): (Long, Long) =
     dfStatsMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), "dfstats",
       graft.sources.Layouts.tableFingerprint(dir, "documents")) {
-      import s.implicits._
-      val row = withShingleHashes(Tables.documents(s, dir))
-        .select(explode($"hs").as("h"))
-        .groupBy($"h").agg(count(lit(1)).as("df"))
-        .agg(sum($"df").as("s1"), sum($"df" * $"df").as("s2"))
-        .head()
-      // an empty corpus aggregates to (null, null): R = 0, naive arm
-      if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+      dfSkewStatsOf(withShingleHashes(Tables.documents(s, dir)))
     }
+
+  /** The (Σdf, Σdf²) aggregation kernel over any shingled relation —
+    * factored so the spec can assert it exact against a driver-side
+    * BigInt replay. Σdf² accumulates in DECIMAL(38,0), NOT Long: with
+    * ANSI off a hot gram past ~3e9 df (or enough mass in the running
+    * sum) wraps the Long product silently negative, R collapses to 0,
+    * and [[usePrefixPlan]] would dispatch the NAIVE quadratic arm in
+    * exactly the stopword-skew regime the guard exists to escape
+    * (ADVICE r16). Decimal keeps the sum exact to 10³⁸; the collect
+    * SATURATES at Long.MaxValue, which errs toward the bounded prefix
+    * arm — the failure direction the dispatch comment prescribes. */
+  private[graft] def dfSkewStatsOf(shingled: DataFrame): (Long, Long) = {
+    import shingled.sparkSession.implicits._
+    val row = shingled
+      .select(explode($"hs").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .agg(sum($"df").as("s1"),
+        sum($"df".cast("decimal(38,0)") * $"df").as("s2"))
+      .head()
+    // an empty corpus aggregates to (null, null): R = 0, naive arm
+    if (row.isNullAt(0)) (0L, 0L)
+    else {
+      val s2 = row.getDecimal(1).toBigInteger
+      val cap = java.math.BigInteger.valueOf(Long.MaxValue)
+      (row.getLong(0),
+        if (s2.compareTo(cap) > 0) Long.MaxValue else s2.longValueExact())
+    }
+  }
 
   /** True when the corpus's trigram-df skew makes the prefix-filtered
     * candidate plan the safe one (see [[PrefixSwitchRatio]]). */
@@ -614,24 +635,35 @@ object DedupOps {
     * identical by construction (spec-asserted). See SCALING.md. */
   def d4PrefixJaccard(s: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    verifiedSetMetricsOn(docs, prefixPairsFor(s, dir, s"d4prefix:$t")(
+    verifiedSetMetricsOn(docs, prefixPairsFor(s, dir, "d4prefix", t.toString)(
         prefixCandidates(docs, t)))
       .where(col("jaccard") >= t)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   /** The prefix arms' materialized candidate-pair relation, memoized per
-    * (corpus fingerprint, variant) — one pinned (long, long) relation
-    * per corpus snapshot instead of one per invocation (the pairMemo
+    * (corpus fingerprint, FAMILY) — one pinned (long, long) relation per
+    * corpus snapshot instead of one per invocation (the pairMemo
     * discipline applied to the dir-keyed prefix entry points; a corpus
-    * rewrite misses the memo and unpersists the stale relation). */
-  private val prefixPairMemo =
+    * rewrite misses the memo and unpersists the stale relation).
+    * private[graft]: the spec asserts the one-entry-per-family bound. */
+  private[graft] val prefixPairMemo =
     new graft.sources.FingerprintMemo[DataFrame](_.unpersist(false))
 
-  private def prefixPairsFor(s: SparkSession, dir: String, variant: String)(
-      pairs0: => DataFrame): DataFrame =
-    prefixPairMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), variant,
-      graft.sources.Layouts.tableFingerprint(dir, "documents"))(
+  /** τ rides the VALIDITY TOKEN, not the memo key: the public prefix
+    * entry points take caller-supplied thresholds, and keying the memo
+    * by `family:τ` pinned one MEMORY_AND_DISK pair relation per distinct
+    * τ for the snapshot's lifetime with no eviction bound (ADVICE r16).
+    * Folding τ into the fingerprint token instead means a second τ for
+    * the same (dir, family) MISSES, rebuilds, and EVICTS (unpersists)
+    * the first through the memo's evict-on-roll path — at most one live
+    * pair relation per (dir, family), whatever τ sequence callers use;
+    * the dispatch-default τ path re-hits as long as no other τ
+    * intervened. */
+  private def prefixPairsFor(s: SparkSession, dir: String, family: String,
+      tauTag: String)(pairs0: => DataFrame): DataFrame =
+    prefixPairMemo.getOrBuild(s, graft.sources.Layouts.dirTag(dir), family,
+      graft.sources.Layouts.tableFingerprint(dir, "documents") + "|" + tauTag)(
       eagerPairs(pairs0))
 
   /** [[d4PrefixJaccard]]'s candidate stage, exposed so the skew spec can
@@ -729,7 +761,7 @@ object DedupOps {
   def d15PrefixContainment(s: SparkSession, dir: String,
       tau: Double = ContainTau): DataFrame = {
     val docs = Tables.documents(s, dir)
-    verifiedSetMetricsOn(docs, prefixPairsFor(s, dir, s"d15prefix:$tau")(
+    verifiedSetMetricsOn(docs, prefixPairsFor(s, dir, "d15prefix", tau.toString)(
         containPrefixCandidates(docs, tau)))
       .where(greatest(col("cont_a"), col("cont_b")) >= tau)
   }

@@ -872,12 +872,41 @@ object PipelineOps {
     * the resume step for a build that crashed between fold and
     * compact, and a racing builder's lost claim is the winner doing
     * identical work (deterministic content per fingerprint). */
+  /** FingerprintMemo's evict-on-roll discipline applied to the committed
+    * cut roots (ADVICE r16): building a snapshot's root deletes the dead
+    * sibling roots a previous corpus fingerprint committed for the SAME
+    * (prefix, dirTag) — and drops their [[cutStores]] entries — because
+    * without the sweep every corpus regeneration in a long-lived
+    * deployment leaks a full release-cut copy on disk. Scoped to the
+    * exact prefix + `_dirTag` suffix (dirTag is a fixed-width md5 tag),
+    * so roots of other corpora, dirs, or store families are never
+    * touched; the sweep runs before the new root is built, so a crash
+    * mid-sweep costs nothing but disk already condemned. */
+  private[graft] def sweepStaleCutRoots(prefix: String, dirTag: String,
+      keepName: String): Unit = {
+    val parent = java.nio.file.Paths.get("target")
+    if (java.nio.file.Files.isDirectory(parent)) {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(parent)
+      val siblings = try st.iterator().asScala.toList finally st.close()
+      siblings.filter { p =>
+        val n = p.getFileName.toString
+        n != keepName && n.startsWith(prefix) && n.endsWith("_" + dirTag)
+      }.foreach { p =>
+        cutStores.remove(p.toAbsolutePath.toString)
+        graft.sources.Layouts.deleteRecursively(p)
+      }
+    }
+  }
+
   private[graft] def releaseCutStore(s: SparkSession, dir: String): String = {
     import graft.sources.{GenStore, Layouts}
-    val path = java.nio.file.Paths.get("target",
-      s"graft_release_cut_f${Layouts.tableFingerprint(dir, "documents")}_" +
-        Layouts.dirTag(dir)).toAbsolutePath.toString
+    val dirTag = Layouts.dirTag(dir)
+    val name =
+      s"graft_release_cut_f${Layouts.tableFingerprint(dir, "documents")}_$dirTag"
+    val path = java.nio.file.Paths.get("target", name).toAbsolutePath.toString
     cutStores.getOrElseUpdate(path, {
+      sweepStaleCutRoots("graft_release_cut_", dirTag, name)
       def tolerateRace(body: => Unit): Unit =
         try body
         catch { case _: GenStore.ConcurrentFoldException => () }

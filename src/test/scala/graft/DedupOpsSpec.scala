@@ -205,6 +205,50 @@ class DedupOpsSpec extends SparkSpec {
       "re-invoking the prefix arms must reuse the memoized pair relation")
   }
 
+  test("dfSkewStats: decimal Σdf² is exact vs a BigInt replay (the overflow-proof path)") {
+    // 40 docs sharing three leading tokens (one df=40 trigram) plus
+    // unique tails — enough df spread that a wrong aggregation shows.
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma u${i}x u${i}y u${i}z")).toDF("doc_id", "text")
+    val (s1, s2) = DedupOps.dfSkewStatsOf(DedupOps.withShingleHashes(docs))
+    // driver-side replay over the same hash arrays in arbitrary precision
+    val dfs = docs.select(explode(DedupOps.shingles($"text")).as("g"))
+      .groupBy($"g").count().as[(String, Long)].collect().map(_._2)
+    assert(s1 === dfs.sum)
+    assert(BigInt(s2) === dfs.map(d => BigInt(d) * BigInt(d)).sum,
+      "Σdf² must be exact — the decimal aggregate may not round or wrap")
+  }
+
+  test("prefix pair memo: a second τ for the same family EVICTS the first — one live relation per (dir, family), no per-τ pinning") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"hot stop word u${i}a u${i}b u${i}c u${i}d")
+    } :+ (60L, "hot stop word u5a u5b u5c u5d")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tau").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    val memo0 = DedupOps.prefixPairMemo.size
+    DedupOps.d4PrefixJaccard(spark, dir, 0.45).count()
+    val persisted1 = spark.sparkContext.getPersistentRDDs.size
+    // distinct τ values for the same (dir, family): each MISSES on the
+    // validity token and unpersists its predecessor, so the pinned-RDD
+    // count never exceeds the first build's (ADVICE r16 — before this,
+    // every τ pinned its own MEMORY_AND_DISK relation for the corpus
+    // snapshot's lifetime)
+    DedupOps.d4PrefixJaccard(spark, dir, 0.55).count()
+    DedupOps.d4PrefixJaccard(spark, dir, 0.65).count()
+    assert(spark.sparkContext.getPersistentRDDs.size === persisted1,
+      "each new τ must evict (unpersist) the previous τ's pair relation")
+    assert(DedupOps.prefixPairMemo.size === memo0 + 1,
+      "the memo holds ONE entry per (dir, family), never one per τ")
+    assert(persisted1 === persisted0 + 1)
+    // and the default-τ dispatch path still re-hits (no rebuild churn):
+    // same τ twice adds nothing
+    DedupOps.d4PrefixJaccard(spark, dir, 0.65).count()
+    assert(spark.sparkContext.getPersistentRDDs.size === persisted1)
+  }
+
   test("d15: prefix-filter variant is output-identical on the sf0.001 corpus; output superset of symmetric j>=0.9 pairs") {
     val naive = DedupOps.d15Containment(spark, sf)
       .as[(Long, Long, Double, Double, Double)].collect().toSet

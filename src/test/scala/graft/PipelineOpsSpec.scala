@@ -412,6 +412,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(GenStore.load(spark, tmp)) === wantRows,
       "re-folding the same rows is idempotent")
     assert(!java.nio.file.Files.exists(stray), "crash staging swept")
+
+    // 5. evict-on-roll for the roots themselves (ADVICE r16): building a
+    // snapshot's root sweeps dead siblings of the SAME (prefix, dirTag)
+    // — a previous corpus fingerprint's committed cut — and nothing else
+    val tag = graft.sources.Layouts.dirTag(sf)
+    val dead = java.nio.file.Paths.get("target",
+      s"graft_release_cut_fDEADBEEF_$tag")
+    val otherFamily = java.nio.file.Paths.get("target",
+      s"graft_other_store_fDEADBEEF_$tag")
+    val otherTag = java.nio.file.Paths.get("target",
+      "graft_release_cut_fDEADBEEF_0123456789abcdef")
+    Seq(dead, otherFamily, otherTag).foreach { p =>
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("part"), "stale bytes")
+    }
+    val keepName = java.nio.file.Paths.get(store).getFileName.toString
+    PipelineOps.sweepStaleCutRoots("graft_release_cut_", tag, keepName)
+    assert(!java.nio.file.Files.exists(dead),
+      "a dead fingerprint's root for the same dirTag must be swept")
+    assert(java.nio.file.Files.exists(otherFamily),
+      "other store families are never touched")
+    assert(java.nio.file.Files.exists(otherTag),
+      "other corpora (dirTags) are never touched")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store)),
+      "the live root survives its own sweep")
+    Seq(otherFamily, otherTag).foreach(graft.sources.Layouts.deleteRecursively)
   }
 
   test("e9: the funnel equals an independent first-failing-stage replay over the stage outputs") {
