@@ -959,7 +959,97 @@ case class KllQuantile(child: Expression, rank: Double)
     copy(child = newChild)
 }
 
+/** The one shared normalization kernel behind [[NormalizeText]] — a
+  * static method so the interpreted eval and the generated code call the
+  * IDENTICAL bytes (the parity obligation is then structural, and the
+  * spec's codegen-vs-interpreted check guards the wiring, not two copies
+  * of the algorithm).
+  *
+  * Semantics (CCNet's pre-dedup normalization, Wenzek et al. 2020 §3.1,
+  * restated as three composable steps — t25's contract, mirrored by the
+  * DuckDB oracle as `nfc_normalize` → `\p{M}` strip → `[\t\n\f\r ]+`
+  * collapse + trim):
+  *
+  *   1. Unicode NFC (JDK [[java.text.Normalizer]]): canonical-equivalent
+  *      spellings converge — `a` + U+0301 composes to `á`, so the NFD
+  *      and NFC twins of a document hash identically downstream;
+  *   2. strip residual combining marks (general categories Mn/Mc/Me —
+  *      exactly RE2's `\p{M}`): marks with no precomposed form (`w` +
+  *      U+0303) reduce to their base letter;
+  *   3. collapse runs of `[\t\n\f\r ]` — RE2's `\s` class, NOT
+  *      `Character.isWhitespace` (which adds vertical tab, file
+  *      separators, and Unicode spaces the oracle's regex would keep) —
+  *      to one space, and trim leading/trailing runs entirely.
+  *
+  * Compatibility normalization (NFKC — fullwidth `ｓ`, ligatures) is
+  * deliberately OUT of scope: DuckDB ships only `nfc_normalize`, so the
+  * cross-engine contract is canonical-only, and the t25 derivation
+  * plants a fullwidth char precisely to pin that both engines leave it
+  * alone. */
+object TextNormalizer {
+  def normalize(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val n = nfc.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < n) {
+      val cp = nfc.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+          t == Character.COMBINING_SPACING_MARK) {
+        () // strip
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+          cp == '\r') {
+        pendingSpace = true
+      } else {
+        if (pendingSpace && started) sb.append(' ')
+        pendingSpace = false
+        started = true
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+}
+
+/** t25's Unicode text normalization as a codegen'd narrow expression —
+  * the column every dedup hash should consume (CCNet normalizes BEFORE
+  * MinHash; this engine hashed raw text until round 17, so the NFC and
+  * NFD spellings of one document could never dedup together). Semantics
+  * and the cross-engine contract live on [[TextNormalizer]]; this class
+  * is the Catalyst wiring (the [[BpeTokenIds]] pattern), with both eval
+  * paths delegating to the one static kernel. */
+case class NormalizeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(a: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      TextNormalizer.normalize(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  org.apache.spark.sql.graftext.TextNormalizer.normalize($x.toString()));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 object GraftColumns {
+  def normalizeText(text: Column): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text)))
+
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -56,6 +56,13 @@ package object functions {
   def bpeTokenIds(text: Column, vocab: Seq[String]): Column =
     org.apache.spark.sql.graftext.GraftColumns.bpeTokenIds(text, vocab)
 
+  /** Unicode text normalization (NFC → combining-mark strip → whitespace
+    * collapse/trim — CCNet's pre-dedup canonicalization) as one codegen'd
+    * narrow expression (see
+    * [[org.apache.spark.sql.graftext.NormalizeText]]). */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.graftext.GraftColumns.normalizeText(text)
+
   /** KLL doubles quantile-sketch aggregate over a double column — the
     * mergeable-quantile twin of `hll_sketch_agg`, emitting the sketch's
     * compact bytes (see [[org.apache.spark.sql.graftext.KllSketchAgg]]). */

@@ -84,6 +84,44 @@ object DedupOps {
       |  doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
       |FROM documents""".stripMargin
 
+  /** d1n: exact dedup over the NORMALIZED text — d1's keep rule keyed on
+    * [[graft.functions.normalizeText]] (t25's NFC + mark-strip +
+    * whitespace-collapse kernel) instead of raw bytes, closing CCNet's
+    * normalize-then-hash gap: the NFC and NFD spellings of one document
+    * are byte-different, so d1 can never group them, while their
+    * normalized forms are identical. Runs over t25's derived messy twin
+    * ([[TextNorm.messyTextExprSql]] — the fixture is pure ASCII, so the
+    * un-normalized collisions d1n exists to catch are planted by the
+    * same one-spelling derivation both engines splice): raw-text dup
+    * groups whose members landed in the combining-mark class (doc_id%3=0)
+    * and the precomposed class (doc_id%3=1) re-converge here, and the
+    * DedupOpsSpec NFD-twin plant pins the semantics directly.
+    *
+    * Scale shape: derivation + normalization are one narrow codegen'd
+    * projection; the keep-bit window is d1's exact geometry keyed on the
+    * 32-char md5 of the normalized text — the exchange moves digests,
+    * never documents. */
+  def d1nNormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(graft.functions.normalizeText(
+          expr(TextNorm.messyTextExprSql))).as("norm_sig"))
+      .select($"doc_id", $"norm_sig",
+        ($"doc_id" === min($"doc_id").over(
+          Window.partitionBy($"norm_sig"))).as("is_canonical"))
+  }
+
+  private lazy val d1nSql =
+    s"""WITH m1n AS (
+       |  SELECT doc_id, ${TextNorm.messyTextExprSql} AS messy FROM documents),
+       |n1n AS (
+       |  SELECT doc_id, md5(${TextNorm.normSqlOf("messy")}) AS norm_sig
+       |  FROM m1n)
+       |SELECT doc_id, norm_sig,
+       |  doc_id = min(doc_id) OVER (PARTITION BY norm_sig) AS is_canonical
+       |FROM n1n""".stripMargin
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash design constants + reference Scala implementation (the
@@ -1993,6 +2031,7 @@ object DedupOps {
     "d11_span_intervals" -> d11SpanIntervals _,
     "d12_span_removal" -> d12SpanRemoval _,
     "d1_exact_dedup" -> d1ExactDedup _,
+    "d1n_normalized_dedup" -> d1nNormalizedDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash_neardup" -> d3SimhashNeardup _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
@@ -2010,6 +2049,7 @@ object DedupOps {
     "d11_span_intervals" -> d11Sql,
     "d12_span_removal" -> d12Sql,
     "d1_exact_dedup" -> d1Sql,
+    "d1n_normalized_dedup" -> d1nSql,
     "d2_minhash_lsh" -> jaccardPairsSql(0.8),
     "d3_simhash_neardup" -> simhashSql(0.8),
     "d4_ngram_jaccard" -> jaccardPairsSql(0.5),

@@ -2561,7 +2561,67 @@ object TextOps {
        |  sc.clf_score > 0 AS clf_keep
        |FROM documents d JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
 
+  // ------------------------------------------- t25 unicode normalization
+
+  /** The Unicode messy-twin derivation over (doc_id, text) — d16's
+    * ONE-SPELLING device (`urlExprSql`'s discipline) applied to the
+    * normalization problem: the fixture corpus is pure ASCII, so the
+    * cases normalization exists for are DERIVED deterministically by one
+    * portable SQL expression both engines splice (CASE/replace/||/% all
+    * parse identically in Spark SQL and DuckDB; the non-ASCII
+    * replacement strings ride as literal UTF-8 in the one string).
+    * Coprime moduli cross the messiness axes:
+    *
+    *   - doc_id%3=0: `a` → `a` + U+0301 (NFD-style combining acute —
+    *     NFC must COMPOSE it to á);
+    *   - doc_id%3=1: `a` → U+00E1 (precomposed á — the NFC twin: after
+    *     normalization classes 0 and 1 must agree exactly, the
+    *     café/cafe´ case);
+    *   - doc_id%11=0: `w` → `w` + U+0303 (no precomposed form exists —
+    *     NFC keeps the sequence, the mark STRIP must remove it);
+    *   - doc_id%7=0: `s` → U+FF53 (fullwidth ｓ — canonical-only
+    *     normalization must LEAVE it; pins that neither engine
+    *     accidentally applies NFKC);
+    *   - doc_id%5=0: every space doubled; doc_id%2=0: leading space +
+    *     trailing tab (the whitespace collapse/trim cases).
+    *
+    * Flattened to one line — this string is spliced into stripMargin
+    * oracle templates (the r16 `||`-eats-a-pipe trap). */
+  /** t25: Unicode text normalization — the CCNet pre-dedup
+    * canonicalization pass (Wenzek et al. 2020 §3.1: normalize, THEN
+    * hash) this engine lacked: every dedup tier hashed raw text, so the
+    * NFC and NFD spellings of one document — byte-different, canonically
+    * equivalent — could never dedup together ([[graft.operators.DedupOps.d1nNormalizedDedup]]
+    * closes that gap over this column). Pure narrow map riding the scan
+    * (derivation + one codegen'd kernel): zero exchanges at any corpus
+    * size; the output ships the digest, not the normalized text (the
+    * t4d/m4 contract — the sig pins every code point and its order). */
+  def t25NormalizeText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(TextNorm.messyTextExprSql).as("messy"))
+      .select($"doc_id", $"messy",
+        graft.functions.normalizeText($"messy").as("norm"))
+      .select($"doc_id",
+        ($"norm" =!= $"messy").as("changed"),
+        length($"messy").cast("long").as("n_chars_messy"),
+        length($"norm").cast("long").as("n_chars_norm"),
+        md5($"norm").as("norm_sig"))
+  }
+
+  private val t25Sql =
+    s"""WITH m25 AS (
+       |  SELECT doc_id, ${TextNorm.messyTextExprSql} AS messy FROM documents),
+       |n25 AS (
+       |  SELECT doc_id, messy, ${TextNorm.normSqlOf("messy")} AS norm FROM m25)
+       |SELECT doc_id, norm <> messy AS changed,
+       |  CAST(length(messy) AS BIGINT) AS n_chars_messy,
+       |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       |  md5(norm) AS norm_sig
+       |FROM n25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_normalize_text" -> t25NormalizeText _,
     "t13_bm25_topk" -> t13Bm25Topk _,
     "t14_tfidf_terms" -> t14TfidfTerms _,
     "t15_ref_lm_score" -> t15RefLmScore _,
@@ -2618,5 +2678,37 @@ object TextOps {
     "t12_boilerplate" -> t12Sql,
     "t18_quality_classifier" -> t18Sql,
     "t2b_lang_id_trained" -> t2bSql,
-    "t4d_token_ids" -> t4dSql)
+    "t4d_token_ids" -> t4dSql,
+    "t25_normalize_text" -> t25Sql)
+}
+
+/** t25's shared Unicode-derivation and oracle-normalization spellings —
+  * a STANDALONE object (no reference to TextOps or DedupOps) so the
+  * cross-object oracle splices (TextOps.t25Sql, DedupOps.d1nSql) can
+  * never observe a mid-initialization null: an eager val inside TextOps
+  * would read as null from DedupOps's init if the two objects'
+  * initializers ever chain (the profileCtesSql lazy-val trap, hit live
+  * in round 17 — DuckDB received `null AS messy`). */
+private[graft] object TextNorm {
+  private[graft] val messyTextExprSql: String =
+    ("(CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '' END) || " +
+      "replace(replace(replace(replace(text, " +
+      "'a', CASE WHEN doc_id % 3 = 0 THEN 'a\u0301' " +
+      "WHEN doc_id % 3 = 1 THEN '\u00e1' ELSE 'a' END), " +
+      "'w', CASE WHEN doc_id % 11 = 0 THEN 'w\u0303' ELSE 'w' END), " +
+      "'s', CASE WHEN doc_id % 7 = 0 THEN '\uff53' ELSE 's' END), " +
+      "' ', CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE ' ' END) " +
+      "|| (CASE WHEN doc_id % 2 = 0 THEN '\t' ELSE '' END)")
+
+  /** The oracle's INDEPENDENT normalization spelling over any expression
+    * string — DuckDB's `nfc_normalize` then an RE2 `\p{M}` mark strip
+    * then `\s`-class collapse/trim, stated against the JDK chain of
+    * [[graft.functions.normalizeText]] (java.text.Normalizer NFC +
+    * Character.getType Mn/Mc/Me strip + the same `[\t\n\f\r ]` class).
+    * Two independent Unicode stacks (ICU-lineage JDK vs utf8proc) —
+    * the hash compare proves they agree on every derived case. */
+  private[graft] def normSqlOf(e: String): String =
+    s"trim(regexp_replace(regexp_replace(nfc_normalize($e), " +
+      "'\\p{M}', '', 'g'), '[\\t\\n\\f\\r ]+', ' ', 'g'))"
+
 }

@@ -21,6 +21,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(flagged === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("d1n: NFD/NFC twins dedup together under normalization; raw-byte keying provably misses them") {
+    val docs = Seq(
+      (1L, "cafe\u0301 menu"),   // NFD spelling (e + combining acute)
+      (2L, "caf\u00e9 menu"),    // NFC spelling -- canonically equivalent
+      (3L, " caf\u00e9  menu"),  // whitespace-messy twin
+      (4L, "cafe menu"))          // genuinely different (no accent)
+    val df = docs.toDF("doc_id", "text")
+    val normed = df
+      .select($"doc_id",
+        md5(graft.functions.normalizeText($"text")).as("k"))
+      .withColumn("is_canonical", $"doc_id" === min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"k")))
+      .select($"doc_id", $"is_canonical")
+      .as[(Long, Boolean)].collect().toMap
+    assert(normed === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true),
+      "the three canonically-equivalent spellings form ONE group")
+    // raw-byte keying (d1's) sees four distinct documents — the exact
+    // gap d1n exists to close
+    val raw = df.select($"doc_id", ($"doc_id" === min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(sha2($"text", 256))))
+        .as("c"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(raw.values.forall(identity), "raw-byte dedup finds no dups here")
+    // registered query: full-corpus rows convention, one row per doc
+    assert(DedupOps.d1nNormalizedDedup(spark, sf).count() ===
+      graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("shingles column: distinct word trigrams; short docs fall back to whole text") {
     val got = Seq(("a b c d e", 1), ("x y", 2))
       .toDF("text", "id")

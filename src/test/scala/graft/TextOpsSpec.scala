@@ -1211,4 +1211,83 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_segments") > 1L),
       "the fixture exercises multi-segment docs")
   }
+
+  test("t25: planted normalization cases — NFC composes, marks strip, fullwidth survives, whitespace collapses; codegen == interpreted") {
+    val cases: Seq[(String, String)] = Seq(
+      // NFD vs NFC twins converge on the composed form (explicit \u
+      // escapes -- source-encoding-proof)
+      ("cafe\u0301", "caf\u00e9"),
+      ("caf\u00e9", "caf\u00e9"),
+      // decomposed E + acute composes
+      ("E\u0301cole", "\u00c9cole"),
+      // combining tilde on w has no precomposed form: mark strips
+      ("w\u0303ord", "word"),
+      // fullwidth s is COMPATIBILITY-equivalent only -- canonical
+      // normalization must leave it (NFKC is out of contract)
+      ("\uff53ushi", "\uff53ushi"),
+      // case folding is NOT normalization: I-with-dot stays itself
+      ("\u0130stanbul", "\u0130stanbul"),
+      // whitespace: runs collapse, lead/trail trim, tabs/newlines are
+      // the \s class
+      ("  a \t b\n\nc ", "a b c"),
+      ("   ", ""),
+      ("", ""),
+      // a-acute + a SECOND combining acute: the pair composes, the
+      // residual mark cannot re-compose and strips
+      ("a\u0301\u0301", "\u00e1"))
+    val df = cases.map(_._1).toDF("s")
+      .select($"s", graft.functions.normalizeText($"s").as("n"))
+    val got = df.as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"normalize('$in')")
+    }
+    // independent JVM replay through java.util.regex (a different \p{M}
+    // and whitespace implementation than the kernel's hand loop)
+    cases.foreach { case (in, want) =>
+      val replay = java.text.Normalizer
+        .normalize(in, java.text.Normalizer.Form.NFC)
+        .replaceAll("\\p{M}", "")
+        .replaceAll("[\t\n\f\r ]+", " ")
+        .replaceAll("^ | $", "")
+      assert(replay === want, s"regex replay disagrees on '$in'")
+    }
+    // codegen vs interpreted parity (the t4b discipline)
+    def run(): Map[String, String] = df.as[(String, String)].collect().toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === got)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("t25: fixture output follows the derivation moduli; digests match a driver replay of the kernel") {
+    val rows = TextOps.t25NormalizeText(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    val changed = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("changed")).toMap
+    changed.foreach { case (id, c) =>
+      // classes whose derivation survives normalization unchanged:
+      // %3=1 (already-composed á), %3=2 with no other active axis
+      val active = id % 3 == 0 || id % 11 == 0 || id % 5 == 0 || id % 2 == 0
+      if (!active && id % 3 != 1) assert(!c, s"doc $id should be untouched")
+      if (id % 3 == 0 || id % 5 == 0 || id % 2 == 0 || id % 11 == 0)
+        assert(c, s"doc $id has a normalizing axis; norm must differ")
+    }
+    // digest replay: messy through the kernel object directly
+    val messy = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        graft.operators.TextNorm.messyTextExprSql).as("m"))
+      .as[(Long, String)].collect().toMap
+    val sigs = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("norm_sig")).toMap
+    sigs.foreach { case (id, sig) =>
+      val n = org.apache.spark.sql.graftext.TextNormalizer.normalize(messy(id))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(n.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(md === sig, s"doc $id digest")
+    }
+  }
 }
