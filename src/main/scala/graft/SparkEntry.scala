@@ -19,6 +19,7 @@ object SparkEntry {
       TextOps.queries ++ SamplingOps.queries ++ SimilarityOps.queries ++ SketchOps.queries ++
       MultimodalOps.queries ++ graft.streaming.StreamingOps.queries ++
       graft.sources.Layouts.queries ++ PipelineOps.queries ++ UrlOps.queries ++
+      HtmlOps.queries ++
       Map("sys_server_spec" -> ((s, _) => ClusterInfo.serverSpec(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +28,6 @@ object SparkEntry {
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++ DedupOps.oracleSql ++
       TextOps.oracleSql ++ SamplingOps.oracleSql ++ SimilarityOps.oracleSql ++ SketchOps.oracleSql ++
       MultimodalOps.oracleSql ++ graft.streaming.StreamingOps.oracleSql ++
-      graft.sources.Layouts.oracleSql ++ PipelineOps.oracleSql ++ UrlOps.oracleSql
+      graft.sources.Layouts.oracleSql ++ PipelineOps.oracleSql ++ UrlOps.oracleSql ++
+      HtmlOps.oracleSql
 }
