@@ -317,6 +317,108 @@ object SamplingOps {
        |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
        |    FROM documents)""".stripMargin, "p4:")
 
+  // ------------------------------------------- p10 best-fit packing (FFD)
+
+  /** The per-shard first-fit-decreasing fold behind [[p10BestFitPack]]:
+    * docs arrive sorted (n_tokens DESC, doc_id ASC); each goes to the
+    * FIRST open bin with room, else opens a new bin. Bin ids are
+    * opening order, so the assignment is a pure function of the sorted
+    * sequence — the oracle replays it as a recursive CTE. A doc larger
+    * than [[PackBudget]] opens its own bin with negative remainder,
+    * which can never accept another doc (the only p10 docs that still
+    * truncate). First-fit's bin scan is O(bins) per doc — fine at the
+    * training-shard-file sizes shards are meant to be (the production
+    * upgrade for huge shards is a segment tree over bin remainders,
+    * O(log bins); the ASSIGNMENT those structures produce is identical,
+    * so the contract here wouldn't change). */
+  private[graft] def ffdAssign(docs: Iterator[(Long, Int)]): Iterator[(Long, Int, Int)] = {
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Int]
+    docs.map { case (id, n) =>
+      var j = 0
+      while (j < rem.length && rem(j) < n) j += 1
+      if (j == rem.length) rem += (PackBudget - n) else rem(j) -= n
+      (id, n, j)
+    }
+  }
+
+  /** p10: BEST-FIT sequence packing — the Ding et al. 2024 ("Fewer
+    * Truncations Improve Language Modeling") upgrade over p4's
+    * concatenate-then-chunk: p4 cuts every [[PackBudget]] tokens
+    * regardless of document boundaries, so any doc straddling a cut is
+    * truncated (and its training signal corrupted — the paper measures
+    * the downstream cost); p10 BIN-PACKS whole documents into
+    * fixed-budget sequences with first-fit-decreasing, so a document is
+    * only ever truncated when it alone exceeds the budget.
+    * SamplingOpsSpec counts truncations under both geometries on the
+    * same sharding and pins p10 < p4.
+    *
+    * Determinism: FFD's assignment is a pure function of the sorted
+    * (n_tokens DESC, doc_id) sequence per shard — no placement
+    * heuristic randomness, reproducible run to run (the
+    * checkpoint-resume property p4 established).
+    *
+    * Scale shape: p4's exact budget — the corpus splits into
+    * [[PackShards]] independent shards by salted hash (own "p10:"
+    * channel), the ONLY exchange is the per-shard groupBy, and the rows
+    * it moves are (doc_id, n_tokens) — text pruned at the scan. Within
+    * a shard the fold is inherently sequential (bin state), so it runs
+    * as ONE sorted-group pass (`flatMapSortedGroups` — Spark sorts the
+    * group on the shuffled key, no driver state, spill-safe); memory is
+    * O(bins per shard), which is why shards ≈ training shard FILES is
+    * the contract (at 100 TB raise PackShards to the file count, same
+    * as p4). This is the documented per-partition-imperative rung of
+    * the extension ladder: the fold's sequential state has no
+    * declarative spelling, and the typed path is confined to the
+    * already-shuffled id-width relation. */
+  def p10BestFitPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("n_tokens"),
+        pmod(hashRank($"doc_id", "p10:"), lit(PackShards)).cast("int").as("shard"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._3)
+      .flatMapSortedGroups(desc("n_tokens"), asc("doc_id")) { (shard, it) =>
+        ffdAssign(it.map(r => (r._1, r._2))).map { case (id, n, bin) =>
+          (id, shard, n, bin)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "pack_id")
+  }
+
+  /** The oracle replays the FFD fold per shard as a recursive CTE
+    * (t4d's recursive-segmentation device): state = the list of bin
+    * remainders, one doc consumed per iteration per shard, first fit =
+    * first index with room. DuckDB's `list_position` returns 0 — not
+    * NULL — on no match (measured), hence the NULLIF. */
+  private val p10Sql = {
+    val lp = "NULLIF(list_position(list_transform(f.rem, " +
+      "r -> r >= b.n_tokens), true), 0)"
+    s"""WITH RECURSIVE basep10 AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |          CAST(${hashRankSql("p10:")} % $PackShards AS INT) AS shard
+       |        FROM documents)),
+       |ffd(shard, i, rem, doc_id, n_tokens, pack_id) AS (
+       |  SELECT shard, CAST(0 AS BIGINT), CAST([] AS INTEGER[]),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT)
+       |  FROM (SELECT DISTINCT shard FROM basep10)
+       |  UNION ALL
+       |  SELECT b.shard, f.i + 1,
+       |    CASE WHEN $lp IS NULL
+       |         THEN list_append(f.rem, $PackBudget - b.n_tokens)
+       |         ELSE f.rem[1:$lp-1] || [f.rem[$lp] - b.n_tokens]
+       |           || f.rem[$lp+1:] END,
+       |    b.doc_id, b.n_tokens,
+       |    CAST(COALESCE($lp, len(f.rem) + 1) - 1 AS INT)
+       |  FROM ffd f JOIN basep10 b ON b.shard = f.shard AND b.rn = f.i + 1)
+       |SELECT doc_id, shard, n_tokens, pack_id
+       |FROM ffd WHERE doc_id IS NOT NULL""".stripMargin
+  }
+
   // -------------------------------------------------- p8 curriculum order
 
   /** p8: quality-CURRICULUM ordering — the deterministic training-order
@@ -730,6 +832,7 @@ object SamplingOps {
     "p2_stratified_sample" -> p2StratifiedSample _,
     "p3_dataset_mix" -> p3DatasetMix _,
     "p4_pack_sequences" -> p4PackSequences _,
+    "p10_bestfit_pack" -> p10BestFitPack _,
     "p5_mix_materialize" -> p5MixMaterialize _,
     "p6_dsir_resample" -> p6DsirResample _,
     "p7_epoch_plan" -> p7EpochPlan _,
@@ -743,6 +846,7 @@ object SamplingOps {
     "p2_stratified_sample" -> p2Sql,
     "p3_dataset_mix" -> p3Sql,
     "p4_pack_sequences" -> p4Sql,
+    "p10_bestfit_pack" -> p10Sql,
     "p5_mix_materialize" -> p5Sql,
     "p6_dsir_resample" -> p6Sql,
     "p7_epoch_plan" -> p7Sql,

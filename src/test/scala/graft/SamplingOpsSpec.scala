@@ -500,4 +500,70 @@ class SamplingOpsSpec extends SparkSpec {
     assert(math.abs(zh.getAs[Double]("repeat_factor") - 4.0) < 1e-9)
     assert(en.getAs[Double]("repeat_factor") < 4.0)
   }
+
+  test("p10: FFD kernel — first fit wins, oversized docs open lone bins, assignment is the sorted-fold replay") {
+    // hand-sized: budget 512
+    val got = SamplingOps.ffdAssign(Iterator(
+      (1L, 600), // oversized: own bin 0 (rem −88, never fits another)
+      (2L, 300), // bin 1 (rem 212)
+      (3L, 300), // 212 < 300 → bin 2
+      (4L, 200), // first fit: bin 1 (212 ≥ 200 → rem 12)
+      (5L, 12),  // bin 1 again (rem 0)
+      (6L, 1))   // bin 2 (rem 212−... wait 512−300=212 ≥ 1)
+      .map(identity)).toSeq
+    assert(got === Seq((1L, 600, 0), (2L, 300, 1), (3L, 300, 2),
+      (4L, 200, 1), (5L, 12, 1), (6L, 1, 2)))
+  }
+
+  test("p10: fixture packing — bins never exceed budget, output equals a driver FFD replay, truncations strictly fewer than p4 geometry") {
+    val rows = SamplingOps.p10BestFitPack(spark, sf)
+      .as[(Long, Int, Int, Int)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+
+    // 1. no bin over budget (no fixture doc exceeds it)
+    val fills = rows.groupBy(r => (r._2, r._4)).view.mapValues(_.map(_._3).sum)
+    assert(fills.values.forall(_ <= SamplingOps.PackBudget),
+      s"overfull bin: ${fills.maxBy(_._2)}")
+
+    // 2. deterministic replay: per shard, sort (n desc, id) and re-fold
+    val byShard = rows.groupBy(_._2)
+    byShard.foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(r => (-r._3, r._1)).map(r => (r._1, r._3))
+      val replay = SamplingOps.ffdAssign(sorted.iterator).toSeq
+      val want = replay.map { case (id, n, bin) => (id, shard, n, bin) }
+      assert(rs.sortBy(r => (-r._3, r._1)).toSeq === want, s"shard $shard")
+    }
+
+    // 3. Ding et al.'s claim on this corpus: p4's concatenate-then-chunk
+    // geometry over the SAME sharding truncates docs at pack
+    // boundaries; p10 truncates only docs larger than the budget (none
+    // here)
+    val b = SamplingOps.PackBudget
+    val p4Truncated = byShard.values.map { rs =>
+      var cum = 0L
+      rs.sortBy(_._1).count { r =>
+        val start = cum; cum += r._3
+        (start / b) != ((cum - 1) / b) // first and last token in
+                                       // different chunks → cut
+      }
+    }.sum
+    val p10Truncated = rows.count(_._3 > b)
+    assert(p10Truncated === 0)
+    assert(p4Truncated > 0, "fixture must exercise the p4 truncation mode")
+    assert(p10Truncated < p4Truncated,
+      s"p10 must truncate fewer docs: p4=$p4Truncated p10=$p10Truncated")
+  }
+
+  test("p10: exactly one exchange (the per-shard group) — text never shuffles") {
+    val plan = SamplingOps.p10BestFitPack(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"p10 should shuffle only the shard group:\n$plan")
+    // the plan prints parents above children: everything ABOVE the
+    // Exchange (the post-shuffle side) must be id-width — `text` may
+    // appear only in the narrow pre-shuffle projection below it
+    assert(!plan.split("Exchange")(0).contains("text#"),
+      s"the text column must be pruned before the exchange:\n$plan")
+  }
 }
