@@ -1212,6 +1212,45 @@ class TextOpsSpec extends SparkSpec {
       "the fixture exercises multi-segment docs")
   }
 
+  test("t24: the gate scores a doc against its OWN language's list — planted kernel cases; config covers every predictable language") {
+    // kernel: distinct-hit counting keyed by pred_lang, unknown lang = 0
+    val rows = Seq(
+      ("en", "the group sat at the table"),        // group+table = 2
+      ("en", "group group group group"),           // distinct: 1
+      ("de", "customer column stream order"),      // 4
+      ("de", "group table small value"),           // en words, de list: 0
+      ("xx", "group table small value"))           // unknown lang: 0
+      .toDF("pred_lang", "text")
+      .select($"pred_lang", $"text",
+        TextOps.stopHitsExpr($"pred_lang", $"text").as("h"))
+      .as[(String, String, Int)].collect()
+    assert(rows.map(_._3).toSeq === Seq(2, 1, 4, 0, 0))
+
+    // every language the trained profile can PREDICT carries a list —
+    // else the gate would silently kill a whole language class
+    val predictable = TextOps.langProfileRows(spark, sf).map(_._1).toSet
+    assert(predictable.subsetOf(TextOps.LangStops.map(_._1).toSet),
+      s"unconfigured predictable langs: " +
+        s"${predictable -- TextOps.LangStops.map(_._1).toSet}")
+
+    // fixture: full-corpus rows; the gate discriminates (some fail,
+    // most pass) and agrees with a driver recount per doc
+    val got = TextOps.t24LangStopwords(spark, sf).collect()
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length === texts.size)
+    val lists = TextOps.LangStops.toMap
+    got.foreach { r =>
+      val ws = texts(r.getAs[Long]("doc_id")).split(" ", -1).toSet
+      val want = lists(r.getAs[String]("pred_lang")).count(ws)
+      assert(r.getAs[Int]("stop_hits") === want)
+      assert(r.getAs[Boolean]("stop_keep") === (want >= 2))
+    }
+    val fails = got.count(!_.getAs[Boolean]("stop_keep"))
+    assert(fails > 0, "the gate must bite someone")
+    assert(fails < got.length / 2, "and must not absorb the corpus")
+  }
+
   test("t25: planted normalization cases — NFC composes, marks strip, fullwidth survives, whitespace collapses; codegen == interpreted") {
     val cases: Seq[(String, String)] = Seq(
       // NFD vs NFC twins converge on the composed form (explicit \u
