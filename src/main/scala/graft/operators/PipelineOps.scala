@@ -214,7 +214,11 @@ object PipelineOps {
     *   - d10's span-duplication attributes (`n_dup`, `has_dup`);
     *   - t18's trained-classifier verdict (`clf_score`, `clf_keep`) —
     *     the discriminative quality column Dolma ships next to the
-    *     perplexity tier.
+    *     perplexity tier;
+    *   - t24's language-aware stopword gate (`pred_lang`, `stop_hits`,
+    *     `stop_keep`) — the per-language form of the stopword rule,
+    *     keyed by t2b's predicted language (round 17; closes the gap
+    *     e9 documented about r_stopwords being English-only).
     *
     * Plan shape (the e3 discipline): every stage reduces to a
     * (doc_id, narrow attributes) relation before joining — the heavy
@@ -233,23 +237,33 @@ object PipelineOps {
       .select($"doc_id", $"n_dup", $"has_dup")
     val clf = TextOps.t18QualityClassifier(s, dir)
       .select($"doc_id", $"clf_score", $"clf_keep")
+    val stops = TextOps.t24LangStopwords(s, dir)
+      .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep")
     rules.join(tier, Seq("doc_id")).join(spans, Seq("doc_id"))
-      .join(clf, Seq("doc_id"))
+      .join(clf, Seq("doc_id")).join(stops, Seq("doc_id"))
   }
 
-  /** Oracle: the same composition over the stage oracles. */
-  private val e5Sql =
+  /** Oracle: the same composition over the stage oracles (t24's chain
+    * rides as a parenthesized subquery, so its profile CTE names stay
+    * scoped even when this sheet is itself spliced under e9's frame,
+    * which defines the same profile CTEs at top level). lazy: t24Sql
+    * is a lazy val further down TextOps (the profileCtesSql ordering
+    * discipline). */
+  private lazy val e5Sql =
     s"""WITH rules AS (SELECT * FROM (${TextOps.t16Sql})),
        |tier AS (SELECT doc_id, score_micro, ppl_bucket
        |         FROM (${TextOps.t17Sql})),
        |spans AS (SELECT doc_id, n_dup, has_dup FROM (${DedupOps.d10Sql})),
-       |clf AS (SELECT doc_id, clf_score, clf_keep FROM (${TextOps.t18Sql}))
+       |clf AS (SELECT doc_id, clf_score, clf_keep FROM (${TextOps.t18Sql})),
+       |st24 AS (SELECT doc_id, pred_lang, stop_hits, stop_keep
+       |         FROM (${TextOps.t24Sql}))
        |SELECT r.*, t.score_micro, t.ppl_bucket, s.n_dup, s.has_dup,
-       |  c.clf_score, c.clf_keep
+       |  c.clf_score, c.clf_keep, w.pred_lang, w.stop_hits, w.stop_keep
        |FROM rules r
        |JOIN tier t ON r.doc_id = t.doc_id
        |JOIN spans s ON r.doc_id = s.doc_id
-       |JOIN clf c ON r.doc_id = c.doc_id""".stripMargin
+       |JOIN clf c ON r.doc_id = c.doc_id
+       |JOIN st24 w ON r.doc_id = w.doc_id""".stripMargin
 
   /** e6: the per-source CORPUS REPORT CARD — the data-sheet artifact
     * (Dolma's summary tables, the "datasheets for datasets" practice)
@@ -397,7 +411,13 @@ object PipelineOps {
     ("r_top_word_mass", not(col("r_top_word_mass")), "NOT s.r_top_word_mass"),
     ("clf_keep", not(col("clf_keep")), "NOT s.clf_keep"),
     ("ppl_not_tail", col("ppl_bucket") === "tail", "s.ppl_bucket = 'tail'"),
-    ("no_span_dup", col("has_dup"), "s.has_dup"))
+    ("no_span_dup", col("has_dup"), "s.has_dup"),
+    // the language-AWARE stopword rule (t24, round 17): where
+    // r_stopwords (English-prior) solo-kills 100% of this corpus,
+    // keying the list by t2b's predicted language drops the solo kill
+    // to a measured few percent — the VERDICT r16 ask, visible as this
+    // row's share_fail_micro sitting far below 10⁶.
+    ("lang_stopwords", not(col("stop_keep")), "NOT s.stop_keep"))
 
   /** e7: the RULE-ABLATION table — the filter-tuning artifact every
     * published curation stack reports (Gopher's per-rule removal rates,
@@ -624,16 +644,20 @@ object PipelineOps {
     ("lang_gate",
       col("conf_micro") < TextOps.LangGateTauMicro,
       s"f.conf_micro < ${TextOps.LangGateTauMicro}"),
-    // the five SHAPE rules of t16's battery. r_stopwords is deliberately
-    // NOT a funnel gate: it is an English-prior rule that e7's ablation
-    // measures at a 100% solo kill on this corpus (share_fail_micro =
-    // 10⁶ — zero docs carry the English stopword list), so as stage 2 it
-    // would absorb the entire corpus and mask every downstream stage's
-    // measurement. Real deployments run stopword lists per-language
-    // AFTER the lang gate (Gopher itself is English-only); the funnel
-    // keeps the language-neutral shape rules and leaves stopword
-    // tuning to e7, whose solo/unique columns are built for exactly
-    // that question.
+    // the per-LANGUAGE stopword gate (t24, round 17) — positioned
+    // exactly where the published stacks run it: AFTER the language
+    // gate, keyed by the predicted language. This is the stage the r16
+    // funnel could not carry: t16's r_stopwords is an English-prior
+    // rule that solo-kills 100% of this corpus (e7 measures it — zero
+    // docs carry the English octet), so it stayed out; t24's
+    // own-language lists make the stopword test language-shaped and
+    // its kill rate a measurable few percent (e7's lang_stopwords
+    // row), so the funnel can finally run it without absorbing every
+    // downstream stage's measurement.
+    ("lang_stopwords", not(col("stop_keep")), "NOT f.stop_keep"),
+    // the five SHAPE rules of t16's battery. r_stopwords itself stays
+    // out of the battery's funnel conjunction for the reason above;
+    // its tuning question lives in e7's solo/unique columns.
     ("gopher_rules",
       not(col("r_word_count") && col("r_mean_word_len") &&
         col("r_alpha_words") && col("r_symbol_ratio") &&
@@ -673,13 +697,18 @@ object PipelineOps {
     * per-stage relation is persisted eagerly (k5b discipline) so the
     * totals row and the funnel arithmetic both read ONE aggregate, and
     * every window downstream runs over ≤ |stages| rows. */
-  /** First-failing-stage index over the signal frame's columns; NULL =
-    * the doc survives the whole funnel (shared by e9 and e10's cut). */
-  private[graft] def killStageCol: org.apache.spark.sql.Column =
-    funnelStages.zipWithIndex
+  /** First-failing-stage index over the signal frame's columns under an
+    * arbitrary ruleset; NULL = the doc survives the whole funnel
+    * (shared by e9, e10's cut, and e11's two-ruleset diff). */
+  private[graft] def killStageColOf(
+      stages: Seq[(String, org.apache.spark.sql.Column, String)]): org.apache.spark.sql.Column =
+    stages.zipWithIndex
       .foldRight(lit(null).cast("int")) { case (((_, cond, _), i), e) =>
         when(cond, lit(i)).otherwise(e)
       }
+
+  private[graft] def killStageCol: org.apache.spark.sql.Column =
+    killStageColOf(funnelStages)
 
   def e9AttritionFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -738,7 +767,7 @@ object PipelineOps {
     val sheet = e5AttributeSheet(s, dir)
       .select($"doc_id", $"r_word_count", $"r_mean_word_len",
         $"r_alpha_words", $"r_symbol_ratio", $"r_top_word_mass",
-        $"clf_keep", $"has_dup")
+        $"clf_keep", $"has_dup", $"stop_keep")
     val dedup = DedupOps.d6DedupKeep(s, dir)
       .withColumnRenamed("keep", "dedup_keep")
     val decont = TextOps.t10Decontaminate(s, dir)
@@ -748,10 +777,15 @@ object PipelineOps {
   }
 
   /** The generated first-failing CASE over the `f` CTE — NULL = survivor
-    * (e9's kill attribution and e10's survivor filter, one spelling). */
-  private[graft] lazy val killCaseSql: String = funnelStages.zipWithIndex
-    .map { case ((_, _, sql), i) => s"WHEN $sql THEN $i" }
-    .mkString("CASE ", " ", " END")
+    * (e9's kill attribution, e10's survivor filter, and e11's diff —
+    * one spelling, parameterized by ruleset). */
+  private[graft] def killCaseSqlOf(
+      stages: Seq[(String, org.apache.spark.sql.Column, String)]): String =
+    stages.zipWithIndex
+      .map { case ((_, _, sql), i) => s"WHEN $sql THEN $i" }
+      .mkString("CASE ", " ", " END")
+
+  private[graft] lazy val killCaseSql: String = killCaseSqlOf(funnelStages)
 
   /** The signal-frame CTE chain (profile + url + stage oracles, ending
     * in `f`) — shared by e9's funnel oracle and e10's cut oracle. */
@@ -780,7 +814,7 @@ object PipelineOps {
        |  FROM documents),
        |sheet9 AS (SELECT doc_id, r_word_count, r_mean_word_len,
        |             r_alpha_words, r_symbol_ratio, r_top_word_mass,
-       |             clf_keep, has_dup
+       |             clf_keep, has_dup, stop_keep
        |           FROM (${e5Sql})),
        |d69 AS (SELECT doc_id, keep AS dedup_keep FROM (${DedupOps.d6Sql})),
        |t109 AS (SELECT doc_id, contaminated FROM (${TextOps.t10Sql})),
@@ -788,7 +822,7 @@ object PipelineOps {
        |  SELECT b.doc_id, b.n_toks, b.exact_canon, lg.conf_micro,
        |    s.r_word_count, s.r_mean_word_len, s.r_alpha_words,
        |    s.r_symbol_ratio, s.r_top_word_mass, s.clf_keep, s.has_dup,
-       |    d.dedup_keep, t.contaminated, u.url_blocked
+       |    s.stop_keep, d.dedup_keep, t.contaminated, u.url_blocked
        |  FROM base9 b
        |  JOIN lg ON b.doc_id = lg.doc_id
        |  JOIN sheet9 s ON b.doc_id = s.doc_id
@@ -849,10 +883,11 @@ object PipelineOps {
     * seq, with gaps where the funnel killed. `cut_part` = stage ×
     * PackShards + shard is the store's partition key — one directory
     * per training shard file. */
-  private[graft] def releaseCutRelation(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def releaseCutRelation(s: SparkSession, dir: String,
+      stages: Seq[(String, org.apache.spark.sql.Column, String)] = funnelStages): DataFrame = {
     import s.implicits._
     val survivors = e9SignalFrame(s, dir)
-      .where(killStageCol.isNull)
+      .where(killStageColOf(stages).isNull)
       .select($"doc_id", $"n_toks")
     survivors
       .join(e5AttributeSheet(s, dir), Seq("doc_id"))
@@ -899,25 +934,52 @@ object PipelineOps {
     }
   }
 
-  private[graft] def releaseCutStore(s: SparkSession, dir: String): String = {
+  /** Ruleset version of [[funnelStages]] — BUMP whenever the stage Seq
+    * changes. The committed cut root carries it next to the corpus
+    * fingerprint, so a long-lived process (or a later round reusing
+    * `target/`) can never serve a cut built under a different ruleset:
+    * same corpus + new rules = new root, with the version's stale
+    * fingerprints swept on build. v2 = round 17's lang_stopwords
+    * stage. */
+  private[graft] val FunnelVersion = 2
+  /** The previously shipped ruleset — [[e11ReleaseChangelog]] diffs the
+    * v(N−1) cut against vN's. By construction here: the current stages
+    * minus the newest one (r16's exact 8-stage funnel). */
+  private[graft] val PrevFunnelVersion = 1
+  private[graft] lazy val prevFunnelStages
+      : Seq[(String, org.apache.spark.sql.Column, String)] =
+    funnelStages.filterNot(_._1 == "lang_stopwords")
+
+  /** The committed release-cut store for an arbitrary (version,
+    * ruleset) — [[releaseCutStore]] binds the current pair; e11 also
+    * materializes the previous. One root per (version, corpus
+    * fingerprint, dir); building it sweeps the version's dead
+    * fingerprints AND any legacy pre-versioning root (both scoped to
+    * this dirTag). */
+  private[graft] def cutStoreFor(s: SparkSession, dir: String, ver: Int,
+      stages: Seq[(String, org.apache.spark.sql.Column, String)]): String = {
     import graft.sources.{GenStore, Layouts}
     val dirTag = Layouts.dirTag(dir)
-    val name =
-      s"graft_release_cut_f${Layouts.tableFingerprint(dir, "documents")}_$dirTag"
+    val name = s"graft_release_cut_v${ver}_" +
+      s"f${Layouts.tableFingerprint(dir, "documents")}_$dirTag"
     val path = java.nio.file.Paths.get("target", name).toAbsolutePath.toString
     cutStores.getOrElseUpdate(path, {
-      sweepStaleCutRoots("graft_release_cut_", dirTag, name)
+      sweepStaleCutRoots(s"graft_release_cut_v${ver}_", dirTag, name)
+      sweepStaleCutRoots("graft_release_cut_f", dirTag, name)
       def tolerateRace(body: => Unit): Unit =
         try body
         catch { case _: GenStore.ConcurrentFoldException => () }
       if (GenStore.currentGen(path).isEmpty)
-        tolerateRace(GenStore.fold(s, path, releaseCutRelation(s, dir),
+        tolerateRace(GenStore.fold(s, path, releaseCutRelation(s, dir, stages),
           partCol = "cut_part", idCol = "doc_id", mode = GenStore.Manifest))
       tolerateRace(GenStore.compact(s, path, targetFiles = 1, maxFiles = 4,
         mode = GenStore.Manifest))
       path
     })
   }
+
+  private[graft] def releaseCutStore(s: SparkSession, dir: String): String =
+    cutStoreFor(s, dir, FunnelVersion, funnelStages)
 
   /** e10: the RELEASE CUT — the artifact a trainer actually reads,
     * closing the loop the tier built stage by stage: e9 says what
@@ -971,7 +1033,120 @@ object PipelineOps {
        |JOIN coords10 c ON s.doc_id = c.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- e11 release changelog
+
+  /** e11: the RELEASE CHANGELOG — the question production asks the
+    * moment e10 ships a second cut: "what changed since the last one?"
+    * Every real curation stack re-cuts when rules change (this round
+    * itself shipped one: the 9-stage funnel with t24's lang_stopwords
+    * gate vs r16's 8-stage ruleset), and a trainer consuming the cut
+    * needs the delta, not a full diff job: which (stage, shard)
+    * training files shrank, by how many docs/tokens, and WHICH RULE
+    * removed each doc.
+    *
+    * e11 diffs the two COMMITTED release cuts — the previous ruleset's
+    * store ([[PrevFunnelVersion]] × [[prevFunnelStages]]) against the
+    * current one — per p8 training coordinate (stage, shard):
+    * `change` = 'removed' rows carry first-failing-stage attribution
+    * under the CURRENT funnel (`cause` — the e9 device: on a pure
+    * rule-addition every removed doc attributes to the new stage, and
+    * the oracle proves it rather than assumes it), 'added' rows carry
+    * cause = 'new' (present here for the general case — a rule
+    * RELAXATION adds docs; a pure addition yields none, and the spec
+    * pins that too). The store-side diff is the contract: e11 reads
+    * bytes a trainer would read, while the DuckDB oracle replays both
+    * survivor sets declaratively (e10's fingerprint discipline extended
+    * to the diff). For two generations of ONE store (same ruleset,
+    * re-ingested corpus) the same consumer runs over
+    * [[graft.sources.GenStore.loadPrevious]] — the retained-predecessor
+    * view folds already keep (GenStoreSpec pins fold → refold → diff
+    * equals the planted delta).
+    *
+    * Scale shape: two compacted-store scans reduced to id-width anti
+    * joins, one id-width attribution join against the signal frame's
+    * kill column, a broadcast stage-name skeleton, and a final
+    * aggregate bounded by stages × shards × causes — nothing
+    * downstream of the joins scales with data. */
+  def e11ReleaseChangelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.GenStore
+    val prev = GenStore.load(s,
+        cutStoreFor(s, dir, PrevFunnelVersion, prevFunnelStages))
+      .select($"doc_id", $"n_toks", $"stage", $"shard")
+    val curr = GenStore.load(s, releaseCutStore(s, dir))
+      .select($"doc_id", $"n_toks", $"stage", $"shard")
+    changelogOf(prev, curr,
+      e9SignalFrame(s, dir).select($"doc_id", killStageCol.as("ks")),
+      funnelStages.map(_._1))
+  }
+
+  /** The diff-and-attribute kernel behind [[e11ReleaseChangelog]] over
+    * any two cut-shaped relations (doc_id, n_toks, stage, shard) plus a
+    * (doc_id, ks) kill relation under the CURRENT ruleset — factored so
+    * the spec drives planted cuts with non-empty deltas in BOTH
+    * directions through the identical plan (the fixture's registered
+    * diff is legitimately empty: e7 measures the new rule's unique kill
+    * at zero, so the recut ships the same corpus — and the e11 spec
+    * pins exactly that equivalence). */
+  private[graft] def changelogOf(prev: DataFrame, curr: DataFrame,
+      kill: DataFrame, stageNames: Seq[String]): DataFrame = {
+    val s = prev.sparkSession
+    import s.implicits._
+    val removed = prev.join(curr.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val added = curr.join(prev.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val skel = stageNames.zipWithIndex
+      .map { case (n, i) => (i, n) }.toDF("ks", "cause")
+    removed.join(kill, Seq("doc_id")).join(broadcast(skel), Seq("ks"))
+      .select($"stage", $"shard", lit("removed").as("change"), $"cause",
+        $"n_toks")
+      .unionByName(added.select($"stage", $"shard",
+        lit("added").as("change"), lit("new").as("cause"), $"n_toks"))
+      .groupBy($"stage", $"shard", $"change", $"cause")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+  }
+
+  /** Oracle: both survivor sets replayed declaratively over ONE signal
+    * frame (the two kill CASEs differ only in the stage list), diffed,
+    * attributed, and rolled up to the same coordinates. */
+  private lazy val e11Sql = {
+    val stageRows = funnelStages.zipWithIndex
+      .map { case ((n, _, _), i) => s"($i, '$n')" }.mkString(", ")
+    s"WITH $e9FrameCtesSql,\n" +
+    s"""survp11 AS (
+       |  SELECT doc_id, n_toks FROM f
+       |  WHERE (${killCaseSqlOf(prevFunnelStages)}) IS NULL),
+       |survc11 AS (
+       |  SELECT doc_id, n_toks FROM f WHERE ($killCaseSql) IS NULL),
+       |coords11 AS (
+       |  SELECT doc_id, stage, shard FROM (${SamplingOps.p8Sql})),
+       |stages11(ks, cause) AS (VALUES $stageRows),
+       |rem11 AS (
+       |  SELECT p.doc_id, p.n_toks FROM survp11 p
+       |  LEFT JOIN survc11 c ON p.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL),
+       |add11 AS (
+       |  SELECT c.doc_id, c.n_toks FROM survc11 c
+       |  LEFT JOIN survp11 p ON c.doc_id = p.doc_id
+       |  WHERE p.doc_id IS NULL),
+       |kf11 AS (SELECT doc_id, $killCaseSql AS ks FROM f),
+       |u11 AS (
+       |  SELECT co.stage, co.shard, 'removed' AS change, s.cause,
+       |    r.n_toks
+       |  FROM rem11 r
+       |  JOIN kf11 k ON r.doc_id = k.doc_id
+       |  JOIN stages11 s ON k.ks = s.ks
+       |  JOIN coords11 co ON r.doc_id = co.doc_id
+       |  UNION ALL
+       |  SELECT co.stage, co.shard, 'added', 'new', a.n_toks
+       |  FROM add11 a JOIN coords11 co ON a.doc_id = co.doc_id)
+       |SELECT stage, shard, change, cause,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM u11 GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_release_changelog" -> e11ReleaseChangelog _,
     "e1_pipeline" -> e1Pipeline _,
     "e2_training_shards" -> e2TrainingShards _,
     "e3_corpus_curation" -> e3CorpusCuration _,
@@ -996,5 +1171,6 @@ object PipelineOps {
     "e8_topic_mix" ->
       graft.sources.TrainedOracle.sqlFor("e8_topic_mix", e8Fallback),
     "e9_attrition_funnel" -> e9Sql,
-    "e10_release_cut" -> e10Sql)
+    "e10_release_cut" -> e10Sql,
+    "e11_release_changelog" -> e11Sql)
 }

@@ -117,6 +117,30 @@ object GenStore {
   def currentGenNumber(path: String): Option[Long] =
     currentGen(path).map(genNumber)
 
+  /** Name of the generation committed immediately BEFORE the current
+    * one, if still retained. [[fold]]'s sweep keeps exactly one
+    * predecessor (snapshot-retention horizon 1 — the files readers who
+    * resolved the old commit may still be opening), so "the previous
+    * generation" is a first-class, always-briefly-available view: the
+    * changelog window a diff consumer gets for free, one fold cycle
+    * wide. Empty commit entries (dead claims) are skipped the same way
+    * [[currentGen]] skips them. */
+  def previousGen(path: String): Option[String] = {
+    val nonEmpty = commitEntries(path).iterator
+      .map { case (_, p) =>
+        try java.nio.file.Files.readString(p).trim
+        catch { case _: java.nio.file.NoSuchFileException => "" }
+      }
+      .filter(_.nonEmpty)
+      .toSeq
+    nonEmpty.drop(1).headOption
+  }
+
+  /** The previous generation's committed view (see [[previousGen]]) —
+    * None when the store has fewer than two retained commits. */
+  def loadPrevious(s: SparkSession, path: String): Option[DataFrame] =
+    previousGen(path).map(loadGen(s, path, _))
+
   /** partition-dir name -> owning generation dir, for generation `gen`:
     * the `_MANIFEST` if one exists (Manifest-mode fold), else every
     * `col=value` child of the generation dir owned by itself. */

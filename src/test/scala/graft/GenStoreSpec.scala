@@ -413,4 +413,34 @@ class GenStoreSpec extends SparkSpec {
     assert(GenStore.currentGen(root) === cur,
       "an empty claim never became a commit; readers must skip it")
   }
+
+  for (mode <- Seq(GenStore.Links, GenStore.Manifest))
+  test(s"$mode: previousGen/loadPrevious — the retained predecessor is readable; fold -> refold diff equals the planted delta") {
+    val root = freshRoot()
+    assert(GenStore.previousGen(root).isEmpty)
+    GenStore.fold(spark, root, batch((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c")),
+      "part", "id", mode)
+    assert(GenStore.previousGen(root).isEmpty, "one commit has no predecessor")
+    // the recut: id 2 rewritten, id 4 added
+    GenStore.fold(spark, root, batch((2L, 1, "b2"), (4L, 2, "d")),
+      "part", "id", mode)
+    val prev = GenStore.loadPrevious(spark, root).get
+      .select($"id", $"part".cast("int"), $"v").as[(Long, Int, String)]
+      .collect().toSet
+    assert(prev === Set((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c")),
+      "the predecessor view is the pre-recut content, byte for byte")
+    // the diff a changelog consumer computes from the two views
+    val cur = content(root)
+    val added = cur.map(_._1) -- prev.map(_._1)
+    val changed = cur.filter(r => prev.exists(p => p._1 == r._1 && p != r))
+    assert(added === Set(4L))
+    assert(changed.map(_._1) === Set(2L))
+    // horizon 1: a third fold retires the first generation — the
+    // predecessor window slides, it does not accumulate
+    GenStore.fold(spark, root, batch((5L, 2, "e")), "part", "id", mode)
+    val prev2 = GenStore.loadPrevious(spark, root).get
+      .select($"id", $"part".cast("int"), $"v").as[(Long, Int, String)]
+      .collect().toSet
+    assert(prev2 === Set((1L, 1, "a"), (2L, 1, "b2"), (3L, 2, "c"), (4L, 2, "d")))
+  }
 }

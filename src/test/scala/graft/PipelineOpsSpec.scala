@@ -226,6 +226,17 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("has_dup") === spans(id).getAs[Boolean]("has_dup"),
         s"doc $id has_dup")
     }
+    // the t24 columns ride the sheet unchanged (round 17)
+    val stops = TextOps.t24LangStopwords(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    got.foreach { case (id, r) =>
+      assert(r.getAs[String]("pred_lang") ===
+        stops(id).getAs[String]("pred_lang"), s"doc $id pred_lang")
+      assert(r.getAs[Int]("stop_hits") ===
+        stops(id).getAs[Int]("stop_hits"), s"doc $id stop_hits")
+      assert(r.getAs[Boolean]("stop_keep") ===
+        stops(id).getAs[Boolean]("stop_keep"), s"doc $id stop_keep")
+    }
     // the sheet carries real variance on this corpus — attribute columns
     // that are constant everywhere would make the equality test weak
     assert(got.values.map(_.getAs[String]("ppl_bucket")).toSet.size >= 2)
@@ -296,7 +307,8 @@ class PipelineOpsSpec extends SparkSpec {
       "r_top_word_mass" -> (r => !r.getAs[Boolean]("r_top_word_mass")),
       "clf_keep" -> (r => !r.getAs[Boolean]("clf_keep")),
       "ppl_not_tail" -> (r => r.getAs[String]("ppl_bucket") == "tail"),
-      "no_span_dup" -> (r => r.getAs[Boolean]("has_dup")))
+      "no_span_dup" -> (r => r.getAs[Boolean]("has_dup")),
+      "lang_stopwords" -> (r => !r.getAs[Boolean]("stop_keep")))
     val ids = sheet.keys.toSeq
     val docs = ids.length.toLong
     val tokens = ids.map(toks).sum
@@ -323,6 +335,19 @@ class PipelineOpsSpec extends SparkSpec {
     // is vacuous here)
     assert(got.values.exists(_._3 > 0), "no rule fails any doc — vacuous")
     assert(got.values.forall(v => v._5 <= v._3), "unique ≤ failing")
+    // the round-17 contrast the lang-aware rule exists for: t16's
+    // English-prior stopword rule solo-kills the ENTIRE corpus, while
+    // t24's own-language lists kill a measurable few percent — the rule
+    // finally usable as a funnel stage (VERDICT r16's ask)
+    assert(got("r_stopwords")._7 === 1000000L,
+      "the English-prior rule still absorbs everything")
+    // < half the corpus (measured: 2.4% at sf0.01, 10.2% at sf0.001) —
+    // the contract is the CONTRAST with the 10⁶ row above, not a
+    // particular small number
+    assert(got("lang_stopwords")._7 < 500000L,
+      s"lang-aware stopword solo-kill must be small, got ${got("lang_stopwords")._7}")
+    assert(got("lang_stopwords")._3 > 0L,
+      "the lang-aware rule must bite someone (a vacuous gate proves nothing)")
   }
 
   test("e8: clusters are s9's; plan arithmetic and the n_copies draw replay driver-side") {
@@ -440,6 +465,80 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(otherFamily, otherTag).foreach(graft.sources.Layouts.deleteRecursively)
   }
 
+  test("e11: the changelog equals a declarative diff of the two rulesets' survivors; pure rule-addition ⇒ removals only, all attributed to the new stage") {
+    val got = PipelineOps.e11ReleaseChangelog(spark, sf).collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[Int]("shard"),
+        r.getAs[String]("change"), r.getAs[String]("cause")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+
+    // declarative replay straight off the signal frame — no stores
+    val frame = PipelineOps.e9SignalFrame(spark, sf)
+      .select($"doc_id", $"n_toks",
+        PipelineOps.killStageColOf(PipelineOps.prevFunnelStages).as("ksp"),
+        PipelineOps.killStageCol.as("ksc"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"),
+          Option(r.get(2)).map(_.asInstanceOf[Int]),
+          Option(r.get(3)).map(_.asInstanceOf[Int]))))
+      .toMap
+    val coords = graft.operators.SamplingOps.p8CurriculumOrder(spark, sf)
+      .select($"doc_id", $"stage", $"shard").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("stage"), r.getAs[Int]("shard")))).toMap
+    val stageNames = PipelineOps.funnelStages.map(_._1)
+    val removed = frame.collect {
+      case (id, (n, None, Some(ks))) => (id, n, stageNames(ks))
+    }
+    val addedIds = frame.collect { case (id, (_, Some(_), None)) => id }
+    assert(addedIds.isEmpty, "a pure rule addition can only remove")
+    assert(removed.forall(_._3 == "lang_stopwords"),
+      "any removal attributes to the newly added stage")
+
+    val want = removed.toSeq
+      .groupBy(r => (coords(r._1)._1, coords(r._1)._2, "removed", r._3))
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    assert(got === want, s"changelog rows:\ngot  $got\nwant $want")
+
+    // on THIS corpus the delta is legitimately empty, and the reason is
+    // measurable: e7 reports the new rule's UNIQUE kill at zero (every
+    // doc it fails also fails another rule), so the recut ships the
+    // identical corpus — the changelog, the ablation table, and the
+    // funnel triangulate. Pin the equivalence, not just the emptiness.
+    val uniqueKill = PipelineOps.e7RuleAblation(spark, sf)
+      .where($"rule" === "lang_stopwords")
+      .select($"docs_unique").as[Long].head()
+    assert((uniqueKill == 0L) === removed.isEmpty,
+      s"changelog emptiness must equal zero-unique-kill (unique=$uniqueKill, removed=${removed.size})")
+
+    // and the 'removed' masses reconcile with the two committed stores
+    import graft.sources.GenStore
+    val prevN = GenStore.load(spark, PipelineOps.cutStoreFor(spark, sf,
+      PipelineOps.PrevFunnelVersion, PipelineOps.prevFunnelStages)).count()
+    val curN = GenStore.load(spark,
+      PipelineOps.releaseCutStore(spark, sf)).count()
+    assert(prevN - curN === got.values.map(_._1).sum)
+  }
+
+  test("e11 kernel: planted cuts with real deltas — removals attributed per first-failing stage, additions as 'new', survivors silent") {
+    // prev cut: docs 1..5; current cut: 2..5 plus 6 (a relaxation
+    // re-admits 6); removed doc 1 fails at stage 2 of a 3-stage ruleset
+    val prev = Seq((1L, 100L, 0, 3), (2L, 50L, 0, 3), (3L, 70L, 1, 4),
+      (4L, 30L, 1, 4), (5L, 20L, 2, 0)).toDF("doc_id", "n_toks", "stage", "shard")
+    val curr = Seq((2L, 50L, 0, 3), (3L, 70L, 1, 4), (4L, 30L, 1, 4),
+      (5L, 20L, 2, 0), (6L, 90L, 2, 7)).toDF("doc_id", "n_toks", "stage", "shard")
+    val kill = Seq((1L, Some(2)), (6L, None), (2L, None), (3L, None),
+      (4L, None), (5L, None))
+      .toDF("doc_id", "ks").select($"doc_id", $"ks".cast("int"))
+    val got = PipelineOps.changelogOf(prev, curr, kill,
+      Seq("gate_a", "gate_b", "gate_c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      (0, 3, "removed", "gate_c") -> ((1L, 100L)),
+      (2, 7, "added", "new") -> ((1L, 90L))))
+  }
+
   test("e9: the funnel equals an independent first-failing-stage replay over the stage outputs") {
     val got = PipelineOps.e9AttritionFunnel(spark, sf).orderBy($"stage_idx")
       .as[(Int, String, Long, Long, Long, Long, Long, Long, Long)]
@@ -467,6 +566,23 @@ class PipelineOpsSpec extends SparkSpec {
         .map(l => gs.map(g => weights.getOrElse((l, g), 0L)).sum).max
       id -> bestScore / math.max(gs.size.toLong, 1L)
     }
+    // the stop gate replayed independently: argmax language (ties to
+    // the ascending code — t2b's documented rule) selecting a re-stated
+    // per-language stopword list, gate = ≥ 2 distinct hits
+    val stopLists = Map(
+      "en" -> Set("group", "table", "small", "value"),
+      "de" -> Set("customer", "column", "stream", "order"),
+      "es" -> Set("batch", "key", "slow", "fast"),
+      "fr" -> Set("the", "filter", "scan", "fast"),
+      "zh" -> Set("scan", "merge", "slow", "filter"))
+    val stopOk = texts.map { case (id, t) =>
+      val gs = grams(t)
+      val pred = langsP.sorted
+        .map(l => l -> gs.map(g => weights.getOrElse((l, g), 0L)).sum)
+        .reduce((a, b) => if (b._2 > a._2) b else a)._1
+      val ws = t.split(" ", -1).toSet
+      id -> (stopLists(pred).count(ws) >= 2)
+    }
     val gopher = TextOps.t16GopherRules(spark, sf)
       .select($"doc_id", $"r_word_count" && $"r_mean_word_len" &&
         $"r_alpha_words" && $"r_symbol_ratio" && $"r_top_word_mass")
@@ -491,8 +607,8 @@ class PipelineOpsSpec extends SparkSpec {
       s"src${id % 20}-${id % 5}" +
         (id % 3 match { case 0 => ".com"; case 1 => ".org"; case _ => ".co.uk" }))
     def killStage(id: Long): Option[Int] =
-      Seq(blocked(id), conf(id) < tau, !gopher(id), !clf(id), !canon(id),
-        !dedup(id), spans(id), decont(id)).zipWithIndex
+      Seq(blocked(id), conf(id) < tau, !stopOk(id), !gopher(id), !clf(id),
+        !canon(id), !dedup(id), spans(id), decont(id)).zipWithIndex
         .collectFirst { case (true, i) => i }
 
     val ids = texts.keys.toSeq

@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     // duplicate the composition introduced.
     val e5 = plan("e5_attribute_sheet")
     val stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
-      "t18_quality_classifier").map(plan)
+      "t18_quality_classifier", "t24_lang_stopwords").map(plan)
     assert(scansOf(e5, "documents") ===
       stages.map(scansOf(_, "documents")).sum,
       s"e5 documents scans must equal the sum of its stages':\n$e5")
@@ -496,10 +496,15 @@ class PlanAuditSpec extends SparkSpec {
     // (source, lang) routing scan; the composition re-scans nothing
     val e6 = plan("e6_corpus_report")
     val e5Stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
-      "t18_quality_classifier").map(plan)
-    assert(scansOf(e6, "documents") ===
+      "t18_quality_classifier", "t24_lang_stopwords").map(plan)
+    // ≤, not ==, since round 17: e6's narrow e5 projection lets
+    // Catalyst prune columns THROUGH the stage subtrees (t24's
+    // doc-side scan merges away — the e9 audit's rationale); the claim
+    // under audit is that composition never ADDS a corpus re-scan
+    // beyond the two declared ones
+    assert(scansOf(e6, "documents") <=
       e5Stages.map(scansOf(_, "documents")).sum + 2,
-      s"e6 documents scans must be e5's stages' sum + base + routing:\n$e6")
+      s"e6 documents scans must be ≤ e5's stages' sum + base + routing:\n$e6")
     assert(!e6.contains("CartesianProduct"), e6)
     // everything past the per-doc joins is source(×lang)-bounded and the
     // final stitches broadcast
@@ -539,10 +544,12 @@ class PlanAuditSpec extends SparkSpec {
   test("e7: the ablation table adds one token scan over e5's stages; the unpivot happens after a 1-row aggregate") {
     val e7 = plan("e7_rule_ablation")
     val e5Stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
-      "t18_quality_classifier").map(plan)
-    assert(scansOf(e7, "documents") ===
+      "t18_quality_classifier", "t24_lang_stopwords").map(plan)
+    // ≤ since round 17 — same column-pruning-through-subtrees
+    // rationale as e6/e9; composition itself adds only the token scan
+    assert(scansOf(e7, "documents") <=
       e5Stages.map(scansOf(_, "documents")).sum + 1,
-      s"e7 documents scans must be e5's stages' sum + the token scan:\n$e7")
+      s"e7 documents scans must be ≤ e5's stages' sum + the token scan:\n$e7")
     assert(!e7.contains("CartesianProduct"), e7)
     // the 9x4 per-rule sums collapse in ONE aggregate — the generate
     // (explode to 9 rows) must sit ABOVE the final single-partition
