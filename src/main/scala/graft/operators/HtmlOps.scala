@@ -139,8 +139,11 @@ object HtmlOps {
   private[graft] def withExtractedCols(df: DataFrame, html: Column): DataFrame =
     df.withColumn("__segs",
         split(regexp_replace(html, HeadChromeRe, " "), BlockCloseRe))
+      // one conjunct, not two: 2·linkLen < nonspaceLen with linkLen ≥ 0
+      // already implies nonspaceLen > 0 (empty segments drop on 0 < 0),
+      // and each nonspaceLen evaluation is a full tag-strip regex pass
       .withColumn("__kept", filter(col("__segs"), s =>
-        nonspaceLen(s) > 0 && lit(2) * linkLen(s) < nonspaceLen(s)))
+        lit(2) * linkLen(s) < nonspaceLen(s)))
       .withColumn("n_segs", size(col("__segs")))
       .withColumn("n_kept", size(col("__kept")))
       .withColumn("extracted",
@@ -199,8 +202,8 @@ object HtmlOps {
        |  FROM sh1),
        |kh1 AS (
        |  SELECT doc_id, text, CAST(len(segs) AS INT) AS n_segs,
-       |    list_filter(segs, s -> ${nonspaceLenSqlOf("s")} > 0
-       |      AND 2 * ${linkLenSqlOf("s")} < ${nonspaceLenSqlOf("s")}) AS kept
+       |    list_filter(segs,
+       |      s -> 2 * ${linkLenSqlOf("s")} < ${nonspaceLenSqlOf("s")}) AS kept
        |  FROM gh1),
        |eh1 AS (
        |  SELECT doc_id, text, n_segs, CAST(len(kept) AS INT) AS n_kept,

@@ -929,7 +929,15 @@ object PipelineOps {
         n != keepName && n.startsWith(prefix) && n.endsWith("_" + dirTag)
       }.foreach { p =>
         cutStores.remove(p.toAbsolutePath.toString)
-        graft.sources.Layouts.deleteRecursively(p)
+        // two builders can race this sweep (the TrieMap's
+        // getOrElseUpdate body is not atomic — e10 and e11 both build
+        // roots): a sibling the other thread already deleted mid-walk
+        // surfaces as an IO error here, and losing that race is as
+        // good as winning it — the condemned root is gone either way
+        try graft.sources.Layouts.deleteRecursively(p)
+        catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        }
       }
     }
   }
@@ -1096,9 +1104,16 @@ object PipelineOps {
     val added = curr.join(prev.select($"doc_id"), Seq("doc_id"), "left_anti")
     val skel = stageNames.zipWithIndex
       .map { case (n, i) => (i, n) }.toDF("ks", "cause")
-    removed.join(kill, Seq("doc_id")).join(broadcast(skel), Seq("ks"))
-      .select($"stage", $"shard", lit("removed").as("change"), $"cause",
-        $"n_toks")
+    // LEFT joins + an explicit 'off_funnel' cause: a doc can leave the
+    // cut WITHOUT a rule killing it (a same-ruleset re-ingest shrank
+    // the corpus — kill.ks is NULL or the doc is absent from the kill
+    // relation). Inner joins here would silently drop those rows and
+    // the changelog would stop reconciling with |prev| − |curr|; the
+    // no-silent-caps discipline says name the bucket instead.
+    removed.join(kill, Seq("doc_id"), "left")
+      .join(broadcast(skel), Seq("ks"), "left")
+      .select($"stage", $"shard", lit("removed").as("change"),
+        coalesce($"cause", lit("off_funnel")).as("cause"), $"n_toks")
       .unionByName(added.select($"stage", $"shard",
         lit("added").as("change"), lit("new").as("cause"), $"n_toks"))
       .groupBy($"stage", $"shard", $"change", $"cause")

@@ -2666,11 +2666,12 @@ object TextOps {
        |        AND sc24.p_lang = l.p_lang) t
        |  ) r ON r.doc_id = d.doc_id AND r.rk = 1),
        |t24o AS (
-       |  SELECT doc_id, pred_lang,
-       |    ${stopHitsSqlOf("pred_lang", "text")} AS stop_hits,
-       |    ${stopHitsSqlOf("pred_lang", "text")} >= $LangStopsMinHits
-       |      AS stop_keep
-       |  FROM pred24)""".stripMargin
+       |  SELECT doc_id, pred_lang, stop_hits,
+       |    stop_hits >= $LangStopsMinHits AS stop_keep
+       |  FROM (
+       |    SELECT doc_id, pred_lang,
+       |      ${stopHitsSqlOf("pred_lang", "text")} AS stop_hits
+       |    FROM pred24))""".stripMargin
 
   // private[operators]: e5's sheet oracle splices the identical chain
   private[operators] lazy val t24Sql =

@@ -93,12 +93,7 @@ object GenStore {
     * empty commit file (a commit whose content write died mid-flight —
     * see [[fold]]) never became visible and is skipped. */
   def currentGen(path: String): Option[String] = {
-    commitEntries(path).iterator
-      .map { case (_, p) =>
-        try java.nio.file.Files.readString(p).trim
-        catch { case _: java.nio.file.NoSuchFileException => "" }
-      }
-      .find(_.nonEmpty)
+    nonEmptyCommits(path).headOption
       .orElse {
         val cur = java.nio.file.Paths.get(path, "CURRENT")
         if (java.nio.file.Files.exists(cur))
@@ -106,6 +101,19 @@ object GenStore {
         else None
       }
   }
+
+  /** Non-empty commit contents (generation names), newest first — the
+    * ONE home of the dead-claim-skipping discipline shared by
+    * [[currentGen]] and [[previousGen]] (an empty or vanished entry is
+    * a claim whose content write died; it never became visible). */
+  private def nonEmptyCommits(path: String): Seq[String] =
+    commitEntries(path).iterator
+      .map { case (_, p) =>
+        try java.nio.file.Files.readString(p).trim
+        catch { case _: java.nio.file.NoSuchFileException => "" }
+      }
+      .filter(_.nonEmpty)
+      .toSeq
 
   private def genNumber(gen: String): Long =
     gen.stripPrefix("gen-").takeWhile(_.isDigit).toLong
@@ -117,27 +125,45 @@ object GenStore {
   def currentGenNumber(path: String): Option[Long] =
     currentGen(path).map(genNumber)
 
-  /** Name of the generation committed immediately BEFORE the current
-    * one, if still retained. [[fold]]'s sweep keeps exactly one
-    * predecessor (snapshot-retention horizon 1 — the files readers who
-    * resolved the old commit may still be opening), so "the previous
-    * generation" is a first-class, always-briefly-available view: the
-    * changelog window a diff consumer gets for free, one fold cycle
-    * wide. Empty commit entries (dead claims) are skipped the same way
-    * [[currentGen]] skips them. */
+  /** Marks a generation committed by [[compact]] — layout-only, its
+    * CONTENT is identical to the commit directly below it. The marker
+    * rides the generation NAME (after the numeric prefix, so
+    * [[genNumber]] and every name-based path is unaffected), which
+    * makes maintenance commits distinguishable on the commit log —
+    * the property [[previousGen]]'s data-view arithmetic needs. */
+  private val MaintSuffix = "-maint"
+
+  private def isMaintenance(gen: String): Boolean = gen.endsWith(MaintSuffix)
+
+  /** Name of the newest retained generation holding the PREVIOUS DATA
+    * view — the state before the latest fold — if its files are still
+    * retained. [[fold]]'s sweep keeps exactly one predecessor commit
+    * (snapshot-retention horizon 1), so this is the changelog window a
+    * diff consumer gets for free, one fold cycle wide.
+    *
+    * Maintenance ([[compact]]) commits are layout-only: each is
+    * content-identical to the commit directly below it, so they must
+    * not masquerade as a data view. If the CURRENT commit is a
+    * compaction, the fold below it is the current view's twin, not the
+    * previous view — skip past every such twin, then take the next
+    * retained commit (which may itself be a compaction: then it is the
+    * newest, best-retained spelling of the previous DATA view). When
+    * the skip exhausts the retained log — e.g. the fold→compact cycle
+    * [[graft.operators.PipelineOps.cutStoreFor]] runs, whose retained
+    * predecessor is only the current view's own pre-compact twin —
+    * the answer is honestly None: the prior data view's files are
+    * already swept, and returning the twin would make a changelog
+    * silently diff current against current. */
   def previousGen(path: String): Option[String] = {
-    val nonEmpty = commitEntries(path).iterator
-      .map { case (_, p) =>
-        try java.nio.file.Files.readString(p).trim
-        catch { case _: java.nio.file.NoSuchFileException => "" }
-      }
-      .filter(_.nonEmpty)
-      .toSeq
-    nonEmpty.drop(1).headOption
+    val entries = nonEmptyCommits(path)
+    // index of the newest FOLD commit — the current data view's origin;
+    // everything above it is a maintenance twin of the same content
+    val firstFold = entries.indexWhere(!isMaintenance(_))
+    if (firstFold < 0) None else entries.drop(firstFold + 1).headOption
   }
 
-  /** The previous generation's committed view (see [[previousGen]]) —
-    * None when the store has fewer than two retained commits. */
+  /** The previous data view (see [[previousGen]]) — None when the store
+    * has no retained pre-latest-fold state. */
   def loadPrevious(s: SparkSession, path: String): Option[DataFrame] =
     previousGen(path).map(loadGen(s, path, _))
 
@@ -358,7 +384,7 @@ object GenStore {
     if (fragmented.isEmpty) return
     val genNum = nextGenNumber(path, Some(g))
     val newGen = f"gen-$genNum%06d-p${ProcessHandle.current().pid()}" +
-      s"s${stagingSeq.incrementAndGet()}"
+      s"s${stagingSeq.incrementAndGet()}$MaintSuffix"
     fragmented.toSeq.sortBy(_._1).foreach { case (d, o) =>
       s.read.parquet(s"$path/$o/$d").coalesce(targetFiles)
         .write.mode("overwrite").parquet(s"$path/$newGen/$d")

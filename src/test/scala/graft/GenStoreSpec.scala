@@ -436,11 +436,34 @@ class GenStoreSpec extends SparkSpec {
     assert(added === Set(4L))
     assert(changed.map(_._1) === Set(2L))
     // horizon 1: a third fold retires the first generation — the
-    // predecessor window slides, it does not accumulate
-    GenStore.fold(spark, root, batch((5L, 2, "e")), "part", "id", mode)
+    // predecessor window slides, it does not accumulate. Fragmented on
+    // purpose (the compact test's repartition device) so the compaction
+    // below really commits.
+    GenStore.fold(spark, root,
+      batch((5L, 2, "e"), (7L, 2, "g"), (8L, 2, "h"), (9L, 2, "i"),
+        (10L, 2, "j"), (11L, 2, "k")).repartition(8),
+      "part", "id", mode)
+    val postFold3 = content(root)
     val prev2 = GenStore.loadPrevious(spark, root).get
       .select($"id", $"part".cast("int"), $"v").as[(Long, Int, String)]
       .collect().toSet
     assert(prev2 === Set((1L, 1, "a"), (2L, 1, "b2"), (3L, 2, "c"), (4L, 2, "d")))
+
+    // maintenance commits are NOT data views: after compact, the only
+    // retained predecessor is the current content's pre-compact twin —
+    // previousGen must answer None, never current-vs-current
+    GenStore.compact(spark, root, targetFiles = 1, maxFiles = 4, mode = mode)
+    assert(GenStore.currentGen(root).get !== GenStore.previousGen(root).orNull,
+      "sanity: compaction committed")
+    assert(content(root) === postFold3, "compaction is content-neutral")
+    assert(GenStore.previousGen(root).isEmpty,
+      "a compaction twin of the current view is not a previous DATA view")
+    // and the next fold restores the window: its predecessor is the
+    // compacted spelling of the pre-fold state
+    GenStore.fold(spark, root, batch((6L, 1, "f")), "part", "id", mode)
+    val prev3 = GenStore.loadPrevious(spark, root).get
+      .select($"id", $"part".cast("int"), $"v").as[(Long, Int, String)]
+      .collect().toSet
+    assert(prev3 === postFold3)
   }
 }

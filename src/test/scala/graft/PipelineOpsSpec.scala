@@ -520,12 +520,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(prevN - curN === got.values.map(_._1).sum)
   }
 
-  test("e11 kernel: planted cuts with real deltas — removals attributed per first-failing stage, additions as 'new', survivors silent") {
-    // prev cut: docs 1..5; current cut: 2..5 plus 6 (a relaxation
-    // re-admits 6); removed doc 1 fails at stage 2 of a 3-stage ruleset
+  test("e11 kernel: planted cuts with real deltas — removals attributed per first-failing stage, additions as 'new', rule-free removals as 'off_funnel'") {
+    // prev cut: docs 1..5; current cut: 3..5 plus 6 (a relaxation
+    // re-admits 6). Removed doc 1 fails at stage 2 of a 3-stage
+    // ruleset; removed doc 2 PASSES the current funnel (ks NULL — it
+    // left because the corpus slice changed, not because a rule killed
+    // it) and must surface as 'off_funnel', never vanish in a join.
     val prev = Seq((1L, 100L, 0, 3), (2L, 50L, 0, 3), (3L, 70L, 1, 4),
       (4L, 30L, 1, 4), (5L, 20L, 2, 0)).toDF("doc_id", "n_toks", "stage", "shard")
-    val curr = Seq((2L, 50L, 0, 3), (3L, 70L, 1, 4), (4L, 30L, 1, 4),
+    val curr = Seq((3L, 70L, 1, 4), (4L, 30L, 1, 4),
       (5L, 20L, 2, 0), (6L, 90L, 2, 7)).toDF("doc_id", "n_toks", "stage", "shard")
     val kill = Seq((1L, Some(2)), (6L, None), (2L, None), (3L, None),
       (4L, None), (5L, None))
@@ -536,7 +539,10 @@ class PipelineOpsSpec extends SparkSpec {
         ((r.getLong(4), r.getLong(5)))).toMap
     assert(got === Map(
       (0, 3, "removed", "gate_c") -> ((1L, 100L)),
+      (0, 3, "removed", "off_funnel") -> ((1L, 50L)),
       (2, 7, "added", "new") -> ((1L, 90L))))
+    // reconciliation: removed masses equal |prev| − |curr| + additions
+    assert(got.collect { case ((_, _, "removed", _), (n, _)) => n }.sum === 2L)
   }
 
   test("e9: the funnel equals an independent first-failing-stage replay over the stage outputs") {
