@@ -292,6 +292,7 @@ object GenStore {
     curGen match {
       case None =>
         batch.write.mode("overwrite").partitionBy(partCol).parquet(newPath)
+        ensureLoadableGen(batch, newPath, carried = Map.empty)
         if (mode == Manifest)
           writeManifest(path, newGen, writtenParts(newPath).map(_ -> newGen).toMap)
       case Some(g) =>
@@ -324,6 +325,7 @@ object GenStore {
           .write.mode("overwrite").partitionBy(partCol).parquet(newPath)
         val touchedOnDisk = touchedDirs ++ writtenParts(newPath)
         val carried = ownerMap(path, g).filterNot { case (d, _) => touchedOnDisk(d) }
+        ensureLoadableGen(batch, newPath, carried)
         carry(path, newGen, carried, mode)
     }
     commit(path, genNum, newGen, mode)
@@ -394,6 +396,25 @@ object GenStore {
     commit(path, genNum, newGen, mode)
     sweep(path, genNum, newGen, prevGen = Some(g))
   }
+
+  /** A zero-row fold writes NO partition directories, and a generation
+    * holding no parquet at all cannot be read back — schema inference
+    * has nothing to look at (hit live in round 17: a funnel ruleset
+    * legitimately killed every document of a scale replica, the cut
+    * store committed an empty generation, and `load` threw
+    * UNABLE_TO_INFER_SCHEMA). An EMPTY corpus is a valid committed
+    * state, so when the generation would otherwise be file-less —
+    * nothing written AND nothing carried — write the batch's empty
+    * relation un-partitioned into the generation root: an empty parquet
+    * file still carries the full schema (the partition column rides as
+    * a regular column), and [[loadGen]]'s owner-less branch reads it as
+    * the zero-row store view. A later non-empty fold reads that view as
+    * its `prev` (schema-compatible) and the marker's generation retires
+    * through the normal sweep. */
+  private def ensureLoadableGen(batch: DataFrame, newPath: String,
+      carried: Map[String, String]): Unit =
+    if (carried.isEmpty && writtenParts(newPath).isEmpty)
+      batch.limit(0).coalesce(1).write.mode("append").parquet(newPath)
 
   /** Partition dirs a write just produced under `genPath`. */
   private def writtenParts(genPath: String): Seq[String] =

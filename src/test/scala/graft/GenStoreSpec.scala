@@ -466,4 +466,25 @@ class GenStoreSpec extends SparkSpec {
       .collect().toSet
     assert(prev3 === postFold3)
   }
+
+  for (mode <- Seq(GenStore.Links, GenStore.Manifest))
+  test(s"$mode: an EMPTY fold commits a loadable zero-row store; a later real fold builds on it") {
+    val root = freshRoot()
+    // zero survivors is a valid committed state (a ruleset can
+    // legitimately kill everything) — the store must read back as an
+    // empty relation WITH schema, not explode on schema inference
+    GenStore.fold(spark, root, batch().where(lit(false)), "part", "id", mode)
+    val empty = GenStore.load(spark, root)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet === Set("id", "part", "v"),
+      "the empty view still carries the full schema")
+    // downstream consumers aggregate over it without special-casing
+    assert(empty.groupBy($"part").count().collect().isEmpty)
+    // and the store is not bricked: the next fold lands real rows
+    GenStore.fold(spark, root, batch((1L, 1, "a"), (2L, 2, "b")),
+      "part", "id", mode)
+    assert(content(root) === Set((1L, 1, "a"), (2L, 2, "b")))
+    // the empty generation was a real data view: it is the previous one
+    assert(GenStore.loadPrevious(spark, root).get.count() === 0L)
+  }
 }
