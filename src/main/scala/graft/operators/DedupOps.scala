@@ -618,7 +618,13 @@ object DedupOps {
       .head()
     // an empty corpus aggregates to (null, null): R = 0, naive arm
     if (row.isNullAt(0)) (0L, 0L)
-    else {
+    else if (row.isNullAt(1)) {
+      // Σdf² can be null ALONE: with ANSI off a DECIMAL(38,0) overflow
+      // (sum past 10³⁸) returns null rather than throwing. Same contract
+      // as an over-cap value — saturate toward the bounded prefix arm,
+      // never NPE (ADVICE r17).
+      (row.getLong(0), Long.MaxValue)
+    } else {
       val s2 = row.getDecimal(1).toBigInteger
       val cap = java.math.BigInteger.valueOf(Long.MaxValue)
       (row.getLong(0),

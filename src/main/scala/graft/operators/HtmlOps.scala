@@ -32,11 +32,15 @@ import graft.sources.Tables
   *      non-whitespace text AND anchor-text characters make up < 50% of
   *      it (integer cross-multiplication, no floats) — pure-link chrome
   *      (nav, footer, link lists) dies, content paragraphs survive;
-  *   4. strip tags (to spaces), collapse whitespace, then decode
-  *      entities LAST (decoding before the tag strip would let escaped
-  *      markup be eaten; `&amp;` decodes after the other entities so
-  *      `&amp;lt;` yields the literal `&lt;`, not `<` — the standard
-  *      double-escape rule, spec-pinned), join surviving segments.
+  *   4. strip tags (to spaces), decode entities (table order, `&amp;`
+  *      after the other entities so `&amp;lt;` yields the literal
+  *      `&lt;`, not `<` — the standard double-escape rule, spec-pinned),
+  *      THEN collapse whitespace, join surviving segments. Decoding sits
+  *      between the tag strip and the collapse (ADVICE r17): before the
+  *      strip it would let escaped markup be eaten; after the collapse a
+  *      decoded `&nbsp;` beside a literal space would leave an
+  *      uncollapsed double space — the one ordering that honors both the
+  *      no-markup-resurrection and the whitespace-discipline contracts.
   *
   * The contract column: for every derived page without the extra
   * entity paragraph, `recovered` = (extracted == original text) — the
@@ -125,12 +129,14 @@ object HtmlOps {
     length(regexp_replace(
       array_join(regexp_extract_all(s, lit(LinkTextRe), lit(1)), ""), " ", ""))
 
-  /** Tag strip → whitespace collapse/trim → entity decode (in table
-    * order — `&amp;` last). */
+  /** Tag strip → entity decode (in table order — `&amp;` last) →
+    * whitespace collapse/trim. Decode before the collapse so a decoded
+    * `&nbsp;` merges with adjacent literal whitespace (ADVICE r17). */
   private def cleanSeg(s: Column): Column =
-    Entities.foldLeft(trim(regexp_replace(segText(s), "\\s+", " "))) {
-      case (acc, (k, v)) => replace(acc, lit(k), lit(v))
-    }
+    trim(regexp_replace(
+      Entities.foldLeft(segText(s)) {
+        case (acc, (k, v)) => replace(acc, lit(k), lit(v))
+      }, "\\s+", " "))
 
   /** The extraction kernel over any (…, html) relation — appends
     * `n_segs`, `n_kept`, `extracted`. Exposed so the planted-chrome
@@ -186,8 +192,8 @@ object HtmlOps {
       s"regexp_extract_all($s, '$LinkTextRe', 1), ''), ' ', '')), 0)"
 
   private def cleanSegSqlOf(s: String): String =
-    unescapeSqlOf(
-      s"trim(regexp_replace(${segTextSqlOf(s)}, '\\s+', ' ', 'g'))")
+    s"trim(regexp_replace(${unescapeSqlOf(segTextSqlOf(s))}," +
+      " '\\s+', ' ', 'g'))"
 
   private val h1Sql =
     s"""WITH hh1 AS (

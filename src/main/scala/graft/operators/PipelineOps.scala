@@ -1145,11 +1145,17 @@ object PipelineOps {
        |  WHERE p.doc_id IS NULL),
        |kf11 AS (SELECT doc_id, $killCaseSql AS ks FROM f),
        |u11 AS (
-       |  SELECT co.stage, co.shard, 'removed' AS change, s.cause,
+       |  -- LEFT joins + COALESCE mirror the Spark kernel's off_funnel
+       |  -- bucket structurally (ADVICE r17): on a same-snapshot diff the
+       |  -- arm is provably empty (both cuts derive from one frame), but a
+       |  -- cross-snapshot diff (the loadPrevious path) can remove a doc
+       |  -- no current rule killed, and the two spellings must agree then.
+       |  SELECT co.stage, co.shard, 'removed' AS change,
+       |    COALESCE(s.cause, 'off_funnel') AS cause,
        |    r.n_toks
        |  FROM rem11 r
-       |  JOIN kf11 k ON r.doc_id = k.doc_id
-       |  JOIN stages11 s ON k.ks = s.ks
+       |  LEFT JOIN kf11 k ON r.doc_id = k.doc_id
+       |  LEFT JOIN stages11 s ON k.ks = s.ks
        |  JOIN coords11 co ON r.doc_id = co.doc_id
        |  UNION ALL
        |  SELECT co.stage, co.shard, 'added', 'new', a.n_toks

@@ -59,6 +59,12 @@ class HtmlOpsSpec extends SparkSpec {
     assert(out === "A & B <tag> \"q\" 's' x y literal &lt; stays")
   }
 
+  test("h1: decoded &nbsp; beside a literal space collapses to ONE space (decode runs before the collapse — ADVICE r17)") {
+    val (_, _, out) = extract("<body><p>x &nbsp;y a&nbsp; b&nbsp;&nbsp;c</p></body>")
+    assert(out === "x y a b c",
+      "adjacent decoded/literal whitespace must merge in the collapse")
+  }
+
   test("h1: whitespace discipline — tags become spaces, runs collapse, segments join with one space") {
     val (_, _, out) = extract(
       "<body><p>alpha<b>beta</b>gamma   delta\n\nepsilon </p>" +
