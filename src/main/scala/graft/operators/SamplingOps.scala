@@ -317,27 +317,36 @@ object SamplingOps {
        |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
        |    FROM documents)""".stripMargin, "p4:")
 
-  // ------------------------------------------- p10 best-fit packing (FFD)
+  // ------------------------------------------- p10 best-fit packing (BFD)
 
-  /** The per-shard first-fit-decreasing fold behind [[p10BestFitPack]]:
-    * docs arrive sorted (n_tokens DESC, doc_id ASC); each goes to the
-    * FIRST open bin with room, else opens a new bin. Bin ids are
-    * opening order, so the assignment is a pure function of the sorted
-    * sequence — the oracle replays it as a recursive CTE. A doc larger
-    * than [[PackBudget]] opens its own bin with negative remainder,
-    * which can never accept another doc (the only p10 docs that still
-    * truncate). First-fit's bin scan is O(bins) per doc — fine at the
-    * training-shard-file sizes shards are meant to be (the production
-    * upgrade for huge shards is a segment tree over bin remainders,
-    * O(log bins); the ASSIGNMENT those structures produce is identical,
-    * so the contract here wouldn't change). */
-  private[graft] def ffdAssign(docs: Iterator[(Long, Int)]): Iterator[(Long, Int, Int)] = {
+  /** The per-shard best-fit-decreasing fold behind [[p10BestFitPack]]
+    * (true BFD since round 18 — the r17 kernel was first-fit under a
+    * best-fit name; Ding et al. 2024 prescribe the TIGHTEST bin): docs
+    * arrive sorted (n_tokens DESC, doc_id ASC); each goes to the open
+    * bin with the SMALLEST remainder that still fits (ties to the
+    * lowest bin index — the first-opened bin — so the fold stays a
+    * deterministic pure function of the sorted sequence; the oracle
+    * replays it as a recursive CTE with a list_min argmin). A doc
+    * larger than [[PackBudget]] opens its own bin with negative
+    * remainder, which can never accept another doc (the only p10 docs
+    * that still truncate). Best-fit's bin scan is O(bins) per doc —
+    * fine at the training-shard-file sizes shards are meant to be (the
+    * production upgrade for huge shards is a balanced BST / segment
+    * tree over bin remainders, O(log bins) successor queries; the
+    * ASSIGNMENT those structures produce is identical, so the contract
+    * here wouldn't change). */
+  private[graft] def bfdAssign(docs: Iterator[(Long, Int)]): Iterator[(Long, Int, Int)] = {
     val rem = scala.collection.mutable.ArrayBuffer.empty[Int]
     docs.map { case (id, n) =>
+      var best = -1
       var j = 0
-      while (j < rem.length && rem(j) < n) j += 1
-      if (j == rem.length) rem += (PackBudget - n) else rem(j) -= n
-      (id, n, j)
+      while (j < rem.length) {
+        // strict < keeps the FIRST bin among equal minimal remainders
+        if (rem(j) >= n && (best < 0 || rem(j) < rem(best))) best = j
+        j += 1
+      }
+      if (best < 0) { rem += (PackBudget - n); (id, n, rem.length - 1) }
+      else { rem(best) -= n; (id, n, best) }
     }
   }
 
@@ -347,15 +356,16 @@ object SamplingOps {
     * regardless of document boundaries, so any doc straddling a cut is
     * truncated (and its training signal corrupted — the paper measures
     * the downstream cost); p10 BIN-PACKS whole documents into
-    * fixed-budget sequences with first-fit-decreasing, so a document is
+    * fixed-budget sequences with best-fit-decreasing, so a document is
     * only ever truncated when it alone exceeds the budget.
     * SamplingOpsSpec counts truncations under both geometries on the
     * same sharding and pins p10 < p4.
     *
-    * Determinism: FFD's assignment is a pure function of the sorted
-    * (n_tokens DESC, doc_id) sequence per shard — no placement
-    * heuristic randomness, reproducible run to run (the
-    * checkpoint-resume property p4 established).
+    * Determinism: BFD's assignment is a pure function of the sorted
+    * (n_tokens DESC, doc_id) sequence per shard — the tightest-fitting
+    * bin with ties to the lowest index leaves no placement freedom,
+    * reproducible run to run (the checkpoint-resume property p4
+    * established).
     *
     * Scale shape: p4's exact budget — the corpus splits into
     * [[PackShards]] independent shards by salted hash (own "p10:"
@@ -379,21 +389,26 @@ object SamplingOps {
       .as[(Long, Int, Int)]
       .groupByKey(_._3)
       .flatMapSortedGroups(desc("n_tokens"), asc("doc_id")) { (shard, it) =>
-        ffdAssign(it.map(r => (r._1, r._2))).map { case (id, n, bin) =>
+        bfdAssign(it.map(r => (r._1, r._2))).map { case (id, n, bin) =>
           (id, shard, n, bin)
         }
       }
       .toDF("doc_id", "shard", "n_tokens", "pack_id")
   }
 
-  /** The oracle replays the FFD fold per shard as a recursive CTE
+  /** The oracle replays the BFD fold per shard as a recursive CTE
     * (t4d's recursive-segmentation device): state = the list of bin
-    * remainders, one doc consumed per iteration per shard, first fit =
-    * first index with room. DuckDB's `list_position` returns 0 — not
-    * NULL — on no match (measured), hence the NULLIF. */
+    * remainders, one doc consumed per iteration per shard, best fit =
+    * the ARGMIN over fitting remainders — list_min over the fitting
+    * sublist, located back in the full list with list_position (first
+    * occurrence = the kernel's lowest-index tie rule; the located value
+    * is by construction present, so the 0-on-no-match hazard NULLIF
+    * guarded in the r17 first-fit arm cannot arise — the no-fit case is
+    * decided by the len() guard before any positioning). */
   private val p10Sql = {
-    val lp = "NULLIF(list_position(list_transform(f.rem, " +
-      "r -> r >= b.n_tokens), true), 0)"
+    val fits = "list_filter(f.rem, r -> r >= b.n_tokens)"
+    val lp = s"CASE WHEN len($fits) = 0 THEN NULL " +
+      s"ELSE list_position(f.rem, list_min($fits)) END"
     s"""WITH RECURSIVE basep10 AS (
        |  SELECT doc_id, n_tokens, shard,
        |    CAST(row_number() OVER (PARTITION BY shard
@@ -402,7 +417,7 @@ object SamplingOps {
        |          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        |          CAST(${hashRankSql("p10:")} % $PackShards AS INT) AS shard
        |        FROM documents)),
-       |ffd(shard, i, rem, doc_id, n_tokens, pack_id) AS (
+       |bfd(shard, i, rem, doc_id, n_tokens, pack_id) AS (
        |  SELECT shard, CAST(0 AS BIGINT), CAST([] AS INTEGER[]),
        |    CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT)
        |  FROM (SELECT DISTINCT shard FROM basep10)
@@ -414,9 +429,9 @@ object SamplingOps {
        |           || f.rem[$lp+1:] END,
        |    b.doc_id, b.n_tokens,
        |    CAST(COALESCE($lp, len(f.rem) + 1) - 1 AS INT)
-       |  FROM ffd f JOIN basep10 b ON b.shard = f.shard AND b.rn = f.i + 1)
+       |  FROM bfd f JOIN basep10 b ON b.shard = f.shard AND b.rn = f.i + 1)
        |SELECT doc_id, shard, n_tokens, pack_id
-       |FROM ffd WHERE doc_id IS NOT NULL""".stripMargin
+       |FROM bfd WHERE doc_id IS NOT NULL""".stripMargin
   }
 
   // -------------------------------------------------- p8 curriculum order

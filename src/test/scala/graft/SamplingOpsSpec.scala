@@ -501,21 +501,27 @@ class SamplingOpsSpec extends SparkSpec {
     assert(en.getAs[Double]("repeat_factor") < 4.0)
   }
 
-  test("p10: FFD kernel — first fit wins, oversized docs open lone bins, assignment is the sorted-fold replay") {
+  test("p10: BFD kernel — TIGHTEST fitting bin wins (not the first), ties to the lowest index, oversized docs open lone bins") {
     // hand-sized: budget 512
-    val got = SamplingOps.ffdAssign(Iterator(
+    val got = SamplingOps.bfdAssign(Iterator(
       (1L, 600), // oversized: own bin 0 (rem −88, never fits another)
-      (2L, 300), // bin 1 (rem 212)
-      (3L, 300), // 212 < 300 → bin 2
-      (4L, 200), // first fit: bin 1 (212 ≥ 200 → rem 12)
-      (5L, 12),  // bin 1 again (rem 0)
-      (6L, 1))   // bin 2 (rem 212−... wait 512−300=212 ≥ 1)
+      (2L, 500), // bin 1 (rem 12)
+      (3L, 300), // fits nothing (−88, 12) → bin 2 (rem 212)
+      (4L, 205), // only bin 2 fits → bin 2 (rem 7)
+      (5L, 7),   // fits bin 1 (12) AND bin 2 (7): BEST fit takes the
+                 // tighter bin 2 (a first-fit fold would take bin 1 —
+                 // the step that distinguishes the two policies)
+      (6L, 6))   // bin 2 now full (rem 0) → bin 1 (rem 12 → 6)
       .map(identity)).toSeq
-    assert(got === Seq((1L, 600, 0), (2L, 300, 1), (3L, 300, 2),
-      (4L, 200, 1), (5L, 12, 1), (6L, 1, 2)))
+    assert(got === Seq((1L, 600, 0), (2L, 500, 1), (3L, 300, 2),
+      (4L, 205, 2), (5L, 7, 2), (6L, 6, 1)))
+    // equal minimal remainders: the FIRST-opened bin wins (determinism)
+    val tie = SamplingOps.bfdAssign(Iterator(
+      (1L, 505), (2L, 505), (3L, 7))).toSeq
+    assert(tie === Seq((1L, 505, 0), (2L, 505, 1), (3L, 7, 0)))
   }
 
-  test("p10: fixture packing — bins never exceed budget, output equals a driver FFD replay, truncations strictly fewer than p4 geometry") {
+  test("p10: fixture packing — bins never exceed budget, output equals a driver BFD replay, truncations strictly fewer than p4 geometry") {
     val rows = SamplingOps.p10BestFitPack(spark, sf)
       .as[(Long, Int, Int, Int)].collect()
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
@@ -530,7 +536,7 @@ class SamplingOpsSpec extends SparkSpec {
     val byShard = rows.groupBy(_._2)
     byShard.foreach { case (shard, rs) =>
       val sorted = rs.sortBy(r => (-r._3, r._1)).map(r => (r._1, r._3))
-      val replay = SamplingOps.ffdAssign(sorted.iterator).toSeq
+      val replay = SamplingOps.bfdAssign(sorted.iterator).toSeq
       val want = replay.map { case (id, n, bin) => (id, shard, n, bin) }
       assert(rs.sortBy(r => (-r._3, r._1)).toSeq === want, s"shard $shard")
     }
