@@ -964,11 +964,29 @@ object PipelineOps {
     * fingerprint, dir); building it sweeps the version's dead
     * fingerprints AND any legacy pre-versioning root (both scoped to
     * this dirTag). */
+  /** Content tag of a ruleset's CUT SEMANTICS — the md5 (8 hex chars)
+    * of the declarative survivor replay's text for those stages: frame
+    * CTEs + kill CASE + sheet + coordinates. Under the one-Seq/
+    * one-spelling discipline any change to what the cut MEANS — a
+    * stage added, a threshold moved, a derivation expression edited —
+    * must change this text, so the committed root rolls even when
+    * [[FunnelVersion]] and the corpus fingerprint both stand still
+    * (round 18: the PSL table swap changed stage-0's blocked set with
+    * neither moving — the exact r17 stale-artifact trap, now closed
+    * structurally rather than by remembering to bump the version). */
+  private[graft] def rulesetTagOf(
+      stages: Seq[(String, org.apache.spark.sql.Column, String)]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((e9FrameCtesSql + " " + killCaseSqlOf(stages) + " " +
+        e5Sql + " " + SamplingOps.p8Sql)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+
   private[graft] def cutStoreFor(s: SparkSession, dir: String, ver: Int,
       stages: Seq[(String, org.apache.spark.sql.Column, String)]): String = {
     import graft.sources.{GenStore, Layouts}
     val dirTag = Layouts.dirTag(dir)
-    val name = s"graft_release_cut_v${ver}_" +
+    val name = s"graft_release_cut_v${ver}_r${rulesetTagOf(stages)}_" +
       s"f${Layouts.tableFingerprint(dir, "documents")}_$dirTag"
     val path = java.nio.file.Paths.get("target", name).toAbsolutePath.toString
     cutStores.getOrElseUpdate(path, {

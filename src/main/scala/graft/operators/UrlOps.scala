@@ -45,13 +45,41 @@ import graft.sources.Tables
   * part of the training-data-pipeline extension tier. */
 object UrlOps {
 
-  /** Multi-part public suffixes the registrable-domain rule must know
-    * (the embedded stand-in for the public-suffix list — a real
-    * deployment ships the full PSL as a broadcast lookup; the RULE is
-    * what's under test): hosts ending in one of these keep three
-    * labels, all others keep two. ONE Seq drives both engines through
-    * [[DomainRe]]. */
-  private[graft] val MultiPartTlds = Seq("co.uk", "com.au", "co.jp", "ac.uk")
+  /** The public-suffix table (round 18 — the table-driven lookup the
+    * r16 regex alternation stood in for): each entry is a public suffix
+    * whose registrable domain keeps (suffix labels + 1) labels; hosts
+    * matching no entry keep the default two. Longest match wins (the
+    * publicsuffix.org rule). A production deployment generates this Seq
+    * from the published PSL (~9,500 rules) at build time — the
+    * mechanism below is sized for that: the lookup rides the plan as
+    * ONE literal map (~200 KB at full PSL size, the t18
+    * weight-table-as-literal device), never as regex alternation.
+    *
+    * ONE Seq drives both engines: Spark through the [[domainCol]]
+    * candidate-suffix fold over [[pslKeepMap]], DuckDB through the
+    * [[pslValuesSql]] VALUES relation. The depth-3+ entries
+    * (`act.edu.au`, `pvt.k12.ma.us` — real PSL rules) are exactly what
+    * the r16 `DomainRe` stand-in could not express: its alternation
+    * hard-coded "one label + a TWO-label suffix", so every deeper rule
+    * was structurally out of reach (UrlOpsSpec pins them). */
+  private[graft] val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "com.au", "co.jp", "ac.uk",         // the r16 two-label rules
+    "act.edu.au", "city.kawasaki.jp",            // three-label PSL rules
+    "pvt.k12.ma.us")                             // a four-label PSL rule
+
+  /** suffix → labels to KEEP for a host under that suffix (= suffix
+    * labels + 1). */
+  private[graft] val pslKeepMap: Map[String, Int] =
+    PublicSuffixes.map(sfx => sfx -> (sfx.count(_ == '.') + 2)).toMap
+
+  /** Longest suffix the table knows, in labels — bounds the candidate
+    * fold (grows automatically with the table). */
+  private[graft] val MaxPslLabels: Int =
+    PublicSuffixes.map(_.count(_ == '.') + 1).max
+
+  /** The oracle's VALUES splice of the SAME table. */
+  private[graft] val pslValuesSql: String =
+    PublicSuffixes.map(sfx => s"('$sfx', ${pslKeepMap(sfx)})").mkString(", ")
 
   /** Query parameters that never identify content (the C4/CCNet strip
     * list): any `utm_*` campaign tag, click ids, referrer tags. Shared
@@ -66,24 +94,19 @@ object UrlOps {
   private[graft] val blockedInSql: String =
     BlockedDomains.map(d => s"'$d'").mkString("(", ", ", ")")
 
-  /** Registrable-domain pattern over a canonical (lowercase) host:
-    * first alternative wins in BOTH engines (leftmost alternation in
-    * Java regex and RE2), so a multi-part suffix match takes
-    * precedence over the default last-two-labels rule. Anchored at $,
-    * group 1 is the registrable domain. */
-  private[graft] val DomainRe: String =
-    "([^.]+\\.(?:" + MultiPartTlds.map(_.replace(".", "\\.")).mkString("|") +
-      ")|[^.]+\\.[^.]+)$"
-
   /** The derived host (messy): optional `news.` subdomain (tests that
     * registrable-domain extraction strips more than `www.`), base =
-    * source + '-' + doc_id%5, TLD keyed on doc_id%3 (includes a
-    * multi-part suffix). Part of [[urlExprSql]]. */
+    * source + '-' + doc_id%5, TLD keyed on doc_id%3 — including a
+    * two-label suffix and (round 18, the %17=5 sliver of the %3=2
+    * class) the THREE-label `act.edu.au`, so the oracle-gated fixture
+    * itself exercises the deep-suffix rule the r16 regex could not
+    * express. Part of [[urlExprSql]]. */
   private[graft] val hostExprSql: String =
     "CASE WHEN doc_id % 7 = 0 THEN 'news.' ELSE '' END || source || '-' || " +
       "CAST(doc_id % 5 AS STRING) || " +
       "CASE WHEN doc_id % 3 = 0 THEN '.com' " +
-      "WHEN doc_id % 3 = 1 THEN '.org' ELSE '.co.uk' END"
+      "WHEN doc_id % 3 = 1 THEN '.org' " +
+      "WHEN doc_id % 17 = 5 THEN '.act.edu.au' ELSE '.co.uk' END"
 
   /** The ONE-SPELLING url derivation over (doc_id, source) — parses
     * identically in Spark SQL and DuckDB (CASE/%/||/upper/CAST AS
@@ -138,11 +161,50 @@ object UrlOps {
   private[graft] def canonUrlCol(url: Column): Column =
     concat(canonHostCol(url), canonRestCol(url))
 
-  /** Registrable domain of a URL (via [[DomainRe]] over the canonical
-    * host): `news.foo-3.co.uk` → `foo-3.co.uk`, `www.bar.com` →
-    * `bar.com`. */
-  private[graft] def domainCol(url: Column): Column =
-    regexp_extract(canonHostCol(url), DomainRe, 1)
+  /** Registrable domain of a URL — the table-driven longest-suffix
+    * match over the canonical host (round 18, replacing the r16
+    * [[PublicSuffixes]] regex stand-in): split the host on '.', probe
+    * each of its ≤ [[MaxPslLabels]] trailing-label candidate suffixes
+    * against [[pslKeepMap]], keep = the largest matched (labels + 1)
+    * — longest match wins because deeper suffixes keep more — default
+    * 2; registrable = the host's last `keep` labels, or '' when the
+    * host has fewer (a single label, or a host that IS a public suffix
+    * — publicsuffix.org semantics: a public suffix is not registrable;
+    * the r16 regex returned the suffix itself there, a divergence this
+    * swap deliberately fixes, spec-pinned).
+    *
+    * `news.foo-3.co.uk` → `foo-3.co.uk`, `www.bar.com` → `bar.com`,
+    * `news.x-1.act.edu.au` → `x-1.act.edu.au` (4 labels kept — the
+    * case the regex alternation could not express).
+    *
+    * Scale/plan note — why a plan-literal map and NOT the
+    * posexplode + broadcast-join spelling SCALING.md sketched: the
+    * lookup table is static config (full PSL ≈ 9,500 rules ≈ 200 KB),
+    * so `element_at(<map literal>, candidate)` ships it with the plan
+    * exactly like a broadcast variable while keeping the operator a
+    * PURE NARROW expression — zero new plan operators, and d16/t23's
+    * one-scan/one-exchange plan pins hold verbatim. The join spelling
+    * would add a BroadcastExchange + posexplode + re-group per
+    * consumer for the same per-row work; measured plan shape, not
+    * taste: UrlOpsSpec's exchange counts would fail under it. The
+    * fold is bounded: MaxPslLabels candidate probes per row against a
+    * hash map, each O(host length). */
+  private[graft] def domainCol(url: Column): Column = {
+    val host = canonHostCol(url)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val psl = typedLit(pslKeepMap)
+    val candidates = (2 to MaxPslLabels).map { k =>
+      when(n >= k,
+        coalesce(element_at(psl,
+          array_join(slice(labels, n - lit(k) + 1, lit(k)), ".")), lit(2)))
+        .otherwise(lit(2))
+    }
+    val keep = greatest((lit(2) +: candidates): _*)
+    when(n >= keep,
+      array_join(slice(labels, n - keep + 1, keep), "."))
+      .otherwise(lit(""))
+  }
 
   /** The blocklist gate bit over (doc_id, source) — e9's stage-0 kill
     * signal, computed as a pure narrow expression (derivation →
@@ -199,11 +261,17 @@ object UrlOps {
 
   /** The oracle's canonicalization CTE chain over `documents` — the
     * INDEPENDENT DuckDB spelling (string_split/list_filter instead of
-    * Spark's filter/array_join; same [[urlExprSql]] derivation, same
-    * [[DomainRe]]/[[TrackingParamRe]] shared literals). Ends in `urlc`
-    * = (doc_id, source, text, url, canon_url, domain). */
+    * Spark's filter/array_join; same [[urlExprSql]] derivation and
+    * [[TrackingParamRe]]/[[PublicSuffixes]] shared config). The
+    * registrable domain restates the longest-suffix rule INDEPENDENTLY
+    * of the Spark candidate fold: the [[pslValuesSql]] VALUES relation
+    * probed by a correlated suffix-match MAX (ends-with predicate, not
+    * candidate generation) — two spellings of one table, hash-proven
+    * equal. Ends in `urlc` = (doc_id, source, text, url, canon_url,
+    * domain). */
   private[graft] val urlCanonCtesSql: String =
-    s"""url0 AS (
+    s"""pslx(suffix, keep) AS (VALUES $pslValuesSql),
+       |url0 AS (
        |  SELECT doc_id, source, text, $urlExprSql AS url FROM documents),
        |url1 AS (
        |  SELECT doc_id, source, text, url,
@@ -224,12 +292,21 @@ object UrlOps {
        |      p -> p <> '' AND NOT regexp_matches(p, '^(?:$TrackingParamRe)='))
        |      AS kept
        |  FROM url3),
+       |url5 AS (
+       |  SELECT doc_id, source, text, url, chost, cpath, kept,
+       |    string_split(chost, '.') AS hls,
+       |    COALESCE((SELECT MAX(p.keep) FROM pslx p
+       |      WHERE u.chost = p.suffix
+       |         OR u.chost LIKE '%.' || p.suffix), 2) AS keepn
+       |  FROM url4 u),
        |urlc AS (
        |  SELECT doc_id, source, text, url,
        |    chost || cpath || CASE WHEN len(kept) > 0
        |      THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon_url,
-       |    regexp_extract(chost, '$DomainRe', 1) AS domain
-       |  FROM url4)""".stripMargin
+       |    CASE WHEN len(hls) >= keepn
+       |         THEN array_to_string(hls[len(hls) - keepn + 1:], '.')
+       |         ELSE '' END AS domain
+       |  FROM url5)""".stripMargin
 
   private val d16Sql =
     s"WITH $urlCanonCtesSql\n" +

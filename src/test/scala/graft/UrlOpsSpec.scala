@@ -29,17 +29,29 @@ class UrlOpsSpec extends SparkSpec {
     val kept = query.split("&", -1).filter(p =>
       p.nonEmpty && !p.matches("^(utm_[a-z]+|fbclid|gclid|ref)=.*"))
     val canon = chost + path + (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
-    val multi = Seq("co.uk", "com.au", "co.jp", "ac.uk")
+    // the spec's own restatement of the PSL rule: longest matching
+    // suffix keeps (its labels + 1), default 2; a host AT or BELOW the
+    // keep depth (single label, or the host IS a public suffix) has no
+    // registrable domain
+    val psl = Seq("co.uk", "com.au", "co.jp", "ac.uk",
+      "act.edu.au", "city.kawasaki.jp", "pvt.k12.ma.us")
     val labels = chost.split("\\.")
-    val keep = if (multi.exists(m => chost.endsWith("." + m))) 3 else 2
-    (canon, labels.takeRight(keep).mkString("."))
+    val keep = (2 +: psl.collect {
+      case m if chost == m || chost.endsWith("." + m) => m.split("\\.").length + 1
+    }).max
+    val dom = if (labels.length >= keep) labels.takeRight(keep).mkString(".") else ""
+    (canon, dom)
   }
 
   // the spec's own reading of the derivation convention (doc_id moduli
   // restated from the documented fixture design, not from urlExprSql)
   private def urlRef(id: Long, source: String): String = {
     val host = (if (id % 7 == 0) "news." else "") + s"$source-${id % 5}" +
-      (id % 3 match { case 0 => ".com"; case 1 => ".org"; case _ => ".co.uk" })
+      (id % 3 match {
+        case 0 => ".com"
+        case 1 => ".org"
+        case _ => if (id % 17 == 5) ".act.edu.au" else ".co.uk"
+      })
     (if (id % 2 == 0) "https://" else "http://") +
       (if (id % 11 == 0) "www." else "") +
       (if (id % 13 == 0) host.toUpperCase else host) +
@@ -81,13 +93,42 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
-  test("url: registrable domain keeps two labels, three over multi-part public suffixes") {
+  test("url: registrable domain — table-driven longest-suffix match; two labels default, suffix+1 over PSL rules") {
     val cases = Seq(
       "https://news.foo-3.co.uk/x" -> "foo-3.co.uk",
       "https://www.bar.com/x" -> "bar.com",
       "http://deep.a.b.com.au/x" -> "b.com.au",
       "https://single.io/x" -> "single.io",
       "https://a.b.c.ac.uk/" -> "c.ac.uk")
+    cases.foreach { case (u, want) =>
+      val d = Seq(u).toDF("url")
+        .select(UrlOps.domainCol($"url")).as[String].head()
+      assert(d === want, s"domain of $u")
+      assert(d === canonRef(u)._2, s"independent replay on $u")
+    }
+  }
+
+  test("url: depth-3+ PSL rules the r16 regex stand-in could not express — and longest-match precedence") {
+    val cases = Seq(
+      // 3-label suffix: keep FOUR labels (the regex alternation
+      // hard-coded one-label + two-label-suffix, structurally unable
+      // to say this)
+      "https://news.x-1.act.edu.au/p" -> "x-1.act.edu.au",
+      // longest match wins: act.edu.au (keep 4) beats com.au (keep 3)
+      // for a host under both… and a host under com.au but NOT under
+      // act.edu.au keeps 3
+      "https://a.b.act.edu.au/" -> "b.act.edu.au",
+      // edu.au alone is NOT in the stand-in table: default 2 applies
+      "https://a.b.other.edu.au/" -> "edu.au",
+      // 4-label suffix
+      "https://www.school.pvt.k12.ma.us/x" -> "school.pvt.k12.ma.us",
+      "https://city.kawasaki.jp.example.com/" -> "example.com", // suffix match is ANCHORED at the end
+      // a host that IS a public suffix has no registrable domain
+      // (publicsuffix.org semantics — the r16 regex wrongly returned
+      // the suffix itself; the table swap fixes it deliberately)
+      "https://act.edu.au/" -> "",
+      "https://co.uk/" -> "",
+      "https://localhost/" -> "")
     cases.foreach { case (u, want) =>
       val d = Seq(u).toDF("url")
         .select(UrlOps.domainCol($"url")).as[String].head()
