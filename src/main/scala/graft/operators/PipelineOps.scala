@@ -237,10 +237,14 @@ object PipelineOps {
       .select($"doc_id", $"n_dup", $"has_dup")
     val clf = TextOps.t18QualityClassifier(s, dir)
       .select($"doc_id", $"clf_score", $"clf_keep")
-    val stops = TextOps.t24LangStopwords(s, dir)
-      .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep")
+    // ONE shared scoring pass carries BOTH language-keyed gates (t24's
+    // stopword polarity and t26's banned-word polarity, round 18) —
+    // the sheet pays one profile subtree, not two
+    val gates = TextOps.langGates(s, dir)
+      .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep",
+        $"block_hits", $"block_keep")
     rules.join(tier, Seq("doc_id")).join(spans, Seq("doc_id"))
-      .join(clf, Seq("doc_id")).join(stops, Seq("doc_id"))
+      .join(clf, Seq("doc_id")).join(gates, Seq("doc_id"))
   }
 
   /** Oracle: the same composition over the stage oracles (t24's chain
@@ -255,15 +259,17 @@ object PipelineOps {
        |         FROM (${TextOps.t17Sql})),
        |spans AS (SELECT doc_id, n_dup, has_dup FROM (${DedupOps.d10Sql})),
        |clf AS (SELECT doc_id, clf_score, clf_keep FROM (${TextOps.t18Sql})),
-       |st24 AS (SELECT doc_id, pred_lang, stop_hits, stop_keep
-       |         FROM (${TextOps.t24Sql}))
+       |gates AS (SELECT doc_id, pred_lang, stop_hits, stop_keep,
+       |            block_hits, block_keep
+       |          FROM (${TextOps.langGatesSql}))
        |SELECT r.*, t.score_micro, t.ppl_bucket, s.n_dup, s.has_dup,
-       |  c.clf_score, c.clf_keep, w.pred_lang, w.stop_hits, w.stop_keep
+       |  c.clf_score, c.clf_keep, w.pred_lang, w.stop_hits, w.stop_keep,
+       |  w.block_hits, w.block_keep
        |FROM rules r
        |JOIN tier t ON r.doc_id = t.doc_id
        |JOIN spans s ON r.doc_id = s.doc_id
        |JOIN clf c ON r.doc_id = c.doc_id
-       |JOIN st24 w ON r.doc_id = w.doc_id""".stripMargin
+       |JOIN gates w ON r.doc_id = w.doc_id""".stripMargin
 
   /** e6: the per-source CORPUS REPORT CARD — the data-sheet artifact
     * (Dolma's summary tables, the "datasheets for datasets" practice)
@@ -417,7 +423,16 @@ object PipelineOps {
     // keying the list by t2b's predicted language drops the solo kill
     // to a measured few percent — the VERDICT r16 ask, visible as this
     // row's share_fail_micro sitting far below 10⁶.
-    ("lang_stopwords", not(col("stop_keep")), "NOT s.stop_keep"))
+    ("lang_stopwords", not(col("stop_keep")), "NOT s.stop_keep"),
+    // the language-keyed BANNED-word rule (t26, round 18 — the C4
+    // stage): opposite polarity from lang_stopwords (any own-list hit
+    // kills), measured at a ~7% solo kill spread across all five
+    // lists. Its docs_unique stays 0 here like every non-r_stopwords
+    // row (r_stopwords fails the whole corpus, so no doc fails
+    // anything else ALONE); the property that makes e11's changelog
+    // non-empty is uniqueness among the FUNNEL's stages, where
+    // r_stopwords does not sit.
+    ("lang_blockwords", not(col("block_keep")), "NOT s.block_keep"))
 
   /** e7: the RULE-ABLATION table — the filter-tuning artifact every
     * published curation stack reports (Gopher's per-rule removal rates,
@@ -655,6 +670,15 @@ object PipelineOps {
     // row), so the funnel can finally run it without absorbing every
     // downstream stage's measurement.
     ("lang_stopwords", not(col("stop_keep")), "NOT f.stop_keep"),
+    // the per-LANGUAGE banned-words gate (t26, round 18 — the C4
+    // stage, Raffel et al. 2020): the published stacks run the
+    // blocklist-word filter in the same post-langid cleaning block as
+    // the stopword check, so it sits directly after lang_stopwords —
+    // same predicted-language keying, OPPOSITE polarity (any own-list
+    // hit kills). Its addition is the v3 ruleset ([[FunnelVersion]]),
+    // and the first funnel change whose registered e11 changelog is
+    // naturally non-empty.
+    ("lang_blockwords", not(col("block_keep")), "NOT f.block_keep"),
     // the five SHAPE rules of t16's battery. r_stopwords itself stays
     // out of the battery's funnel conjunction for the reason above;
     // its tuning question lives in e7's solo/unique columns.
@@ -767,7 +791,7 @@ object PipelineOps {
     val sheet = e5AttributeSheet(s, dir)
       .select($"doc_id", $"r_word_count", $"r_mean_word_len",
         $"r_alpha_words", $"r_symbol_ratio", $"r_top_word_mass",
-        $"clf_keep", $"has_dup", $"stop_keep")
+        $"clf_keep", $"has_dup", $"stop_keep", $"block_keep")
     val dedup = DedupOps.d6DedupKeep(s, dir)
       .withColumnRenamed("keep", "dedup_keep")
     val decont = TextOps.t10Decontaminate(s, dir)
@@ -814,7 +838,7 @@ object PipelineOps {
        |  FROM documents),
        |sheet9 AS (SELECT doc_id, r_word_count, r_mean_word_len,
        |             r_alpha_words, r_symbol_ratio, r_top_word_mass,
-       |             clf_keep, has_dup, stop_keep
+       |             clf_keep, has_dup, stop_keep, block_keep
        |           FROM (${e5Sql})),
        |d69 AS (SELECT doc_id, keep AS dedup_keep FROM (${DedupOps.d6Sql})),
        |t109 AS (SELECT doc_id, contaminated FROM (${TextOps.t10Sql})),
@@ -822,7 +846,8 @@ object PipelineOps {
        |  SELECT b.doc_id, b.n_toks, b.exact_canon, lg.conf_micro,
        |    s.r_word_count, s.r_mean_word_len, s.r_alpha_words,
        |    s.r_symbol_ratio, s.r_top_word_mass, s.clf_keep, s.has_dup,
-       |    s.stop_keep, d.dedup_keep, t.contaminated, u.url_blocked
+       |    s.stop_keep, s.block_keep, d.dedup_keep, t.contaminated,
+       |    u.url_blocked
        |  FROM base9 b
        |  JOIN lg ON b.doc_id = lg.doc_id
        |  JOIN sheet9 s ON b.doc_id = s.doc_id
@@ -948,15 +973,17 @@ object PipelineOps {
     * `target/`) can never serve a cut built under a different ruleset:
     * same corpus + new rules = new root, with the version's stale
     * fingerprints swept on build. v2 = round 17's lang_stopwords
-    * stage. */
-  private[graft] val FunnelVersion = 2
+    * stage; v3 = round 18's lang_blockwords stage. (Within-version
+    * semantic drift is caught separately by [[rulesetTagOf]] on the
+    * root name.) */
+  private[graft] val FunnelVersion = 3
   /** The previously shipped ruleset — [[e11ReleaseChangelog]] diffs the
     * v(N−1) cut against vN's. By construction here: the current stages
-    * minus the newest one (r16's exact 8-stage funnel). */
-  private[graft] val PrevFunnelVersion = 1
+    * minus the newest one (r17's exact 9-stage funnel). */
+  private[graft] val PrevFunnelVersion = 2
   private[graft] lazy val prevFunnelStages
       : Seq[(String, org.apache.spark.sql.Column, String)] =
-    funnelStages.filterNot(_._1 == "lang_stopwords")
+    funnelStages.filterNot(_._1 == "lang_blockwords")
 
   /** The committed release-cut store for an arbitrary (version,
     * ruleset) — [[releaseCutStore]] binds the current pair; e11 also

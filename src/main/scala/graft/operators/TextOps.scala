@@ -2619,6 +2619,19 @@ object TextOps {
     * stop lists ride the plan as literals, never a join. */
   def t24LangStopwords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    langGates(s, dir)
+      .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep")
+  }
+
+  /** The SHARED language-keyed gate relation behind t24 and t26 (round
+    * 18): ONE profile-scoring pass (t2b's broadcast-profile aggregate —
+    * the expensive part of either gate) carries BOTH literal word-list
+    * folds, so a consumer that wants both gates (the e5 sheet, and
+    * through it e7/e9) pays one scoring subtree, not two. Emits
+    * (doc_id, pred_lang, stop_hits, stop_keep, block_hits,
+    * block_keep). */
+  private[graft] def langGates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val profile = langProfileRows(s, dir)
     val best = bestLangStruct(profileLangs(profile))
     val docs = Tables.documents(s, dir)
@@ -2627,8 +2640,10 @@ object TextOps {
         Seq("doc_id"), "left")
       .select($"doc_id", best.getField("c").as("pred_lang"), $"text")
       .select($"doc_id", $"pred_lang",
-        stopHitsExpr($"pred_lang", $"text").as("stop_hits"))
+        stopHitsExpr($"pred_lang", $"text").as("stop_hits"),
+        blockHitsExpr($"pred_lang", $"text").as("block_hits"))
       .withColumn("stop_keep", $"stop_hits" >= LangStopsMinHits)
+      .withColumn("block_keep", $"block_hits" === 0)
   }
 
   /** The oracle's stop-hits CASE over (pred_lang, text) — generated
@@ -2677,6 +2692,121 @@ object TextOps {
   private[operators] lazy val t24Sql =
     s"WITH $t24CtesSql\n" +
       "SELECT doc_id, pred_lang, stop_hits, stop_keep FROM t24o"
+
+  // ------------------------------------------- t26 per-language blockwords
+
+  /** Per-language banned word/phrase lists — the C4 stage (Raffel et
+    * al. 2020 drop any page containing a word from the "List of Dirty,
+    * Naughty, Obscene..." list; multilingual deployments key the list
+    * by detected language). Like [[LangStops]] this is per-deployment
+    * CONFIG under the BlockedDomains device (ONE Seq drives both
+    * engines); the published lists contain single words AND multi-word
+    * phrases, so entries here are token SEQUENCES (space-separated,
+    * matched on token adjacency) and the stand-ins mix both lengths.
+    * On this corpus — whose tiny shared vocabulary gives every single
+    * word a ~70%+ document frequency — the phrase entries are chosen
+    * from each language's ~10%-df bigrams so the gate's any-hit-kills
+    * polarity removes a measurable slice instead of the corpus
+    * (kill-rate math in the scaladoc of [[t26LangBlockwords]]). */
+  private[graft] val LangBlockWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("window table", "dup"),
+    "de" -> Seq("batch scan"),
+    "es" -> Seq("sort merge"),
+    "fr" -> Seq("line data"),
+    "zh" -> Seq("fast merge"))
+
+  /** Banned-entry hits as a Column over (pred_lang, text) — a literal
+    * CASE fold over [[LangBlockWords]] (t24's device, opposite
+    * polarity downstream). A phrase matches on token ADJACENCY: the
+    * space-padded text contains the space-padded phrase — exact word
+    * boundaries, no substring false positives ("dup" never matches
+    * "dupe"), and multi-token entries only fire on consecutive tokens.
+    * Languages outside the config score 0: no list means nothing is
+    * banned (the C4 semantics — the opposite default from [[t24]]'s
+    * must-prove-its-language gate, and the reason the two polarities
+    * are separate stages). */
+  private[graft] def blockHitsExpr(predLang: Column, text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    LangBlockWords.foldLeft(lit(0)) { case (e, (l, banned)) =>
+      when(predLang === l,
+        size(filter(array(banned.map(lit): _*),
+          p => contains(padded, concat(lit(" "), p, lit(" "))))))
+        .otherwise(e)
+    }
+  }
+
+  /** t26: the PER-LANGUAGE banned-words gate — C4's blocklist-word
+    * filter, the last widely-published text gate the tier lacked
+    * (VERDICT r17 #4), as t24's device with the OPPOSITE polarity:
+    * t24 demands evidence OF the document's language (≥ 2 own-list
+    * stopword hits keep), t26 kills on ANY hit from the predicted
+    * language's banned list. Measured on the fixture: ~12% of docs
+    * carry a banned entry of their own predicted language, spread
+    * across all five lists — the modest, tunable kill a deployed
+    * blocklist shows (vs ~70%+ if any single vocab word were banned —
+    * the scaladoc of [[LangBlockWords]] explains the phrase choice).
+    *
+    * Output: (doc_id, pred_lang, block_hits, block_keep) with
+    * block_keep = (hits == 0). Rides the e5 sheet (through the shared
+    * [[langGates]] relation — one scoring pass serves t24 AND t26),
+    * e7's ablation, and e9's funnel as the stage after lang_stopwords;
+    * its addition bumps [[PipelineOps.FunnelVersion]] to 3, giving
+    * e11's registered changelog its first naturally NON-empty diff.
+    *
+    * Scale shape: identical to t24 — t2b's scoring budget plus a
+    * narrow literal-fold projection; the banned lists ride the plan as
+    * literals, never a join. */
+  def t26LangBlockwords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langGates(s, dir)
+      .select($"doc_id", $"pred_lang", $"block_hits", $"block_keep")
+  }
+
+  /** The oracle's banned-hits CASE over (pred_lang, text) — generated
+    * from the SAME [[LangBlockWords]] Seq, spelled INDEPENDENTLY of
+    * the Spark padded-contains fold: each entry becomes an anchored
+    * regex `(^| )entry( |$)` counted via regexp_matches (word-boundary
+    * semantics restated, not shared). Entries are [a-z ]-only by
+    * construction (asserted), so no regex escaping is needed. */
+  private[graft] def blockHitsSqlOf(pred: String, text: String): String = {
+    require(LangBlockWords.forall(_._2.forall(_.matches("[a-z ]+"))),
+      "banned entries must be regex-meta-free")
+    val arms = LangBlockWords.map { case (l, banned) =>
+      val sum = banned.map(p =>
+        s"CAST(regexp_matches($text, '(^| )$p( |$$)') AS INT)")
+        .mkString(" + ")
+      s"WHEN '$l' THEN $sum"
+    }.mkString(" ")
+    s"CAST(CASE $pred $arms ELSE 0 END AS INT)"
+  }
+
+  /** The t26 oracle chain rides [[t24CtesSql]]'s shared pred24 CTE
+    * (profile + argmax — identical prediction, one spelling) and adds
+    * the banned fold; `t26o` = (doc_id, pred_lang, block_hits,
+    * block_keep). */
+  private[graft] lazy val t26CtesSql =
+    s"$t24CtesSql,\n" +
+    s"""t26o AS (
+       |  SELECT doc_id, pred_lang, block_hits,
+       |    block_hits = 0 AS block_keep
+       |  FROM (
+       |    SELECT doc_id, pred_lang,
+       |      ${blockHitsSqlOf("pred_lang", "text")} AS block_hits
+       |    FROM pred24))""".stripMargin
+
+  // private[operators]: e5's sheet oracle splices the identical chain
+  private[operators] lazy val t26Sql =
+    s"WITH $t26CtesSql\n" +
+      "SELECT doc_id, pred_lang, block_hits, block_keep FROM t26o"
+
+  /** BOTH gates off one spelling of the shared chain — what the e5
+    * sheet oracle splices (mirroring the Spark side's single
+    * [[langGates]] relation: one profile chain, both folds). */
+  private[operators] lazy val langGatesSql =
+    s"WITH $t26CtesSql\n" +
+      """SELECT o.doc_id, o.pred_lang, o.stop_hits, o.stop_keep,
+        |  b.block_hits, b.block_keep
+        |FROM t24o o JOIN t26o b USING (doc_id)""".stripMargin
 
   // ------------------------------------------- t25 unicode normalization
 
@@ -2739,6 +2869,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t24_lang_stopwords" -> t24LangStopwords _,
+    "t26_lang_blockwords" -> t26LangBlockwords _,
     "t25_normalize_text" -> t25NormalizeText _,
     "t13_bm25_topk" -> t13Bm25Topk _,
     "t14_tfidf_terms" -> t14TfidfTerms _,
@@ -2798,6 +2929,7 @@ object TextOps {
     "t2b_lang_id_trained" -> t2bSql,
     "t4d_token_ids" -> t4dSql,
     "t24_lang_stopwords" -> t24Sql,
+    "t26_lang_blockwords" -> t26Sql,
     "t25_normalize_text" -> t25Sql)
 }
 

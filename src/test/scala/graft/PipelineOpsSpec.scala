@@ -308,7 +308,8 @@ class PipelineOpsSpec extends SparkSpec {
       "clf_keep" -> (r => !r.getAs[Boolean]("clf_keep")),
       "ppl_not_tail" -> (r => r.getAs[String]("ppl_bucket") == "tail"),
       "no_span_dup" -> (r => r.getAs[Boolean]("has_dup")),
-      "lang_stopwords" -> (r => !r.getAs[Boolean]("stop_keep")))
+      "lang_stopwords" -> (r => !r.getAs[Boolean]("stop_keep")),
+      "lang_blockwords" -> (r => !r.getAs[Boolean]("block_keep")))
     val ids = sheet.keys.toSeq
     val docs = ids.length.toLong
     val tokens = ids.map(toks).sum
@@ -348,6 +349,17 @@ class PipelineOpsSpec extends SparkSpec {
       s"lang-aware stopword solo-kill must be small, got ${got("lang_stopwords")._7}")
     assert(got("lang_stopwords")._3 > 0L,
       "the lang-aware rule must bite someone (a vacuous gate proves nothing)")
+    // the round-18 banned-word gate: modest solo kill (any-hit-kills on
+    // ~10%-df phrases, not the corpus) and a NON-zero unique kill —
+    // the property that makes e11's registered changelog non-empty
+    assert(got("lang_blockwords")._7 < 500000L,
+      s"banned-word solo-kill must be modest, got ${got("lang_blockwords")._7}")
+    assert(got("lang_blockwords")._3 > 0L, "the banned-word rule must bite")
+    // docs_unique is structurally 0 for every rule except r_stopwords
+    // on this corpus (r_stopwords fails ALL docs, so no doc fails any
+    // other rule alone) — e11's non-empty feed is uniqueness among the
+    // FUNNEL's stages (r_stopwords is not one), pinned in the e11 spec
+    assert(got("lang_blockwords")._5 === 0L)
   }
 
   test("e8: clusters are s9's; plan arithmetic and the n_copies draw replay driver-side") {
@@ -492,7 +504,7 @@ class PipelineOpsSpec extends SparkSpec {
     }
     val addedIds = frame.collect { case (id, (_, Some(_), None)) => id }
     assert(addedIds.isEmpty, "a pure rule addition can only remove")
-    assert(removed.forall(_._3 == "lang_stopwords"),
+    assert(removed.forall(_._3 == "lang_blockwords"),
       "any removal attributes to the newly added stage")
 
     val want = removed.toSeq
@@ -500,16 +512,23 @@ class PipelineOpsSpec extends SparkSpec {
       .view.mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
     assert(got === want, s"changelog rows:\ngot  $got\nwant $want")
 
-    // on THIS corpus the delta is legitimately empty, and the reason is
-    // measurable: e7 reports the new rule's UNIQUE kill at zero (every
-    // doc it fails also fails another rule), so the recut ships the
-    // identical corpus — the changelog, the ablation table, and the
-    // funnel triangulate. Pin the equivalence, not just the emptiness.
-    val uniqueKill = PipelineOps.e7RuleAblation(spark, sf)
-      .where($"rule" === "lang_stopwords")
-      .select($"docs_unique").as[Long].head()
-    assert((uniqueKill == 0L) === removed.isEmpty,
-      s"changelog emptiness must equal zero-unique-kill (unique=$uniqueKill, removed=${removed.size})")
+    // round 18: the registered delta is naturally NON-empty for the
+    // first time — the banned-word stage kills docs every OTHER funnel
+    // stage spares (r17's lang_stopwords addition shipped an identical
+    // corpus, pinned then as emptiness; the changelog now demonstrates
+    // its non-degenerate output on the registered pair, not just on
+    // the kernel's planted cuts).
+    assert(removed.nonEmpty,
+      "the v3 rule addition must remove someone — e11's first natural non-empty diff")
+    // triangulation with the funnel: the removed set is exactly the
+    // docs the CURRENT funnel kills at the new stage that the previous
+    // ruleset spares — which is the frame replay above; and every such
+    // doc shows up in e9's lang_blockwords kill count
+    val e9Kill = PipelineOps.e9AttritionFunnel(spark, sf)
+      .where($"stage" === "lang_blockwords")
+      .select($"docs_killed").as[Long].head()
+    assert(removed.size.toLong <= e9Kill,
+      s"changelog removals (${removed.size}) are a subset of the stage's funnel kill ($e9Kill)")
 
     // and the 'removed' masses reconcile with the two committed stores
     import graft.sources.GenStore
@@ -589,6 +608,23 @@ class PipelineOpsSpec extends SparkSpec {
       val ws = t.split(" ", -1).toSet
       id -> (stopLists(pred).count(ws) >= 2)
     }
+    // the banned-word gate replayed independently (round 18): same
+    // argmax language selecting a re-stated banned list, ANY adjacent
+    // match kills (space-padded containment)
+    val blockLists = Map(
+      "en" -> Seq("window table", "dup"),
+      "de" -> Seq("batch scan"),
+      "es" -> Seq("sort merge"),
+      "fr" -> Seq("line data"),
+      "zh" -> Seq("fast merge"))
+    val blockOk = texts.map { case (id, t) =>
+      val gs = grams(t)
+      val pred = langsP.sorted
+        .map(l => l -> gs.map(g => weights.getOrElse((l, g), 0L)).sum)
+        .reduce((a, b) => if (b._2 > a._2) b else a)._1
+      val padded = " " + t + " "
+      id -> !blockLists(pred).exists(p => padded.contains(" " + p + " "))
+    }
     val gopher = TextOps.t16GopherRules(spark, sf)
       .select($"doc_id", $"r_word_count" && $"r_mean_word_len" &&
         $"r_alpha_words" && $"r_symbol_ratio" && $"r_top_word_mass")
@@ -611,10 +647,17 @@ class PipelineOpsSpec extends SparkSpec {
     val blockedSet = Set("src3-3.com", "src7-2.org", "src12-2.co.uk")
     def blocked(id: Long): Boolean = blockedSet(
       s"src${id % 20}-${id % 5}" +
-        (id % 3 match { case 0 => ".com"; case 1 => ".org"; case _ => ".co.uk" }))
+        (id % 3 match {
+          case 0 => ".com"
+          case 1 => ".org"
+          // round 18: the %17=5 sliver carries the 3-label suffix —
+          // its registrable domain (4 labels) is never on the blocklist
+          case _ => if (id % 17 == 5) ".act.edu.au" else ".co.uk"
+        }))
     def killStage(id: Long): Option[Int] =
-      Seq(blocked(id), conf(id) < tau, !stopOk(id), !gopher(id), !clf(id),
-        !canon(id), !dedup(id), spans(id), decont(id)).zipWithIndex
+      Seq(blocked(id), conf(id) < tau, !stopOk(id), !blockOk(id),
+        !gopher(id), !clf(id), !canon(id), !dedup(id), spans(id),
+        decont(id)).zipWithIndex
         .collectFirst { case (true, i) => i }
 
     val ids = texts.keys.toSeq

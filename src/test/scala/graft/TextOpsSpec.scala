@@ -1251,6 +1251,58 @@ class TextOpsSpec extends SparkSpec {
     assert(fails < got.length / 2, "and must not absorb the corpus")
   }
 
+  test("t26: any OWN-list banned entry kills — adjacency-exact phrases, word boundaries, wrong-list and unknown-lang pass") {
+    // kernel: phrase = consecutive tokens of the predicted language's
+    // list; substrings and non-adjacent words never match
+    val rows = Seq(
+      ("en", "drop the window table now"),     // phrase hit: 1
+      ("en", "the window on the table"),       // words present, NOT adjacent: 0
+      ("en", "a dup appeared"),                // unigram hit: 1
+      ("en", "the dupe appeared"),             // substring is not a word: 0
+      ("en", "window table dup"),              // both entries: 2
+      ("de", "window table dup"),              // en entries, de list: 0
+      ("de", "run a batch scan today"),        // de phrase: 1
+      ("xx", "window table dup batch scan"))   // unknown lang: nothing banned
+      .toDF("pred_lang", "text")
+      .select($"pred_lang", $"text",
+        TextOps.blockHitsExpr($"pred_lang", $"text").as("h"))
+      .as[(String, String, Int)].collect()
+    assert(rows.map(_._3).toSeq === Seq(1, 0, 1, 0, 2, 0, 1, 0))
+
+    // every predictable language carries a list (t24's coverage rule —
+    // here absence would silently EXEMPT a language class, the inverse
+    // failure, still config drift)
+    val predictable = TextOps.langProfileRows(spark, sf).map(_._1).toSet
+    assert(predictable.subsetOf(TextOps.LangBlockWords.map(_._1).toSet),
+      s"unconfigured predictable langs: " +
+        s"${predictable -- TextOps.LangBlockWords.map(_._1).toSet}")
+
+    // fixture: agrees with a driver recount; kills a measurable slice
+    // without absorbing the corpus (the C4 deployment shape)
+    val got = TextOps.t26LangBlockwords(spark, sf).collect()
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length === texts.size)
+    val lists = TextOps.LangBlockWords.toMap
+    got.foreach { r =>
+      val padded = " " + texts(r.getAs[Long]("doc_id")) + " "
+      val want = lists(r.getAs[String]("pred_lang"))
+        .count(p => padded.contains(" " + p + " "))
+      assert(r.getAs[Int]("block_hits") === want)
+      assert(r.getAs[Boolean]("block_keep") === (want == 0))
+    }
+    val fails = got.count(!_.getAs[Boolean]("block_keep"))
+    assert(fails > 0, "the gate must bite someone")
+    assert(fails < got.length / 2, "and must not absorb the corpus")
+
+    // t24 and t26 ride ONE scoring pass: predictions agree row-for-row
+    val p24 = TextOps.t24LangStopwords(spark, sf)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    got.foreach { r =>
+      assert(r.getAs[String]("pred_lang") === p24(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("t25: planted normalization cases — NFC composes, marks strip, fullwidth survives, whitespace collapses; codegen == interpreted") {
     val cases: Seq[(String, String)] = Seq(
       // NFD vs NFC twins converge on the composed form (explicit \u
