@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev pass-through for one-off conf overrides in forked mains, e.g.
+  // SPARK_GRAFT_EXTRA_OPTS="-Dspark.graft.scan.fillCores.minBytes=1"
+  // to oracle-check the scan floor's active path on the small SFs
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -16,6 +16,98 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Total bytes under a table path (file or part-file directory),
+    * memoized — the testdata never changes size mid-process, and the
+    * listing is one FS metadata call. */
+  private val bytesMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def tableBytes(s: SparkSession, path: String): Long =
+    bytesMemo.getOrElseUpdate(path, {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    })
+
+  /** Scale-adaptive scan-parallelism floor — guide §2.5's unsplittable-
+    * input remedy ("one huge unsplittable file … repartition immediately
+    * after the read"), made conditional on input size so it can never
+    * fire at production scale.
+    *
+    * The testdata tables are single-file, SINGLE-ROW-GROUP parquet, so
+    * however many cores the session has, the scan yields exactly one
+    * non-empty partition (`minPartitionNum` cannot help: rows live in
+    * whichever split holds the row group's midpoint). Every narrow
+    * kernel pipelined on the scan — trigram/shingle explodes, window
+    * hashing, map-side partial aggregation — then runs as ONE task while
+    * n−1 cores idle: measured round 18 on t24 at sf0.1, a 1.9 s
+    * single-task stage inside a 2.6 s query on local[32]. A hash
+    * repartition on the table's id to `defaultParallelism` right after
+    * the read restores parallelism for the price of shuffling an input
+    * the guard has already proven small.
+    *
+    * Two measured design points (round 18, full-bench A/B at sf0.1):
+    *
+    *  - HASH repartition on the id, not round-robin: a keyless
+    *    `repartition(n)` first pays `sortBeforeRepartition`'s local sort
+    *    of EVERY column (guide §2.5) — one task sorting full text/blob
+    *    rows per scan site, which erased the kernel wins (q1 +0.5 s,
+    *    m10 +0.7 s in the round-robin A/B). Hash on the id is sort-free,
+    *    deterministic across runs and task retries, and the id is
+    *    ~100–200× more distinct than the partition count (the §2.5
+    *    spread rule).
+    *  - DOCUMENTS ONLY: the floor is applied where the A/B showed wins —
+    *    the text-kernel table, whose per-byte work (trigram/shingle
+    *    explodes, window hashing) dwarfs the exchange. Blanket
+    *    application to every table cost more in added exchanges + AQE
+    *    stage scheduling than the cheap scans gained (q/m/k/st families
+    *    regressed +0.4–0.7 s each).
+    *
+    * The guard derives from input size, not from the local core count:
+    * it fires only when the file layout yields fewer estimated splits
+    * (bytes / `spark.sql.files.maxPartitionBytes`) than
+    * `defaultParallelism` AND the table is big enough for the shuffle to
+    * pay (≥ `spark.graft.scan.fillCores.minBytes`, default 256 KB) — at
+    * 100 TB a table has ~10⁶ splits and the scan shape is byte-identical
+    * to before. Gated by `spark.graft.scan.fillCores` (default on); the
+    * plan-pinning specs turn it off so they keep auditing the at-scale
+    * plan shape. Catalyst still prunes columns and pushes filters below
+    * the added RepartitionByExpression (TablesFillCoresSpec pins
+    * ReadSchema staying narrow), and results cannot change: no
+    * registered query depends on physical partitioning (p1's two-stage
+    * top-k is partition-independent by spec). */
+  private[graft] def fillCores(s: SparkSession, df: DataFrame,
+      path: String, key: String): DataFrame = {
+    if (!s.conf.get("spark.graft.scan.fillCores", "true").toBoolean) df
+    else {
+      val minBytes =
+        s.conf.get("spark.graft.scan.fillCores.minBytes", "262144").toLong
+      val cores = s.sparkContext.defaultParallelism
+      val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+      val bytes = tableBytes(s, path)
+      val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+      if (bytes >= minBytes && splits < cores) {
+        // A/B'd and rejected: persist()ing the repartitioned scan so a
+        // composition query's 20–30 documents subtrees share one
+        // materialization. The InMemoryRelation's stats are the
+        // DECOMPRESSED batch bytes, so every downstream join that
+        // broadcast its (doc_id, flag) side under the parquet scan's
+        // 584 KB estimate re-planned as a 32-partition sort-merge join —
+        // e9 went 6.8 → 11.5 s and its summed task time 10×. The floor
+        // keeps the parquet scan's stats untouched.
+        // Partition count derives from input size (guide §2: scale-
+        // adaptive, never a local-core constant): one floor partition
+        // per targetPartitionBytes of input, clamped to the machine.
+        // 32 KB/partition reflects the text kernels' work-per-byte —
+        // the parts sweep at sf0.1 (8/16/32 on t24/e5/e9/d6) put the
+        // knee at ~16 of the 584 KB table, and bytes-derived sizing
+        // keeps the driver's lower-core scaling runs meaningful.
+        val target = s.conf.get(
+          "spark.graft.scan.fillCores.targetPartitionBytes", "32768").toLong
+        val parts = math.max(2L, math.min(cores.toLong, bytes / target)).toInt
+        df.repartition(parts, col(key))
+      } else df
+    }
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -55,7 +147,8 @@ object Tables {
     case other =>
       throw new IllegalStateException(s"unsupported events.ts encoding: $other")
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fillCores(s, load(s, d, "documents"), s"$d/documents.parquet", "doc_id")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
 

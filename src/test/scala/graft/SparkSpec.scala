@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the plan-pinning suites audit the AT-SCALE plan shape; the
+      // small-input parallelism floor (Tables.fillCores, round 18) would
+      // put a Repartition over every fixture scan. TablesFillCoresSpec
+      // covers the floor's own behavior by toggling the conf per-test.
+      .config("spark.graft.scan.fillCores", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
