@@ -12,6 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The scan-parallelism floor (Tables.fillCores) is inactive at the
+      // driver's correctness SF — sf0.01/documents.parquet is 65 KB, under
+      // the 256 KB default minBytes guard — so without this the oracle
+      // would only ever cover the UNfloored plan while the bench times the
+      // floored one (the r18 verification gap). Forcing the byte bar to 1
+      // makes every dump here execute the repartitioned plan end-to-end;
+      // results are layout-independent by spec (TablesFillCoresSpec pins
+      // floor-on == floor-off), and the dump is not timed.
+      .config("spark.graft.scan.fillCores.minBytes", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -230,21 +230,29 @@ object PipelineOps {
     * none. */
   def e5AttributeSheet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rules = TextOps.t16GopherRules(s, dir)
+    // t16's battery and t18's verdict are pure per-row expressions over
+    // the same scan — fused into ONE narrow projection (round 19, guide
+    // §2.4) instead of two stage relations joined on doc_id; values are
+    // the stages' expressions verbatim and the final select restores the
+    // sheet's published column order.
+    val rulesClf = TextOps.rulesAndClf(s, dir)
     val tier = TextOps.t17PplBuckets(s, dir)
       .select($"doc_id", $"score_micro", $"ppl_bucket")
     val spans = DedupOps.d10SpanDedup(s, dir)
       .select($"doc_id", $"n_dup", $"has_dup")
-    val clf = TextOps.t18QualityClassifier(s, dir)
-      .select($"doc_id", $"clf_score", $"clf_keep")
     // ONE shared scoring pass carries BOTH language-keyed gates (t24's
     // stopword polarity and t26's banned-word polarity, round 18) —
     // the sheet pays one profile subtree, not two
     val gates = TextOps.langGates(s, dir)
       .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep",
         $"block_hits", $"block_keep")
-    rules.join(tier, Seq("doc_id")).join(spans, Seq("doc_id"))
-      .join(clf, Seq("doc_id")).join(gates, Seq("doc_id"))
+    rulesClf.join(tier, Seq("doc_id")).join(spans, Seq("doc_id"))
+      .join(gates, Seq("doc_id"))
+      .select($"doc_id", $"r_word_count", $"r_mean_word_len",
+        $"r_alpha_words", $"r_stopwords", $"r_symbol_ratio",
+        $"r_top_word_mass", $"gopher_keep", $"score_micro", $"ppl_bucket",
+        $"n_dup", $"has_dup", $"clf_score", $"clf_keep", $"pred_lang",
+        $"stop_hits", $"stop_keep", $"block_hits", $"block_keep")
   }
 
   /** Oracle: the same composition over the stage oracles (t24's chain
@@ -765,38 +773,47 @@ object PipelineOps {
   }
 
   /** e9's per-doc signal frame — the funnel's only corpus-width relation,
-    * exposed so PlanAuditSpec can pin its documents scans to the stages'
-    * sum (e5 + d6 + t10) + 2 (the base scan and the broadcast-profile
-    * lang-scoring scan); everything the funnel adds above it is the
-    * ≤ |stages|-row arithmetic. */
+    * exposed so PlanAuditSpec can pin its plan shape (one base scan
+    * carrying the per-row rule/classifier/url bits, ONE shared
+    * langSignals scoring pass, plus d10/d6/t10's own audited machinery —
+    * and, since round 19, NO t17 subtree); everything the funnel adds
+    * above it is the ≤ |stages|-row arithmetic. */
   private[graft] def e9SignalFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val profile = TextOps.langProfileRows(s, dir)
-    val best = TextOps.bestLangStruct(TextOps.profileLangs(profile))
-    val lang = TextOps.profileScores(docs, $"text", Seq($"doc_id"),
-        profile, withNTri = true)
-      .select($"doc_id", best.getField("s").as("sc"), $"n_tri")
-      .select($"doc_id", expr("sc div greatest(n_tri, 1)").as("conf_micro"))
-    // url_blocked is a pure narrow expression over (doc_id, source) —
-    // d16's derivation → canonical host → registrable domain →
-    // blocklist membership — so stage 0 rides the base scan for free
-    // (zero additional corpus scans; the plan audit's bound holds).
-    val base = docs.select($"doc_id",
-      size(split($"text", " ")).cast("long").as("n_toks"),
+    // Round 19 exchange-count reduction (VERDICT r18 #2/#3). The frame
+    // previously (a) joined the FULL e5 sheet although no funnel stage
+    // reads t17's tier columns — an inner join cannot be column-pruned
+    // away, so the funnel paid t17's whole LM-scoring machinery for a
+    // row-set it provably does not change — and (b) ran a SECOND
+    // profile-scoring pass just to derive conf_micro. Now: the five
+    // shape rules and the classifier bit are per-row expressions riding
+    // the base scan's pre-window projection (url_blocked's device — one
+    // scan, zero joins; only bools cross the sha2 window's exchange),
+    // and conf_micro comes from the SAME langSignals pass that carries
+    // the stopword/blockword bits. Every stage bit keeps its stage's
+    // expression verbatim and every joined relation still covers every
+    // doc_id, so rows and values are unchanged — the driver's oracle
+    // replays the identical e9Sql (plan shape: 253 → ~90 exchanges,
+    // 99 → ~40 documents scans at r19 measurement).
+    val ruleCols = TextOps.gopherRuleFlags($"text")
+      .filter(_._1 != "r_stopwords").map { case (n, c) => c.as(n) }
+    val base = docs.select(($"doc_id" +:
+      size(split($"text", " ")).cast("long").as("n_toks") +:
       ($"doc_id" === min($"doc_id").over(
-        Window.partitionBy(sha2($"text", 256)))).as("exact_canon"),
-      UrlOps.urlBlockedCol.as("url_blocked"))
-    val sheet = e5AttributeSheet(s, dir)
-      .select($"doc_id", $"r_word_count", $"r_mean_word_len",
-        $"r_alpha_words", $"r_symbol_ratio", $"r_top_word_mass",
-        $"clf_keep", $"has_dup", $"stop_keep", $"block_keep")
+        Window.partitionBy(sha2($"text", 256)))).as("exact_canon") +:
+      UrlOps.urlBlockedCol.as("url_blocked") +:
+      ruleCols) :+ TextOps.clfKeepCol(s, dir, $"text").as("clf_keep"): _*)
+    val sig = TextOps.langSignals(s, dir)
+      .select($"doc_id", $"conf_micro", $"stop_keep", $"block_keep")
+    val spans = DedupOps.d10SpanDedup(s, dir)
+      .select($"doc_id", $"has_dup")
     val dedup = DedupOps.d6DedupKeep(s, dir)
       .withColumnRenamed("keep", "dedup_keep")
     val decont = TextOps.t10Decontaminate(s, dir)
       .select($"doc_id", $"contaminated")
-    base.join(lang, Seq("doc_id")).join(sheet, Seq("doc_id"))
+    base.join(sig, Seq("doc_id")).join(spans, Seq("doc_id"))
       .join(dedup, Seq("doc_id")).join(decont, Seq("doc_id"))
   }
 

@@ -2315,9 +2315,21 @@ object TextOps {
     * documented there. Input score domain must be bounded (t17's is
     * ≤ 10⁶ by construction) — the histogram, its window, and the
     * 2-values-per-lang cutoff relation are all score-domain-bounded. */
-  private[graft] def pplBucketize(s: SparkSession, scored: DataFrame): DataFrame = {
+  private[graft] def pplBucketize(s: SparkSession, scoredIn: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // `scored` is referenced twice — the histogram below and the final
+    // bucket assignment — and without materialization Catalyst plans the
+    // WHOLE scoring subtree (bigram explode + model join + per-doc
+    // aggregate) once per reference: r19's plan audit found the duplicate
+    // pair of scoring exchanges in every e5-sheet consumer (e5–e7,
+    // e9–e11, p8). Persisting the narrow (doc_id, lang, score_micro)
+    // relation computes the scoring once per query. Eager count, k5b
+    // discipline; the decompressed-stats broadcast-flip lesson
+    // (Tables.fillCores) does not apply — three thin columns, and the
+    // only join consuming this relation is an explicit broadcast(cuts).
+    val scored = scoredIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
     val hist = scored.groupBy($"lang", $"score_micro")
       .agg(count(lit(1)).as("c"))
     val classes = hist
@@ -2534,6 +2546,31 @@ object TextOps {
         w
       }
 
+  /** t16's rule battery + t18's classifier verdict fused as ONE narrow
+    * projection over ONE documents scan (round 19, guide §2.4): both
+    * stages are pure per-row expressions, so the e5 sheet joining them
+    * on doc_id paid a join's exchanges for columns computable side by
+    * side. Values are [[t16GopherRules]]' and [[t18QualityClassifier]]'s
+    * expressions verbatim. */
+  private[graft] def rulesAndClf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = clfWeightVector(s, dir)
+    Tables.documents(s, dir)
+      .select(($"doc_id" +:
+        gopherRuleFlags($"text").map { case (n, c) => c.as(n) }) :+
+        clfScoreExpr($"text", w).as("clf_score"): _*)
+      .withColumn("gopher_keep",
+        $"r_word_count" && $"r_mean_word_len" && $"r_alpha_words" &&
+          $"r_stopwords" && $"r_symbol_ratio" && $"r_top_word_mass")
+      .withColumn("clf_keep", $"clf_score" > 0L)
+  }
+
+  /** t18's keep bit as a composable per-row Column — e9's signal frame
+    * rides it on its base scan instead of joining the t18 relation. */
+  private[graft] def clfKeepCol(s: SparkSession, dir: String,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    clfScoreExpr(text, clfWeightVector(s, dir)) > 0L
+
   private[operators] val t18Sql =
     s"""WITH tb AS (
        |  SELECT doc_id,
@@ -2623,27 +2660,47 @@ object TextOps {
       .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep")
   }
 
-  /** The SHARED language-keyed gate relation behind t24 and t26 (round
-    * 18): ONE profile-scoring pass (t2b's broadcast-profile aggregate —
-    * the expensive part of either gate) carries BOTH literal word-list
-    * folds, so a consumer that wants both gates (the e5 sheet, and
-    * through it e7/e9) pays one scoring subtree, not two. Emits
-    * (doc_id, pred_lang, stop_hits, stop_keep, block_hits,
-    * block_keep). */
-  private[graft] def langGates(s: SparkSession, dir: String): DataFrame = {
+  /** The SHARED language-signal relation behind t24, t26 AND e9's
+    * language gate (round 19 — previously e9 ran its own second scoring
+    * pass just for conf_micro): ONE profile-scoring pass (t2b's
+    * broadcast-profile aggregate, the expensive part of any of the
+    * three consumers) in the `withNTri` shape, so the SAME aggregate
+    * yields the argmax language, both literal word-list folds, and the
+    * per-trigram confidence e9's lang_gate thresholds. Emits (doc_id,
+    * pred_lang, conf_micro, stop_hits, stop_keep, block_hits,
+    * block_keep).
+    *
+    * Equivalence to the two passes it replaces (pinned in
+    * TextOpsSpec): the withNTri scorer keeps every input row via its
+    * sentinel, so zero-hit docs carry all-zero pivot sums — exactly
+    * what the old inner-join + LEFT-join + coalesce spelling produced
+    * for pred_lang — and conf_micro is the e9 spelling verbatim
+    * (best score div greatest(n_tri, 1)). */
+  private[graft] def langSignals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val profile = langProfileRows(s, dir)
     val best = bestLangStruct(profileLangs(profile))
     val docs = Tables.documents(s, dir)
     docs.select($"doc_id", $"text")
-      .join(profileScores(docs, $"text", Seq($"doc_id"), profile),
+      .join(profileScores(docs, $"text", Seq($"doc_id"), profile,
+          withNTri = true),
         Seq("doc_id"), "left")
-      .select($"doc_id", best.getField("c").as("pred_lang"), $"text")
+      .select($"doc_id", best.getField("c").as("pred_lang"),
+        best.getField("s").as("sc"), $"n_tri", $"text")
       .select($"doc_id", $"pred_lang",
+        expr("sc div greatest(n_tri, 1)").as("conf_micro"),
         stopHitsExpr($"pred_lang", $"text").as("stop_hits"),
         blockHitsExpr($"pred_lang", $"text").as("block_hits"))
       .withColumn("stop_keep", $"stop_hits" >= LangStopsMinHits)
       .withColumn("block_keep", $"block_hits" === 0)
+  }
+
+  /** t24/t26's view of [[langSignals]] (the registered gates carry no
+    * confidence column). */
+  private[graft] def langGates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langSignals(s, dir).select($"doc_id", $"pred_lang", $"stop_hits",
+      $"block_hits", $"stop_keep", $"block_keep")
   }
 
   /** The oracle's stop-hits CASE over (pred_lang, text) — generated

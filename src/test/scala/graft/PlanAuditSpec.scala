@@ -37,16 +37,20 @@ class PlanAuditSpec extends SparkSpec {
       "e3 embeddings scans must equal d9's")
   }
 
-  test("e5: the attribute-sheet composition adds ZERO corpus scans over the sum of its stages") {
-    // e5 joins three stage relations on doc_id; the claim is e3's: every
-    // documents scan in e5's plan is one of the stages' own, never a
-    // duplicate the composition introduced.
+  test("e5: the fused sheet composition adds ZERO corpus scans — t16+t18 ride ONE projection") {
+    // Round 19: t16's battery and t18's verdict are pure per-row
+    // expressions, so the sheet computes them in ONE fused narrow
+    // projection (one documents scan) instead of two stage relations
+    // joined on doc_id — e5's scan count is therefore the three
+    // shuffle-bearing stages' sum + exactly 1 (the fused scan), two
+    // FEWER than the five standalone stages' sum.
     val e5 = plan("e5_attribute_sheet")
-    val stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
-      "t18_quality_classifier", "t24_lang_stopwords").map(plan)
+    val stages = Seq("t17_ppl_buckets", "d10_span_dedup",
+      "t24_lang_stopwords").map(plan)
     assert(scansOf(e5, "documents") ===
-      stages.map(scansOf(_, "documents")).sum,
-      s"e5 documents scans must equal the sum of its stages':\n$e5")
+      stages.map(scansOf(_, "documents")).sum + 1,
+      s"e5 documents scans must equal its shuffle-bearing stages' sum " +
+        s"plus the one fused t16+t18 scan:\n$e5")
     assert(!e5.contains("CartesianProduct"), e5)
   }
 
@@ -495,15 +499,17 @@ class PlanAuditSpec extends SparkSpec {
     // (tokens + the sha2-windowed exact-dup bit) + one text-free
     // (source, lang) routing scan; the composition re-scans nothing
     val e6 = plan("e6_corpus_report")
-    val e5Stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
-      "t18_quality_classifier", "t24_lang_stopwords").map(plan)
+    // e5's round-19 composition: the three shuffle-bearing stages + the
+    // one fused t16+t18 scan (the e5 audit above)
+    val e5Stages = Seq("t17_ppl_buckets", "d10_span_dedup",
+      "t24_lang_stopwords").map(plan)
     // ≤, not ==, since round 17: e6's narrow e5 projection lets
     // Catalyst prune columns THROUGH the stage subtrees (t24's
     // doc-side scan merges away — the e9 audit's rationale); the claim
     // under audit is that composition never ADDS a corpus re-scan
     // beyond the two declared ones
     assert(scansOf(e6, "documents") <=
-      e5Stages.map(scansOf(_, "documents")).sum + 2,
+      e5Stages.map(scansOf(_, "documents")).sum + 1 + 2,
       s"e6 documents scans must be ≤ e5's stages' sum + base + routing:\n$e6")
     assert(!e6.contains("CartesianProduct"), e6)
     // everything past the per-doc joins is source(×lang)-bounded and the
@@ -543,12 +549,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("e7: the ablation table adds one token scan over e5's stages; the unpivot happens after a 1-row aggregate") {
     val e7 = plan("e7_rule_ablation")
-    val e5Stages = Seq("t16_gopher_rules", "t17_ppl_buckets", "d10_span_dedup",
-      "t18_quality_classifier", "t24_lang_stopwords").map(plan)
+    // e5's round-19 composition: the three shuffle-bearing stages + the
+    // one fused t16+t18 scan (the e5 audit above)
+    val e5Stages = Seq("t17_ppl_buckets", "d10_span_dedup",
+      "t24_lang_stopwords").map(plan)
     // ≤ since round 17 — same column-pruning-through-subtrees
     // rationale as e6/e9; composition itself adds only the token scan
     assert(scansOf(e7, "documents") <=
-      e5Stages.map(scansOf(_, "documents")).sum + 1,
+      e5Stages.map(scansOf(_, "documents")).sum + 1 + 1,
       s"e7 documents scans must be ≤ e5's stages' sum + the token scan:\n$e7")
     assert(!e7.contains("CartesianProduct"), e7)
     // the 9x4 per-rule sums collapse in ONE aggregate — the generate
@@ -565,30 +573,31 @@ class PlanAuditSpec extends SparkSpec {
     }.nonEmpty), s"the unpivot must consume the 1-row global aggregate:\n$opt")
   }
 
-  test("e9: the signal frame adds at most two corpus scans (base + lang scoring) over its stages' sum") {
+  test("e9: the signal frame adds ONE corpus scan over its stages' sum, and t17 left the funnel plan") {
     // the funnel's only corpus-width relation is the signal frame; the
     // arithmetic above it runs over a persisted ≤ stages+1-row aggregate
-    // (cache-fed, asserted by the funnel replay spec). The frame's claim:
-    // composing the stage relations adds the base scan (tokens + the
-    // sha2-window exact bit) and the broadcast-profile scoring scan,
-    // nothing else.
+    // (cache-fed, asserted by the funnel replay spec). Round 19's claim:
+    // the per-row rule/classifier/url bits ride the base scan (tokens +
+    // the sha2-window exact bit) — ONE added scan, zero added joins —
+    // conf_micro shares langSignals' scoring pass with the word-list
+    // gates, and t17's LM machinery (which no funnel stage reads, but
+    // which the old frame paid for through the full-sheet inner join) is
+    // GONE from the plan.
     val f = graft.operators.PipelineOps.e9SignalFrame(spark, sf)
       .queryExecution.executedPlan.toString
-    val stages = Seq("e5_attribute_sheet", "d6_dedup_keep",
-      "t10_decontaminate").map(plan)
-    // ≤, not ==: composing prunes columns THROUGH the stage subtrees
-    // (measured: the funnel's narrow e5 projection drops two of t17's
-    // standalone scans), so the sum is an upper bound — the claim under
-    // audit is that composition never ADDS a corpus re-scan beyond the
-    // two declared ones
+    val stages = Seq("d6_dedup_keep", "t10_decontaminate",
+      "d10_span_dedup", "t24_lang_stopwords").map(plan)
     assert(scansOf(f, "documents") <=
-      stages.map(scansOf(_, "documents")).sum + 2,
-      s"e9 signal frame may only add the base + lang-scoring scans:\n$f")
-    // and the two declared additions are really present: the sha2
-    // exact-dup window on the base scan, and the broadcast-profile
-    // trigram scorer
+      stages.map(scansOf(_, "documents")).sum + 1,
+      s"e9 signal frame may only add the fused base scan:\n$f")
+    // the declared addition is really present: the sha2 exact-dup window
+    // on the base scan
     assert(f.contains("sha2("), f)
     assert("Window \\[min\\(doc_id".r.findAllIn(f).nonEmpty, f)
+    // t17's reference-LM scoring must not appear anywhere in the frame —
+    // its persisted model artifact is the subtree's unmistakable marker
+    assert(!f.contains("bigram_lm"),
+      s"t17's LM-scoring subtree leaked back into the funnel frame:\n$f")
     assert(!f.contains("CartesianProduct"), f)
   }
 

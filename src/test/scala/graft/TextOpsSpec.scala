@@ -1251,6 +1251,37 @@ class TextOpsSpec extends SparkSpec {
     assert(fails < got.length / 2, "and must not absorb the corpus")
   }
 
+  test("langSignals: the fused single-pass scorer equals the two passes it replaced (pred_lang = t2b's, conf_micro = e9's old spelling)") {
+    // round 19 fused e9's conf_micro scoring pass into the t24/t26 gate
+    // pass (one withNTri aggregate serves all three consumers); this
+    // pins the fusion against independently-spelled replays of BOTH
+    // retired derivations, per doc over the full fixture.
+    val profile = TextOps.langProfileRows(spark, sf)
+    val langs = TextOps.profileLangs(profile)
+    val best = TextOps.bestLangStruct(langs)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = TextOps.langSignals(spark, sf)
+      .select($"doc_id", $"pred_lang", $"conf_micro")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // e9's retired standalone conf pass: its exact spelling
+    val conf = TextOps.profileScores(docs, $"text", Seq($"doc_id"),
+        profile, withNTri = true)
+      .select($"doc_id", best.getField("s").as("sc"), $"n_tri")
+      .select($"doc_id", expr("sc div greatest(n_tri, 1)").as("conf_micro"))
+      .as[(Long, Long)].collect().toMap
+    // t24's retired gate-side pred pass: inner-join scorer + left join
+    val pred = docs.select($"doc_id")
+      .join(TextOps.profileScores(docs, $"text", Seq($"doc_id"), profile),
+        Seq("doc_id"), "left")
+      .select($"doc_id", best.getField("c").as("pred_lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, pl, cm) =>
+      assert(pl === pred(id), s"pred_lang drift at doc $id")
+      assert(cm === conf(id), s"conf_micro drift at doc $id")
+    }
+  }
+
   test("t26: any OWN-list banned entry kills — adjacency-exact phrases, word boundaries, wrong-list and unknown-lang pass") {
     // kernel: phrase = consecutive tokens of the predicted language's
     // list; substrings and non-adjacent words never match
