@@ -149,6 +149,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame =
     fillCores(s, load(s, d, "documents"), s"$d/documents.parquet", "doc_id")
+  /** embeddings stays UNfloored — A/B'd separately in round 19 per the
+    * r18 verdict (a vec_id-keyed bytes-derived floor, the documents
+    * recipe verbatim): the serve-path family regressed hard (s7 0.66 →
+    * 1.51 s, s8 0.67 → 0.95, s5 0.61 → 0.82, s2 0.51 → 0.67, s3 0.39 →
+    * 0.52 exec at sf0.1/32c — their kernels are bound by the persisted
+    * index tables, and the floor's exchange ships every full embedding
+    * vector for nothing) while the narrow winners (m7 0.33 → 0.14, t21
+    * 0.27 → 0.13, s4 1.24 → 0.95, e8 0.54 → 0.40) don't offset it: family
+    * exec 6.9 → 7.7 s net. Record:
+    * dev/records/qprof_embeddings_floor_ab_r19.md. */
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
 

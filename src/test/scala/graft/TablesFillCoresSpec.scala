@@ -68,6 +68,23 @@ class TablesFillCoresSpec extends SparkSpec {
     }
   }
 
+  test("Verify-mode plan pin: under Verify's forced byte bar a registered query executes the floored plan") {
+    // graft.Verify sets spark.graft.scan.fillCores.minBytes=1 (round 19,
+    // closing the r18 verification gap) so the driver's DuckDB compare
+    // covers the repartitioned plan shape the bench times. This pins that
+    // under exactly that conf a registered documents query's EXECUTED
+    // plan carries the floor's doc_id repartition — if the floor's guard
+    // or Verify's conf drifts, the oracle silently stops covering the
+    // floored path and this fails first.
+    withConfs("spark.graft.scan.fillCores" -> "true",
+        "spark.graft.scan.fillCores.minBytes" -> "1") {
+      val p = SparkEntry.queries("t24_lang_stopwords")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("REPARTITION_BY_COL") || p.contains("hashpartitioning(doc_id"),
+        s"Verify's conf must execute the floored (doc_id-repartitioned) plan:\n$p")
+    }
+  }
+
   test("results are identical with the floor on and off (layout independence)") {
     import org.apache.spark.sql.functions._
     def rollup(on: Boolean): Seq[(String, Long)] =
