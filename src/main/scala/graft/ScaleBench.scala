@@ -124,10 +124,18 @@ object ScaleBench {
       }
     }
 
+    // Progress marker per (phase, query) on stderr — when a scale leg
+    // dies mid-suite (r19: an 80× executor OOM), the last marker names
+    // the culprit; without it the failure is an anonymous stage id.
+    def traced(phase: String)(n: String, fn: (SparkSession, String) => DataFrame)
+        : (Double, Long, Boolean) = {
+      System.err.println(s"[scalebench] $phase $n")
+      once(fn)
+    }
     val qs = SparkEntry.queries
-    qs.foreach { case (_, fn) => once(fn) } // warm-up
-    val pass1 = qs.map { case (n, fn) => n -> once(fn) }
-    val pass2 = qs.map { case (n, fn) => n -> once(fn) }
+    qs.foreach { case (n, fn) => traced("warmup")(n, fn) } // warm-up
+    val pass1 = qs.map { case (n, fn) => n -> traced("pass1")(n, fn) }
+    val pass2 = qs.map { case (n, fn) => n -> traced("pass2")(n, fn) }
     val results = pass1.map { case (n, (t1, rows1, ok1)) =>
       val (t2, _, ok2) = pass2(n)
       val t = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)

@@ -2660,15 +2660,16 @@ object TextOps {
       .select($"doc_id", $"pred_lang", $"stop_hits", $"stop_keep")
   }
 
-  /** The SHARED language-signal relation behind t24, t26 AND e9's
-    * language gate (round 19 — previously e9 ran its own second scoring
-    * pass just for conf_micro): ONE profile-scoring pass (t2b's
-    * broadcast-profile aggregate, the expensive part of any of the
-    * three consumers) in the `withNTri` shape, so the SAME aggregate
-    * yields the argmax language, both literal word-list folds, and the
-    * per-trigram confidence e9's lang_gate thresholds. Emits (doc_id,
-    * pred_lang, conf_micro, stop_hits, stop_keep, block_hits,
-    * block_keep).
+  /** The fused language-signal relation behind e9's funnel frame (round
+    * 19 — previously the frame ran TWO scoring passes: the gates' and a
+    * second one just for conf_micro): ONE profile-scoring pass (t2b's
+    * broadcast-profile aggregate, the expensive part) in the `withNTri`
+    * shape, so the SAME aggregate yields the argmax language, both
+    * literal word-list folds, and the per-trigram confidence e9's
+    * lang_gate thresholds. Emits (doc_id, pred_lang, conf_micro,
+    * stop_hits, stop_keep, block_hits, block_keep). Consumers that do
+    * NOT read conf_micro (t24/t26/e5 via [[langGates]]) keep the
+    * cheaper inner-join scorer — see the note there.
     *
     * Equivalence to the two passes it replaces (pinned in
     * TextOpsSpec): the withNTri scorer keeps every input row via its
@@ -2695,12 +2696,28 @@ object TextOps {
       .withColumn("block_keep", $"block_hits" === 0)
   }
 
-  /** t24/t26's view of [[langSignals]] (the registered gates carry no
-    * confidence column). */
+  /** The gate-only relation behind t24, t26 and the e5 sheet — the
+    * ORIGINAL inner-join scorer, deliberately NOT a view of
+    * [[langSignals]]: the withNTri shape pays `first(n_tri)` plus one
+    * sentinel row per doc through the pivot aggregate, which the 20×
+    * scale leg measured at +36% on t24 (4.97 → 6.74 s) when r19 first
+    * routed the gates through it. Consumers that need conf_micro (the
+    * funnel frame) take [[langSignals]]; consumers that don't keep the
+    * cheap pass. */
   private[graft] def langGates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    langSignals(s, dir).select($"doc_id", $"pred_lang", $"stop_hits",
-      $"block_hits", $"stop_keep", $"block_keep")
+    val profile = langProfileRows(s, dir)
+    val best = bestLangStruct(profileLangs(profile))
+    val docs = Tables.documents(s, dir)
+    docs.select($"doc_id", $"text")
+      .join(profileScores(docs, $"text", Seq($"doc_id"), profile),
+        Seq("doc_id"), "left")
+      .select($"doc_id", best.getField("c").as("pred_lang"), $"text")
+      .select($"doc_id", $"pred_lang",
+        stopHitsExpr($"pred_lang", $"text").as("stop_hits"),
+        blockHitsExpr($"pred_lang", $"text").as("block_hits"))
+      .withColumn("stop_keep", $"stop_hits" >= LangStopsMinHits)
+      .withColumn("block_keep", $"block_hits" === 0)
   }
 
   /** The oracle's stop-hits CASE over (pred_lang, text) — generated
